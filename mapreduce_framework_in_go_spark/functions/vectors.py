@@ -1,0 +1,34 @@
+"""Vector column functions over ``array<float>`` embeddings.
+
+All expressed with higher-order array built-ins (`zip_with`,
+`aggregate`) so the arithmetic runs JVM-side in whole-stage codegen —
+no Python crossing for the O(n*k*d) hot loop of similarity search.
+Computation is in double precision (inputs are float32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

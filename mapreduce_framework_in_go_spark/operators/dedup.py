@@ -1,0 +1,1 @@
+"""Deduplication operators (Phase 4 — filled in next)."""

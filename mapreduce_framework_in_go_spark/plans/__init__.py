@@ -1,0 +1,3 @@
+from .inspect import assert_broadcast_join, assert_pushed_filters, formatted_plan
+
+__all__ = ["formatted_plan", "assert_pushed_filters", "assert_broadcast_join"]

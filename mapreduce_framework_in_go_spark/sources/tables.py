@@ -1,0 +1,59 @@
+"""Sources: parquet table scans + the reference's whole-file text scan.
+
+The reference's only source is a whole-file text scan — one record per
+input file, ``(filename, contents)`` (``mr/worker.go:194-206``,
+``main/mrsequential.go:39-51``); its only sink is ``"key value\\n"`` text
+lines (``mr/worker.go:115``). Here the primary source is columnar parquet
+(scan + predicate pushdown + column pruning come from Spark's
+DataSource V2), and the whole-file scan is kept as a compatibility
+source for MR-style corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Catalyst prunes columns / pushes filters."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_text_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Whole-file text scan: one row per file, ``(doc, content)``.
+
+    Mirrors the reference's map-input contract ``Map(filename, contents)``
+    (``mr/worker.go:54-60``): the file is the split. On a cluster this
+    scales to millions of files — Spark's FileScan enumerates/packs splits
+    on the driver and reads in parallel; `wholetext` keeps one record per
+    file exactly like ``prepareMapInput``.
+    """
+    return (
+        spark.read.text(path_glob, wholetext=True)
+        .withColumn("doc", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .select("doc", F.col("value").alias("content"))
+    )
