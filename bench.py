@@ -22,6 +22,17 @@ HEADLINE = [
     "mr_wordcount",
     "mr_inverted_index",
     "mr_crash_shape",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "distinct_agg",
+    "window_topn_per_group",
+    "window_running_sum",
+    "events_hourly_agg",
+    "events_sessionization",
 ]
 
 

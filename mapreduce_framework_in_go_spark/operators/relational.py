@@ -1,1 +1,888 @@
-"""Relational operator registry (Phase 2 — filled in next)."""
+"""Relational operator registry over the TPC-H-ish tables.
+
+The reference has *no* relational operators — no joins, no filters, no
+windows (SURVEY.md §2.2): its whole plan is scan → flatMap → exchange →
+sort-group → reduce. This module is the "same query capabilities,
+idiomatic Spark" extension surface (SURVEY.md §7.2 step 3): every
+standard operator family, declared via the DataFrame API so Catalyst
+does pushdown/pruning/join-selection, with DuckDB oracles.
+
+Scale notes (100 TB):
+- Filters/projections are expressed on base columns before joins/aggs so
+  they reach the parquet scan (PushedFilters / ReadSchema) — verified by
+  tests/test_plans.py.
+- Dimension joins (region/nation/supplier-sized) are broadcast — no
+  shuffle of the fact table; fact-fact joins (orders⋈lineitem) are
+  sort-merge/shuffle-hash on the join key, which AQE re-plans at runtime.
+- Aggregates get partial (map-side) combine before the exchange
+  automatically; count(distinct) compiles to a two-stage expand+agg.
+- Window functions shuffle once per distinct partitioning; queries here
+  partition on keys with bounded group sizes (custkey, suppkey, user_id),
+  never on a constant (no global windows).
+- Top-k uses TakeOrderedAndProject (driver holds k rows, not the input).
+
+Float determinism — exact fixed-point aggregation:
+Money columns are doubles with a fixed decimal scale (2 for prices/
+discounts/taxes). Summing doubles is order-dependent, so a shuffled sum
+is not reproducible bit-for-bit across engines (or even across runs with
+AQE). Every money aggregate here therefore integerizes per row at the
+column's exact decimal scale (``round(x * scale)`` → BIGINT; the per-row
+double product is IEEE-identical in any engine), sums exactly in integer
+space, and divides back once at the end. Results are bit-identical to
+the DuckDB oracle, with no round() hazards. This is also the right
+100 TB design: money in fixed-point never drifts; at extreme volumes the
+BIGINT sum would be widened to DECIMAL(38) (Spark does this for decimal
+inputs automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+def fixed_point(expr: Column, scale: int) -> Column:
+    """Per-row exact integerization of a fixed-decimal-scale double."""
+    return F.round(expr * F.lit(float(scale))).cast("long")
+
+
+def fsum(expr: Column, scale: int) -> Column:
+    """Exact sum of a fixed-scale money expression, back in natural units."""
+    return F.sum(fixed_point(expr, scale)).cast("double") / F.lit(float(scale))
+
+
+def favg(expr: Column, scale: int) -> Column:
+    """Exact-average: integer sum / scale / count, identical op order to
+    the oracle's ``CAST(SUM(...) AS DOUBLE) / scale / count(*)``."""
+    return (
+        F.sum(fixed_point(expr, scale)).cast("double")
+        / F.lit(float(scale))
+        / F.count(F.lit(1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 pricing summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates; Spark "
+    "plans partial agg before the exchange (map-side combine). Money "
+    "aggregates are exact fixed-point (module docstring).",
+    tags=["relational", "aggregate"],
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fsum(F.col("l_quantity"), 100).alias("sum_qty"),
+            fsum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            fsum(disc_price, 10000).alias("sum_disc_price"),
+            fsum(charge, 1000000).alias("sum_charge"),
+            favg(F.col("l_quantity"), 100).alias("avg_qty"),
+            favg(F.col("l_extendedprice"), 100).alias("avg_price"),
+            favg(F.col("l_discount"), 100).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Selective scan-filter-aggregate: TPC-H Q6 forecasting revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: highly selective conjunctive predicate, single "
+    "global aggregate. All four predicates push to the parquet scan.",
+    tags=["relational", "filter"],
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 24)
+    ).agg(fsum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact-dim join + agg + top-k: TPC-H Q3 shipping priority
+# ---------------------------------------------------------------------------
+
+_REVENUE_SQL = "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
+
+
+def _revenue() -> Column:
+    return fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: dim-filtered 3-way join, aggregate, top-10. "
+    "customer side broadcasts; orders⋈lineitem is the one shuffle. "
+    "Deterministic top-k via (revenue DESC, l_orderkey) total order.",
+    tags=["relational", "join", "topk"],
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way join: TPC-H Q5 local supplier volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join; region/nation/supplier broadcast, "
+    "the local-supplier constraint (c_nationkey = s_nationkey) rides the "
+    "supplier join.",
+    tags=["relational", "join"],
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join + agg + top-k on customers: TPC-H Q10 returned items
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REVENUE_SQL} AS revenue,
+           c_acctbal AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
+    "Stored columns (acctbal) pass through raw — identical parquet bytes "
+    "need no rounding.",
+    tags=["relational", "join", "topk"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure scan shape: projection + filter pushdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_returnflag = 'A'
+    """,
+    doc="Raw scan-filter-project, no aggregation: values pass through "
+    "untouched (identical parquet bytes on both sides). Predicates and "
+    "the 4-column ReadSchema push to the scan — asserted in "
+    "tests/test_plans.py.",
+    tags=["relational", "filter"],
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") < 5) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject — each partition "
+    "keeps k rows, driver merges k*partitions; never a full global sort.",
+    tags=["relational", "topk"],
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="Multi-distinct aggregate: Spark compiles to Expand + two-stage "
+    "agg; distinct is per-group, never a global dedup.",
+    tags=["relational", "aggregate"],
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    WHERE rn <= 3
+    """,
+    doc="Top-N per group via row_number window: one shuffle on the "
+    "partition key; total order (price DESC, orderkey) makes ranks "
+    "deterministic.",
+    tags=["relational", "window"],
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
+    FROM lineitem
+    """,
+    doc="Running total per supplier: ROWS frame over a unique total order "
+    "(shipdate, orderkey, linenumber). Fixed-point inside the frame so "
+    "the cumulative sum is exact whatever summation tree the engine uses.",
+    tags=["relational", "window"],
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.sum(fixed_point(F.col("l_quantity"), 100)).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="EXISTS as left-semi join: probe side never duplicates, only the "
+    "key column of orders is read (column pruning through the semi join).",
+    tags=["relational", "join"],
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    p_orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        p_orders, cust.c_custkey == p_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="NOT EXISTS as left-anti join.",
+    tags=["relational", "join"],
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    p_orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        p_orders, cust.c_custkey == p_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT (distinct set semantics): customers with both an open "
+    "and a finished order.",
+    tags=["relational", "setop"],
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersect(f)
+
+
+@register(
+    "set_ops_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="EXCEPT (distinct set semantics).",
+    tags=["relational", "setop"],
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    p = orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.subtract(p)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: rollup / cube / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets; Spark's Expand feeds one shuffle for all "
+    "grouping levels.",
+    tags=["relational", "aggregate"],
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            fsum(F.col("l_quantity"), 100).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets.",
+    tags=["relational", "aggregate"],
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            fsum(F.col("o_totalprice"), 100).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (never let Spark scan for pivot "
+    "values at scale — that is an extra job over the full input).",
+    tags=["relational", "aggregate"],
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("qty_i", fixed_point(F.col("l_quantity"), 100))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("qty_i"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        (F.col("O").cast("double") / 100.0).alias("qty_O"),
+        (F.col("F").cast("double") / 100.0).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string / math / date)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(p_size % 7 AS INTEGER) AS size_mod,
+           CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+           CAST(round(p_retailprice * 1000) AS BIGINT) AS price_e3,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
+    FROM part
+    """,
+    doc="Scalar function sweep: string (upper/length/substr/replace/"
+    "concat), math (%/abs/round/floor). All JVM built-ins inside one "
+    "codegen stage — zero Python.",
+    tags=["relational", "scalar"],
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        fixed_point(F.col("p_retailprice"), 1000).alias("price_e3"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    """,
+    doc="Date/time function sweep: extraction, diff, truncation.",
+    tags=["relational", "scalar"],
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))).alias(
+            "days_since"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join (snowflake rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Snowflake rollup through two broadcast dims: the fact table never "
+    "shuffles for the joins, only for the final aggregate. Broadcast "
+    "asserted in tests/test_plans.py.",
+    tags=["relational", "join"],
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            favg(F.col("c_acctbal"), 100).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Having / aggregate-filter: TPC-H Q18 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(big.sum_qty_i AS DOUBLE) / 100.0 AS total_qty,
+           o_totalprice AS totalprice
+    FROM (
+      SELECT l_orderkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_i
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back "
+    "to orders/customer. The aggregate runs first and shrinks the join "
+    "input.",
+    tags=["relational", "join", "aggregate"],
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(fixed_point(F.col("l_quantity"), 100)).alias("sum_qty_i"))
+        .where(F.col("sum_qty_i") > 15000)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            (F.col("sum_qty_i").cast("double") / 100.0).alias("total_qty"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling window aggregation (batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation over the event stream, batch "
+    "form. The streaming twin (watermark + window) is "
+    "streaming/windows.py:hourly_agg_stream — same logical result on a "
+    "bounded input.",
+    tags=["relational", "events"],
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        fsum(F.col("value"), 100).alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative "
+    "sum of session-break flags, then per-session rollup. One shuffle on "
+    "user_id shared by both windows and the final aggregate. Streaming "
+    "twin: session_window(ts, '30 minutes') in streaming/windows.py.",
+    tags=["relational", "events", "window"],
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # interval arithmetic on timestamp_ntz: exact to the microsecond and
+        # independent of the session timezone (unix_timestamp would truncate
+        # to seconds and disagree with the oracle's INTERVAL comparison)
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w)) <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured extraction from the props JSON column (regexp "
+    "form so the DuckDB oracle matches byte-for-byte; Spark also has "
+    "get_json_object/from_json for real pipelines).",
+    tags=["relational", "events", "scalar"],
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

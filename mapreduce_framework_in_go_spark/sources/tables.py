@@ -29,7 +29,24 @@ TABLE_NAMES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one parquet table. Catalyst prunes columns / pushes filters."""
+    """Scan one parquet table. Catalyst prunes columns / pushes filters.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
+    natively; we read it as raw long (legacy nanosAsLong conf) and
+    truncate to microsecond TIMESTAMP_NTZ — exactly what DuckDB does on
+    read, so oracle comparisons see identical instants. timestampadd on
+    an NTZ epoch base keeps the conversion timezone-independent.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

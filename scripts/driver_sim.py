@@ -1,0 +1,81 @@
+"""Simulate the grading driver: load __spark_entry__ from an arbitrary
+cwd, run every queries() entry at sf0.01 (or $SIM_SF_DIR), compare with
+oracle_sql() via DuckDB. Usage: python scripts/driver_sim.py [names...]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tests.oracle import rows_canonical  # noqa: E402
+
+
+def main() -> int:
+    sf = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spec = importlib.util.spec_from_file_location(
+        "se", os.path.join(REPO, "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    import duckdb
+
+    from mapreduce_framework_in_go_spark.session import get_spark
+    from mapreduce_framework_in_go_spark.sources.tables import TABLE_NAMES
+
+    spark = get_spark(app_name="driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    e = m.entry(spark)
+    print(f"entry: rows={e.count()} schema={e.schema.simpleString()}")
+
+    qs, osql = m.queries(), m.oracle_sql()
+    failures = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf)
+            ec, er = rows_canonical(df.columns, [tuple(r) for r in df.collect()])
+        except Exception as ex:
+            print(f"FAIL  {name}: engine error {type(ex).__name__}: {str(ex)[:200]}")
+            failures += 1
+            continue
+        if name not in osql:
+            print(f"ok?   {name}: rows-only, {len(er)} rows ({time.perf_counter()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(osql[name])
+            oc, orr = rows_canonical([d[0] for d in res.description], res.fetchall())
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle error {type(ex).__name__}: {str(ex)[:200]}")
+            failures += 1
+            continue
+        if ec != oc:
+            print(f"FAIL  {name}: cols engine={ec} oracle={oc}")
+            failures += 1
+        elif er != orr:
+            diffs = [(a, b) for a, b in zip(er, orr) if a != b][:2]
+            print(
+                f"FAIL  {name}: rows engine={len(er)} oracle={len(orr)} first_diffs={diffs}"
+            )
+            failures += 1
+        else:
+            print(f"MATCH {name}: {len(er)} rows ({time.perf_counter()-t0:.1f}s)")
+    print(f"\n{'ALL MATCH' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

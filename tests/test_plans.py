@@ -1,0 +1,60 @@
+"""Physical-plan shape assertions — the 100 TB discipline checks.
+
+Correctness tests prove the small-SF answer; these prove the plan is
+the one you'd want at scale: filters reach the parquet scan, projections
+prune the ReadSchema, small dims broadcast, global top-k never sorts the
+world.
+"""
+
+from mapreduce_framework_in_go_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    formatted_plan,
+)
+from mapreduce_framework_in_go_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = SPECS["filter_project"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity", "l_returnflag")
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = formatted_plan(SPECS["filter_project"].fn(spark, sf_dir))
+    # ReadSchema must include only the needed columns, not all 11
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_partkey" not in read
+
+
+def test_q6_predicates_pushed(spark, sf_dir):
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_broadcast_dims(spark, sf_dir):
+    assert_broadcast_join(SPECS["broadcast_dim_join"].fn(spark, sf_dir), 2)
+    assert_broadcast_join(SPECS["q5_local_supplier_volume"].fn(spark, sf_dir), 3)
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    plan = formatted_plan(SPECS["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_partial_agg(spark, sf_dir):
+    """The shuffle must carry partially-aggregated counts, not raw tokens —
+    Spark's map-side combine (the paper's combiner, free with groupBy)."""
+    plan = formatted_plan(SPECS["mr_wordcount"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    """AQE hides codegen markers until execution — check the executed plan."""
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen spans in the executed plan
+    assert "*(1)" in plan and "*(2)" in plan
