@@ -1,0 +1,113 @@
+"""Structured Streaming windowed operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.2 "Streaming:
+none"), but its declared KV tier is a continuously-updated state table —
+and the north-star extensions want real stream processing. These are the
+streaming twins of the batch queries in operators/relational.py
+(events_hourly_agg, events_sessionization): same logical result on a
+bounded input, verified in tests/test_streaming.py.
+
+Scale notes: watermarks bound state (late rows beyond 1h are dropped —
+the knob the reference never had); windowed aggregation state lives in
+the state store (RocksDB on a real cluster), partitioned by group key;
+`availableNow` triggers let the same query run incrementally over a
+growing parquet directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema: streaming sources never infer. ts arrives as raw
+# nanos (INT64 TIMESTAMP(NANOS) parquet, read as long via nanosAsLong —
+# same contract as sources/tables.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet with the nanos→ntz conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory basePath; the testdata tables
+    # are single files, so a trailing glob makes Spark infer the parent
+    # directory as basePath while still matching only this table.
+    import os
+
+    if not os.path.isdir(path):
+        path = path + "*"
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # Watermarks require TimestampType (instant), not TIMESTAMP_NTZ —
+    # timestamp_micros is exact integer arithmetic on the epoch value.
+    # Downstream date_format therefore renders in the session timezone;
+    # sessions here pin UTC (session.py), matching the batch twins.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window with a 1-hour watermark: count + exact
+    fixed-point sum per (window, event_type). Streaming twin of the
+    batch `events_hourly_agg` query."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute gap per user: the built-in
+    streaming analogue of the batch lag/cumsum sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming frame over a bounded source to completion into an
+    in-memory table; returns the result as a batch DataFrame."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
