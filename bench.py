@@ -33,6 +33,13 @@ HEADLINE = [
     "window_running_sum",
     "events_hourly_agg",
     "events_sessionization",
+    "kv_state_fold",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "mm_metadata",
 ]
 
 

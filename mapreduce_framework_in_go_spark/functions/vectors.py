@@ -32,3 +32,10 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed norms. In a pairwise join, computing each
+    side's norm once per ROW instead of once per PAIR cuts the O(|A|*|B|*d)
+    inner loop by 2/3 — same arithmetic, identical doubles."""
+    return dot(a, b) / (norm_a * norm_b)

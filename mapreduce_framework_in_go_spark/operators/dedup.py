@@ -1,1 +1,451 @@
-"""Deduplication operators (Phase 4 — filled in next)."""
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables: exact, MinHash+LSH, SimHash, exact n-gram Jaccard, and
+embedding-cosine near-dup — the core of a pretraining-corpus pipeline.
+
+Everything is DataFrame built-ins (higher-order array functions, hash
+exprs, joins); hash parameters are module constants shared verbatim
+with the DuckDB oracles, so every query is mechanically verifiable.
+
+Scale notes (100 TB):
+
+- exact dedup: one shuffle on the 32-char digest — the digest is
+  computed map-side so the exchange carries (digest, doc_id), not text.
+- MinHash+LSH: the classic shape — per-doc signatures are map work; the
+  only join is on (band_id, band_sig) buckets, so cost is driven by
+  bucket collision counts, not |docs|^2. Candidate verification joins
+  shingles *restricted to candidates* (never the full inverted index).
+  A pathological bucket (all-identical boilerplate docs) is the skew
+  risk: cap via salting the band key or pre-aggregating identical
+  digests through exact dedup first.
+- SimHash: signature is pure map+agg (32 conditional sums); banding the
+  32-bit signature into 4x8-bit chunks gives hamming<=3 candidate
+  generation by pigeonhole without any pairwise scan.
+- n-gram Jaccard: the inverted-index self-join is the textbook exact
+  method; it shuffles the full posting list and is the quadratic-risk
+  baseline the sketch methods exist to replace — kept as the oracle of
+  record for recall checks (test_dedup.py).
+- embedding cosine: brute-force O(n^2) pair join, usable to ~1M rows
+  per blocking bucket; the scale path is the IVF/LSH candidate
+  generation in operators/similarity.py with this as the verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long32, shingles_col, tokens_col
+from ..functions.vectors import cosine_from_norms, l2_norm
+from ..registry import register
+from ..sources.tables import table
+
+# MinHash: k permutations h_i(x) = (A_i * x + B_i) mod P, banded b x r.
+# P is the smallest prime > 2^32; A_i stays ~2^24 so A_i * x < 2^57.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # K = BANDS * ROWS
+MH_P = 4_294_967_311
+MH_A = [1_000_003 * (i + 1) + 12_345 for i in range(MINHASH_K)]
+MH_B = [7_919 * i for i in range(MINHASH_K)]
+
+JACCARD_THRESHOLD = 0.7
+COSINE_DUP_THRESHOLD = 0.45  # synthetic embeddings are near-orthogonal
+SIMHASH_BITS = 32
+
+_MD5_32_SQL = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
+
+_SHINGLES_CTE = """
+  toks AS (
+    SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS toks
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    )
+  )
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct 3-gram shingles per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3))).alias("s"),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text), keeping the minimum "
+    "doc_id as the canonical representative. The digest is computed "
+    "map-side, so the shuffle carries 32-char digests, not documents.",
+    tags=["dedup"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[K]): one pass over (doc_id, s, h) shingle
+    rows, K mins computed as parallel aggregates (map-side partials)."""
+    mins = [
+        F.min((F.col("h") * MH_A[i] + MH_B[i]) % MH_P).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min((h * {MH_A[i]} + {MH_B[i]}) % {MH_P}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+  hashed AS (
+    SELECT doc_id, {_MD5_32_SQL.format('s')} AS h FROM sh
+  ),
+  sig AS (
+    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+  )
+"""
+
+
+def _bands_sql() -> str:
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_sig FROM sig"
+        )
+    return "\n      UNION ALL ".join(parts)
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    bands AS (
+      {_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_id, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))})
+               * 1.0 / {MINHASH_K} AS est_jaccard
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM est e
+    JOIN inter i USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc=f"MinHash+LSH near-dedup: {MINHASH_K} universal-hash "
+    f"permutations over 3-gram shingles, banded {LSH_BANDS}x{LSH_ROWS}; "
+    "candidate pairs share a band signature, then are verified with "
+    "exact shingle Jaccard restricted to candidates (never the full "
+    "pair space). Signature build is map+agg; the only shuffles are "
+    "the signature groupBy and the band-bucket self-join.",
+    tags=["dedup"],
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the tokenized/exploded shingle rows once — they feed
+    # the signature build, the size table, and candidate verification.
+    # (At cluster scale this persist would be DISK_ONLY or a checkpoint;
+    # recomputing three tokenization passes is the alternative cost.)
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    sig = _minhash_sig(sh).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * LSH_ROWS + r + 1)
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    est = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(MINHASH_K)
+            ).alias("est_jaccard"),
+        )
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2
+    ),
+    hashed AS (
+      SELECT doc_id, {_MD5_32_SQL.format('t')} AS h, cnt FROM tf
+    ),
+    bits AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_expr} AS simhash FROM bits)
+    SELECT doc_id, simhash,
+           CAST((simhash >> 24) & 255 AS BIGINT) AS chunk0,
+           CAST((simhash >> 16) & 255 AS BIGINT) AS chunk1,
+           CAST((simhash >> 8) & 255 AS BIGINT)  AS chunk2,
+           CAST(simhash & 255 AS BIGINT)         AS chunk3
+    FROM sigs
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=f"SimHash fingerprints: {SIMHASH_BITS}-bit signature from "
+    "term-frequency-weighted token hashes (bit j set iff the weighted "
+    "+1/-1 vote is positive), plus the 4x8-bit chunks used for "
+    "hamming<=3 LSH banding by pigeonhole. Map + one groupBy; pair "
+    "generation joins on chunk equality (not done here — signature "
+    "table is the deliverable, pairing mirrors dedup_minhash_lsh).",
+    tags=["dedup"],
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_long32(F.col("t")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tf.groupBy("doc_id").agg(*bit_sums)
+    sig = sum(
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(SIMHASH_BITS)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    return bits.select("doc_id", sig.alias("simhash")).select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", 24).bitwiseAND(F.lit(255)).cast("long").alias("chunk0"),
+        F.shiftright("simhash", 16).bitwiseAND(F.lit(255)).cast("long").alias("chunk1"),
+        F.shiftright("simhash", 8).bitwiseAND(F.lit(255)).cast("long").alias("chunk2"),
+        F.col("simhash").bitwiseAND(F.lit(255)).cast("long").alias("chunk3"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard dedup via the inverted-index self-join: "
+    "pairs sharing 3-gram shingles, intersection counted by groupBy, "
+    "union by inclusion-exclusion. This is the exact-but-quadratic "
+    "baseline the MinHash sketch approximates; its full posting-list "
+    "shuffle is why the sketch wins at scale (prefix/length filtering "
+    "would bound it, LSH replaces it).",
+    tags=["dedup"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.col("n_common").cast("long"), jac.alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup pairs: brute-force self-join with "
+    "JVM-side zip_with/aggregate dot products (double precision, "
+    "left-fold — bit-identical to the oracle). Exact baseline; the "
+    "scale path generates candidates with IVF cells "
+    "(operators/similarity.py) or sign-LSH buckets and uses this as "
+    "the verifier within buckets.",
+    tags=["dedup"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

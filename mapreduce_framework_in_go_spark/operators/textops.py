@@ -1,1 +1,271 @@
-"""Text analysis operators (Phase 4 — filled in next)."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface the reference never had but a 100 TB
+corpus needs: token counting, quality scoring, language ID, document
+fingerprinting.
+
+The reference's only text processing is letter-run tokenization inside
+the MR apps (``mrapps/wc.go:22-26``); these operators keep that exact
+tokenizer contract (``functions/text.py``) and extend it. Everything is
+JVM-side built-ins — `split` / `regexp_extract_all` / higher-order array
+functions — so the hot path stays in whole-stage codegen with zero
+Python crossings; every query has a DuckDB oracle.
+
+Scale notes (100 TB): all queries here are embarrassingly parallel
+per-document map work — no shuffle at all except the final (tiny)
+summaries. On a cluster the scan is the whole cost; column pruning
+pushes ``text`` + id only, and the per-doc outputs partition exactly
+like the input (no exchange in the plan — verified in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long32, shingles_col, tokens_col
+from ..registry import register
+from ..sources.tables import table
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the shape GPT-2-style byte-pair pre-splitting produces.
+BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+# Shared stopword lists (lowercase); the heuristic language-ID scores a
+# doc by stopword hits per language. Deterministic tie-break: first
+# language in alphabetical order attaining the max; zero hits => 'und'.
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "de", "et", "les", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+EN_STOP = STOPWORDS["en"]
+
+# Rabin-Karp rolling-hash params (shared engine/oracle; products stay
+# far below 2^63: MOD*BASE ~ 2^31 * 2^20 = 2^51).
+RK_BASE = 1_000_003
+RK_MOD = 2_147_483_647
+
+
+def _stop_hits(tokens: Column, words: list[str]) -> Column:
+    """Number of tokens (with multiplicity) in a stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)                                   AS n_chars,
+           CAST(len(regexp_extract_all(text, '[\\p{{L}}]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)       AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)   AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Per-document token counting, three tokenizers: Unicode "
+    "letter-run (the reference contract, mrapps/wc.go:22-26), "
+    "whitespace, and a BPE-style pre-tokenizer (letter|digit|symbol "
+    "runs). Pure map work — no shuffle; scan prunes to (doc_id, text, "
+    "n_chars).",
+    tags=["textops"],
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOP) + "]"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_extract_all(text, '[\\p{{L}}]+') AS toks,
+             len(regexp_replace(text, '[^\\p{{L}}]+', '', 'g')) AS n_letter_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t)))
+                 * 1.0 / nullif(len(toks), 0), 6)                AS stopword_ratio,
+           round(n_letter_chars * 1.0 / nullif(n_chars, 0), 6)   AS alpha_ratio,
+           round(n_letter_chars * 1.0 / nullif(len(toks), 0), 6) AS mean_token_len,
+           round(0.5 * coalesce(len(list_filter(toks, t ->
+                       list_contains({_EN_STOP_SQL}, t)))
+                       * 1.0 / nullif(len(toks), 0), 0)
+               + 0.3 * least(coalesce(n_letter_chars * 1.0
+                       / nullif(len(toks), 0), 0) / 10.0, 1.0)
+               + 0.2 * coalesce(n_letter_chars * 1.0
+                       / nullif(n_chars, 0), 0), 6)              AS quality
+    FROM t
+    """,
+    doc="Per-document quality scoring: stopword ratio, letter-character "
+    "ratio, mean token length, and a weighted composite — the cheap "
+    "heuristics a pretraining filter runs before any model-based "
+    "scorer. Shuffle-free map work.",
+    tags=["textops"],
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("long")
+    n_letter = F.length(F.regexp_replace("text", r"[^\p{L}]+", ""))
+    stop_ratio = _stop_hits(toks, EN_STOP) / F.nullif(n_tok, F.lit(0))
+    alpha = n_letter / F.nullif(F.col("n_chars"), F.lit(0))
+    mean_len = n_letter / F.nullif(n_tok, F.lit(0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(
+            0.5 * F.coalesce(stop_ratio, F.lit(0.0))
+            + 0.3 * F.least(F.coalesce(mean_len, F.lit(0.0)) / 10.0, F.lit(1.0))
+            + 0.2 * F.coalesce(alpha, F.lit(0.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+def _langid_case_sql() -> str:
+    langs = sorted(STOPWORDS)
+    hits = {
+        lang: f"len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + "], t)))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[\\p{{L}}]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, toks, {best} AS best FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN best = 0 THEN 'und' {whens} END AS pred_lang,
+           CAST(best AS BIGINT) AS stop_hits
+    FROM scored
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_langid_case_sql(),
+    doc="Heuristic language ID: stopword-hit voting over "
+    f"{sorted(STOPWORDS)} with deterministic alphabetical tie-break, "
+    "'und' when nothing matches. (The synthetic corpus's `lang` label "
+    "is random — the oracle checks the mechanism, not label recovery.) "
+    "Shuffle-free; the stopword tables are literals (broadcast-free).",
+    tags=["textops"],
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    langs = sorted(STOPWORDS)
+    hit_cols = {lang: _stop_hits(toks, STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, "und")
+    for lang in langs:
+        pred = pred.when(hit_cols[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("stop_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END AS shingles,
+             toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_shingles,
+           CAST(list_min(list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS BIGINT)
+                                                        AS min_shingle_hash,
+           md5(array_to_string(list_sort(list_distinct(shingles)), '|'))
+                                                        AS content_fingerprint,
+           CAST(list_reduce(
+                 list_prepend(0::BIGINT, list_transform(toks,
+                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {RK_MOD})),
+                 (a, b) -> (a * {RK_BASE} + b) % {RK_MOD})
+                AS BIGINT)                               AS rolling_hash
+    FROM sh
+    """,
+    doc="Document fingerprinting: distinct 3-gram shingle count, the "
+    "minimum shingle hash (a 1-perm MinHash), an order-insensitive "
+    "content fingerprint (md5 of sorted distinct shingles), and an "
+    "order-SENSITIVE Rabin-Karp rolling hash folded over the token "
+    "stream ((a*B + h) mod M). All higher-order array built-ins — "
+    "shuffle-free.",
+    tags=["textops"],
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # Higher-order-function expressions are excluded from Spark's
+    # subexpression elimination, so naming toks/shingles in straight
+    # projections would re-tokenize + re-shingle once per output column
+    # (O(tokens^2) shingling, 4x over). A single-element explode routes
+    # them through a Generate operator, whose output attributes are
+    # materialized once per row and shared by every consumer — still
+    # map-only, no exchange.
+    toks = tokens_col("text")
+    staged = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    toks.alias("toks"),
+                    F.array_distinct(shingles_col(toks, 3)).alias("sh"),
+                )
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.toks", F.col("x.sh").alias("sh"))
+    return staged.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.array_min(F.transform("sh", md5_long32)).cast("long").alias(
+            "min_shingle_hash"
+        ),
+        F.md5(F.array_join(F.array_sort("sh"), "|")).alias("content_fingerprint"),
+        F.aggregate(
+            F.transform("toks", lambda t: md5_long32(t) % RK_MOD),
+            F.lit(0).cast("long"),
+            lambda a, b: (a * RK_BASE + b) % RK_MOD,
+        )
+        .cast("long")
+        .alias("rolling_hash"),
+    )

@@ -1,0 +1,116 @@
+"""Semantic tests for the scale extensions (dedup / similarity /
+multimodal / textops) beyond the generic oracle-parity gate: sketch
+recall against exact baselines, order sensitivity, stub contracts.
+Recall tests run at sf0.01 where the corpus has planted near-dups."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_in_go_spark.operators import multimodal, similarity, textops
+from mapreduce_framework_in_go_spark.functions.text import md5_long32
+from mapreduce_framework_in_go_spark.registry import all_queries
+
+from .conftest import SF_DIR_T2
+
+SPECS = all_queries()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Every exact pair with Jaccard >= 0.95 must surface through the
+    LSH bands (at j=0.95 the 4x4 banding's miss probability is ~1e-5;
+    the corpus's planted dups sit at ~0.99)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR_T2).collect()
+        if r["jaccard"] >= 0.95
+    }
+    assert exact, "corpus should contain planted near-duplicate pairs"
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert exact <= lsh, f"LSH missed planted dups: {sorted(exact - lsh)[:5]}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Signature-estimated Jaccard within 0.35 of the true value for
+    reported pairs (16 permutations => sd ~ sqrt(j(1-j)/16) ~ 0.11)."""
+    rows = SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR_T2).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.35, dict(r.asDict())
+
+
+def test_ivf_recall_above_chance_and_exact_scores(spark):
+    """IVF searches nprobe/n_cells of the corpus; its recall@5 must beat
+    that searched fraction (i.e. cells capture genuine neighborhood
+    structure), and every (query, neighbor) cosine it reports must equal
+    the brute-force value — IVF approximates the candidate set, never
+    the scores."""
+    bf = SPECS["ann_topk_bruteforce"].fn(spark, SF_DIR_T2).collect()
+    ivf = SPECS["ann_ivf"].fn(spark, SF_DIR_T2).collect()
+
+    bf_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:  # overlap => identical rounded cosine
+            assert bf_scores[key] == r["cosine"], key
+
+    exact, approx = defaultdict(set), defaultdict(set)
+    for r in bf:
+        if r["rank"] <= similarity.IVF_TOP_K:
+            exact[r["query_id"]].add(r["neighbor_id"])
+    for r in ivf:
+        approx[r["query_id"]].add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    n_cells = 500 // similarity.CENTROID_MOD + 1
+    searched_fraction = similarity.NPROBE / n_cells
+    assert mean_recall > searched_fraction, (mean_recall, searched_fraction)
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    """The Rabin-Karp fold must distinguish permutations that the
+    order-insensitive content fingerprint collapses."""
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma beta alpha",)], schema="text string"
+    )
+    toks = F.split("text", " ")
+    rolling = F.aggregate(
+        F.transform(toks, lambda t: md5_long32(t) % textops.RK_MOD),
+        F.lit(0).cast("long"),
+        lambda a, b: (a * textops.RK_BASE + b) % textops.RK_MOD,
+    )
+    content = F.md5(F.array_join(F.array_sort(toks), "|"))
+    rows = df.select(rolling.alias("rh"), content.alias("cf")).collect()
+    assert rows[0]["rh"] != rows[1]["rh"]
+    assert rows[0]["cf"] == rows[1]["cf"]
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_lang_id_mechanism(spark, sf_dir):
+    """Predictions are only ever a known lang or 'und', and any doc
+    containing an English stopword scores >= 1 hit."""
+    rows = SPECS["text_lang_id"].fn(spark, sf_dir).collect()
+    allowed = set(textops.STOPWORDS) | {"und"}
+    assert rows and all(r["pred_lang"] in allowed for r in rows)
+    assert all((r["stop_hits"] == 0) == (r["pred_lang"] == "und") for r in rows)
+
+
+def test_extension_maps_do_not_shuffle(spark, sf_dir):
+    """The per-document map queries must plan with zero exchanges —
+    the property that makes them scan-bound at 100 TB."""
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    for name in ["text_token_stats", "text_quality_score", "text_lang_id",
+                 "text_fingerprint", "mm_metadata", "mm_frame_sample"]:
+        plan = formatted_plan(SPECS[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan}"
