@@ -33,6 +33,10 @@ HEADLINE = [
     "window_running_sum",
     "events_hourly_agg",
     "events_sessionization",
+    "q9_product_type_profit",
+    "q21_waiting_supplier",
+    "asof_join_event_order",
+    "range_join_post_purchase",
     "kv_state_fold",
     "text_quality_score",
     "text_fingerprint",

@@ -1,0 +1,189 @@
+"""Temporal join operators Spark has no single primitive for: as-of
+join and range (interval) join, built as compositions of built-in
+DataFrame ops — the scalable formulations, not inequality cross joins.
+
+- **As-of join** (each event matched to the most recent prior order of
+  the same user): implemented as union-tag-sort — union both inputs on
+  the (user, time) axis, one window sort per user, and carry the last
+  seen order forward with ``last(..., ignorenulls=True)``. Cost is ONE
+  shuffle + sort of |events| + |orders|; the naive formulation
+  (inequality join then argmax per event) shuffles |events| x
+  |orders-per-user| pairs. Skewed users degrade the sort partition, not
+  the pair count — at 100 TB that's the difference between a working
+  plan and an OOM. Ties (several orders at one timestamp) break by the
+  sort order (orderkey), deterministically.
+
+- **Range join** (all events inside [o_orderdate, o_orderdate + 7d) of
+  the same user): implemented with band bucketing — both sides are
+  mapped to 7-day epoch buckets, the range side exploding to the two
+  buckets its window can overlap, so the equi-join on (user, bucket)
+  bounds fan-out at 2x instead of per-user cross product; the exact
+  range predicate filters the candidates. This is the standard
+  interval-join pattern (Spark's streaming interval joins and DBR's
+  range-join hints do the same under the hood).
+
+The DuckDB oracles use the naive inequality formulations — same
+semantics, independent plan — which is exactly what makes them good
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+from .relational import fsum
+
+RANGE_DAYS = 7
+
+
+@register(
+    "asof_join_event_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           CAST(ts AS VARCHAR) AS ts,
+           o_orderkey AS asof_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS asof_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    doc="As-of join: each event paired with the user's most recent "
+    "order at or before the event time (NULL when none). Union-tag-"
+    "sort implementation — one shuffle+sort over the merged timeline "
+    "per user, last-order carried forward with last(ignorenulls); "
+    "ties break by orderkey. The oracle is the naive inequality-join "
+    "+ argmax formulation.",
+    tags=["temporal"],
+)
+def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # Merged timeline: orders sort before events at the same instant
+    # (side=0 < side=1) so an order dated exactly at the event time is
+    # visible to it; among same-instant orders, higher orderkey sorts
+    # later and wins the last().
+    left = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    right = orders.select(
+        "user_id",
+        "t",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "asof_orderkey",
+            F.col("asof_orderdate").cast("string").alias("asof_orderdate"),
+        )
+    )
+
+
+@register(
+    "range_join_post_purchase",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc=f"Range join: per order, the user's events within "
+    f"[o_orderdate, +{RANGE_DAYS}d). Band-bucketed implementation — "
+    f"both sides bucket to {RANGE_DAYS}-day epoch windows, the order "
+    "side explodes to the 2 buckets its range overlaps, the equi-join "
+    "on (user, bucket) bounds candidates at 2x before the exact "
+    "filter. The oracle is the naive inequality join.",
+    tags=["temporal"],
+)
+def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sec_per_bucket = RANGE_DAYS * 86400
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        (
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / sec_per_bucket
+        )
+        .cast("long")
+        .alias("b0"),
+    )
+    # a [t, t+7d) window overlaps exactly buckets b0 and b0+1
+    o_banded = orders.select(
+        "o_orderkey",
+        "user_id",
+        "o_orderdate",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        "ts",
+        "value",
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) / sec_per_bucket)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        o_banded.join(ev, ["user_id", "bucket"])
+        .where(
+            (F.col("ts") >= F.col("o_orderdate"))
+            & (
+                F.col("ts")
+                < F.col("o_orderdate") + F.expr(f"INTERVAL {RANGE_DAYS} DAYS")
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            fsum(F.col("value"), 100).alias("total_value"),
+        )
+    )

@@ -58,7 +58,9 @@ def load_all_operators() -> None:
         multimodal,
         relational,
         similarity,
+        temporal,
         textops,
+        tpch_extra,
     )
 
 
