@@ -80,3 +80,55 @@ def test_task_retry_tolerance(spark, sf_dir):
         m = os.path.join(tempfile.gettempdir(), "mr_flaky_marker")
         if os.path.exists(m):
             os.remove(m)
+
+
+def test_parallelism_probe(spark):
+    """mtiming/rtiming analogue (mrapps/mtiming.go:19-62): tasks must
+    actually overlap. Each of 8 partitions records its (start, end)
+    wall-clock span around a short sleep; at least two spans must
+    intersect on local[N>=2]."""
+    import pandas as pd
+
+    def probe(batches):
+        import time
+
+        start = time.time()
+        n = sum(len(pdf) for pdf in batches)
+        time.sleep(0.5)
+        yield pd.DataFrame({"start": [start], "end": [time.time()], "n": [n]})
+
+    spans = (
+        spark.range(8)
+        .repartition(8)
+        .mapInPandas(probe, schema="start double, end double, n long")
+        .collect()
+    )
+    assert len(spans) == 8
+    overlaps = sum(
+        1
+        for i, a in enumerate(spans)
+        for b in spans[i + 1 :]
+        if a["start"] < b["end"] and b["start"] < a["end"]
+    )
+    assert overlaps >= 1, "no two tasks ran concurrently"
+
+
+def test_whole_file_scan_roundtrip(spark, tmp_path):
+    """S1 whole-file source contract (mr/worker.go:194-206): one record
+    per file, (doc, content), driven through the generic mr_run word
+    count and checked against a hand computation."""
+    (tmp_path / "a.txt").write_text("the cat sat\non the mat")
+    (tmp_path / "b.txt").write_text("the dog")
+    from mapreduce_framework_in_go_spark.sources.tables import scan_text_corpus
+
+    docs = scan_text_corpus(spark, str(tmp_path))
+    rows = {r["doc"]: r["content"] for r in docs.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"] == "the cat sat\non the mat"
+
+    out = mr.mr_run(docs, mr.wc_map, mr.wc_reduce, doc_col="doc", content_col="content")
+    got = {(r["key"], r["value"]) for r in out.collect()}
+    assert got == {
+        ("the", "3"), ("cat", "1"), ("sat", "1"), ("on", "1"),
+        ("mat", "1"), ("dog", "1"),
+    }
