@@ -84,3 +84,32 @@ def kv_state_stream(ops_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def kv_upsert_foreachbatch(ops_stream: DataFrame, state_dir: str):
+    """MERGE-per-microbatch form of the KV fold (SURVEY §3.3's second
+    streaming shape): each microbatch's ops are folded together with the
+    accumulated ops log and the state table is rewritten.
+
+    This demo keeps the full ops log and rewrites state per batch —
+    correct and idempotent (batch replays converge), but the rewrite is
+    O(state) per batch. In production the sink would be a storage format
+    with real MERGE (Delta/Iceberg) keyed on ``key``, or the
+    applyInPandasWithState path above, which touches only dirty keys.
+    Returns the StreamingQuery; final state parquet lands in
+    ``{state_dir}/state``.
+    """
+    import os
+
+    from ..operators.kv import kv_state
+
+    ops_dir = os.path.join(state_dir, "ops")
+    out_dir = os.path.join(state_dir, "state")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(ops_dir)
+        all_ops = spark.read.parquet(ops_dir)
+        kv_state(all_ops).write.mode("overwrite").parquet(out_dir)
+
+    return ops_stream.writeStream.foreachBatch(upsert).outputMode("append").start()

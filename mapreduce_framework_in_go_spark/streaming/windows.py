@@ -97,6 +97,32 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def sliding_agg_stream(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding window count/sum per event_type: each event lands in
+    width/slide overlapping windows (2 here). State is bounded by the
+    watermark exactly as the tumbling case; the overlap factor is the
+    only extra state cost."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def run_to_completion(df: DataFrame, query_name: str) -> DataFrame:
     """Drive a streaming frame over a bounded source to completion into an
     in-memory table; returns the result as a batch DataFrame."""

@@ -58,3 +58,41 @@ def test_whole_stage_codegen(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark whole-stage-codegen spans in the executed plan
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-tag-sort as-of join must plan exactly one exchange and
+    one window — never an inequality join explosion."""
+    import re
+
+    plan = formatted_plan(SPECS["asof_join_event_order"].fn(spark, sf_dir))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count detail entries "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Band bucketing must turn the interval predicate into an
+    equi-join on (user, bucket); the range condition is a residual
+    filter, not a nested-loop driver."""
+    plan = formatted_plan(SPECS["range_join_post_purchase"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_exists_shapes_are_joins(spark, sf_dir):
+    """Q4/Q21/Q22's EXISTS / NOT EXISTS must run as semi/anti joins —
+    no collected ID lists, no nested loops."""
+    for name in ["q4_order_priority", "q21_waiting_supplier", "q22_sales_opportunity"]:
+        plan = formatted_plan(SPECS[name].fn(spark, sf_dir))
+        assert "Cartesian" not in plan, name
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_tpch_dims_broadcast(spark, sf_dir):
+    """Dimension joins in the extended TPC-H queries broadcast."""
+    assert_broadcast_join(SPECS["q7_volume_shipping"].fn(spark, sf_dir), 2)
+    assert_broadcast_join(SPECS["q9_product_type_profit"].fn(spark, sf_dir), 3)
+    assert_broadcast_join(SPECS["q14_promo_revenue"].fn(spark, sf_dir), 1)

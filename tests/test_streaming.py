@@ -106,3 +106,117 @@ def test_kv_state_stream_matches_batch_fold(spark, sf_dir, tmp_path):
     )
     want = kv.kv_state_fold(spark, sf_dir)
     assert _canon(final) == _canon(want)
+
+
+def test_sliding_window_overlap_and_totals(spark, sf_dir):
+    """Each event lands in exactly width/slide=2 sliding windows: the
+    sliding counts must sum to 2x the tumbling counts per event_type."""
+    events = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    sld = sw.sliding_agg_stream(events)
+    q = (
+        sld.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_type"]: r["total_n"]
+        for r in spark.sql(
+            "SELECT event_type, sum(n) AS total_n FROM sliding_stream GROUP BY 1"
+        ).collect()
+    }
+    base = {
+        r["event_type"]: r["n"]
+        for r in SPECS["events_hourly_agg"]
+        .fn(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {k: 2 * v for k, v in base.items()}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark horizon (1h) must be dropped in
+    append mode; a fresh row in the same late batch survives. Note the
+    two-watermark semantics of Spark >= 3.4 (SPARK-42376): stateful
+    operators filter late EVENTS with the PREVIOUS micro-batch's
+    watermark and evict with the current one — so the late row must
+    arrive two batches after the data that advanced the watermark."""
+    import pandas as pd
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(event_ids, hours, types):
+        return pd.DataFrame(
+            {
+                "event_id": event_ids,
+                "ts": [(t0 + pd.Timedelta(hours=h)).value for h in hours],
+                "user_id": [1] * len(event_ids),
+                "event_type": types,
+                "value": [1.0] * len(event_ids),
+                "props": ["{}"] * len(event_ids),
+            }
+        )
+
+    batches = [
+        mk([1, 2], [0, 3], ["click", "click"]),  # watermark -> 14:00 after this
+        mk([3], [4], ["advance"]),  # previous-batch watermark now 14:00
+        mk([4, 5], [0, 5], ["late", "fresh"]),  # 12:00 row is below 14:00
+    ]
+    for i, b in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        b.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    events = sw.events_stream(spark, str(src))
+    agg = sw.hourly_agg_stream(events)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_stream_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    types = {
+        r["event_type"] for r in spark.sql("SELECT * FROM late_stream_q").collect()
+    }
+    assert "late" not in types
+    # batch1's 12:00 window closed when max ts hit 15:00/16:00
+    assert "click" in types
+
+
+def test_kv_foreachbatch_upsert_matches_batch_fold(spark, sf_dir, tmp_path):
+    ops = kv.kv_ops(spark, sf_dir).orderBy("seq")
+    pdf = ops.toPandas()
+    src = tmp_path / "ops_src"
+    src.mkdir()
+    chunk = len(pdf) // 2 + 1
+    for i in range(2):
+        p = src / f"c{i}.parquet"
+        pdf.iloc[i * chunk : (i + 1) * chunk].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    ops_stream = (
+        spark.readStream.schema(
+            "key string, op string, value string, seq long, op_id string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = skv.kv_upsert_foreachbatch(ops_stream, str(tmp_path / "state"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "state" / "state"))
+    want = kv.kv_state_fold(spark, sf_dir)
+    assert _canon(got) == _canon(want)
