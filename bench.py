@@ -36,7 +36,7 @@ HEADLINE = [
     "q9_product_type_profit",
     "q21_waiting_supplier",
     "asof_join_event_order",
-    "range_join_post_purchase",
+    "range_join_pre_purchase",
     "kv_state_fold",
     "text_quality_score",
     "text_fingerprint",

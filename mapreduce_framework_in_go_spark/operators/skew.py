@@ -1,0 +1,100 @@
+"""Skew handling: salted two-phase aggregation for hot keys.
+
+The reference's crash/nocrash probe funnels every row into 4 keys
+(``mrapps/nocrash.go:26-35``) — the pathological hot-key shape. A plain
+``groupBy(key).collect_list`` sends every row of a hot key through one
+reducer task; at 100 TB that task is the job. The salted form:
+
+  stage 1: groupBy(key, salt) — salt = hash(value) % N spreads each hot
+           key over N reducers; each emits a SORTED value array + count.
+  stage 2: groupBy(key) over N rows per key — flatten the N pre-sorted
+           arrays, sort, join.
+
+The stage-1 shuffle is the one that carries all rows, and it is now
+uniform. Stage 2 moves N array-rows per key. The final per-key sort
+still holds one key's values in one task — that is inherent to the
+OUTPUT ("all values of the key, globally sorted, in one string", the
+same bound the reference's 500 B snapshot test acknowledges) — but it
+runs on pre-aggregated arrays, not on the raw shuffle stream, so fetch
+skew and per-row processing skew are gone.
+
+Output is bit-identical to the unsalted aggregate (same oracle SQL);
+tests assert equality and that the plan shows the two-exchange shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+N_SALTS = 16
+
+
+def salted_sorted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    n_salts: int = N_SALTS,
+    sep: str = " ",
+) -> DataFrame:
+    """Two-phase sorted string_agg: (key, n_values, joined), identical to
+    ``groupBy(key).agg(count, array_join(sort_array(collect_list)))`` but
+    with the heavy shuffle spread over ``n_salts`` buckets per key."""
+    stage1 = (
+        df.select(
+            F.col(key).alias("key"),
+            F.col(value).alias("value"),
+            F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).alias("salt"),
+        )
+        .groupBy("key", "salt")
+        .agg(
+            F.count("*").alias("n_part"),
+            F.sort_array(F.collect_list("value")).alias("vals_part"),
+        )
+    )
+    return stage1.groupBy("key").agg(
+        F.sum("n_part").alias("n_values"),
+        F.array_join(
+            F.array_sort(F.flatten(F.collect_list("vals_part"))), sep
+        ).alias("joined"),
+    )
+
+
+@register(
+    "mr_crash_shape_salted",
+    oracle="""
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_values,
+           string_agg(value, ' ' ORDER BY value) AS joined
+    FROM (
+      SELECT 'a' AS key, source AS value FROM documents
+      UNION ALL
+      SELECT 'b', CAST(length(source) AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'c', CAST(n_chars AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'd', 'xyzzy' FROM documents
+    )
+    GROUP BY key
+    """,
+    doc="The crash-probe aggregate (4 hot keys carrying every row) "
+    "executed with 16-way salting — same oracle, same output as "
+    "mr_crash_shape, but the row-bearing shuffle is uniform. The "
+    "pattern every unbounded-group aggregate needs at 100 TB.",
+    tags=["mapreduce", "skew"],
+)
+def mr_crash_shape_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.expr(
+            "stack(4, "
+            "'a', source, "
+            "'b', cast(length(source) as string), "
+            "'c', cast(n_chars as string), "
+            "'d', 'xyzzy') as (key, value)"
+        )
+    )
+    return salted_sorted_agg(pairs, "key", "value")

@@ -123,65 +123,58 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "range_join_post_purchase",
-    oracle=f"""
-    SELECT o.o_orderkey,
+    "range_join_pre_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
              AS total_value
-    FROM orders o
+    FROM events p
     JOIN events e
-      ON e.user_id = o.o_custkey
-     AND e.ts >= o.o_orderdate
-     AND e.ts < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
-    GROUP BY o.o_orderkey
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
     """,
-    doc=f"Range join: per order, the user's events within "
-    f"[o_orderdate, +{RANGE_DAYS}d). Band-bucketed implementation — "
-    f"both sides bucket to {RANGE_DAYS}-day epoch windows, the order "
-    "side explodes to the 2 buckets its range overlaps, the equi-join "
-    "on (user, bucket) bounds candidates at 2x before the exact "
-    "filter. The oracle is the naive inequality join.",
+    doc="Range join: per purchase event, the same user's activity in "
+    "the preceding hour. Band-bucketed implementation — both sides "
+    "bucket to 1-hour epoch windows, the purchase side explodes to "
+    "the 2 buckets its lookback can overlap, the equi-join on (user, "
+    "bucket) bounds candidates at 2x before the exact range filter. "
+    "The oracle is the naive inequality join.",
     tags=["temporal"],
 )
-def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sec_per_bucket = RANGE_DAYS * 86400
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        "o_orderdate",
-        (
-            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
-            / sec_per_bucket
-        )
+def range_join_pre_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sec_per_bucket = 3600
+    ev = table(spark, sf_dir, "events")
+    bucket_of = (
+        lambda c: (F.unix_timestamp(F.col(c).cast("timestamp")) / sec_per_bucket)
         .cast("long")
-        .alias("b0"),
     )
-    # a [t, t+7d) window overlaps exactly buckets b0 and b0+1
-    o_banded = orders.select(
-        "o_orderkey",
-        "user_id",
-        "o_orderdate",
-        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
-    )
-    ev = table(spark, sf_dir, "events").select(
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
-        "ts",
-        "value",
-        (F.unix_timestamp(F.col("ts").cast("timestamp")) / sec_per_bucket)
-        .cast("long")
-        .alias("bucket"),
+        F.col("ts").alias("p_ts"),
+        bucket_of("ts").alias("b0"),
+    )
+    # a [t-1h, t) lookback overlaps exactly buckets b0-1 and b0
+    p_banded = purchases.select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.explode(F.array(F.col("b0") - 1, F.col("b0"))).alias("bucket"),
+    )
+    activity = ev.select(
+        "user_id", "ts", "value", bucket_of("ts").alias("bucket")
     )
     return (
-        o_banded.join(ev, ["user_id", "bucket"])
+        p_banded.join(activity, ["user_id", "bucket"])
         .where(
-            (F.col("ts") >= F.col("o_orderdate"))
-            & (
-                F.col("ts")
-                < F.col("o_orderdate") + F.expr(f"INTERVAL {RANGE_DAYS} DAYS")
-            )
+            (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") < F.col("p_ts"))
         )
-        .groupBy("o_orderkey")
+        .groupBy("purchase_id")
         .agg(
             F.count("*").alias("n_events"),
             fsum(F.col("value"), 100).alias("total_value"),

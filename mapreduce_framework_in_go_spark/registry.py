@@ -58,6 +58,7 @@ def load_all_operators() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         temporal,
         textops,
         tpch_extra,

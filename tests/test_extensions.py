@@ -114,3 +114,22 @@ def test_extension_maps_do_not_shuffle(spark, sf_dir):
                  "text_fingerprint", "mm_metadata", "mm_frame_sample"]:
         plan = formatted_plan(SPECS[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan}"
+
+
+def test_salted_agg_identical_to_unsalted(spark, sf_dir):
+    """Salting is a physical rewrite only: output must be bit-identical
+    to the single-phase aggregate, and the plan must show the two-phase
+    (two aggregate exchanges) shape."""
+    import re
+
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    salted = SPECS["mr_crash_shape_salted"].fn(spark, sf_dir)
+    plain = SPECS["mr_crash_shape"].fn(spark, sf_dir)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(salted) == canon(plain)
+    # take the plan from a fresh (unexecuted) frame — after an action,
+    # AQE's formatted output lists the final AND initial trees, double-
+    # counting every node
+    plan = formatted_plan(SPECS["mr_crash_shape_salted"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2

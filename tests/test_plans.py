@@ -77,7 +77,7 @@ def test_range_join_is_equi_join(spark, sf_dir):
     """Band bucketing must turn the interval predicate into an
     equi-join on (user, bucket); the range condition is a residual
     filter, not a nested-loop driver."""
-    plan = formatted_plan(SPECS["range_join_post_purchase"].fn(spark, sf_dir))
+    plan = formatted_plan(SPECS["range_join_pre_purchase"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
