@@ -886,3 +886,56 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "array_hof_orderitems",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             list_transform(
+               list_sort(list_zip(list(l_linenumber), list(CAST(l_quantity AS INTEGER)))),
+               p -> p[2]) AS qtys
+      FROM lineitem
+      WHERE l_orderkey % 100 = 0
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS BIGINT) AS n_items,
+           CAST(list_reduce(list_prepend(0, qtys), (a, b) -> a + b) AS BIGINT)
+             AS total_qty,
+           CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_heavy,
+           CAST(list_max(qtys) AS BIGINT) AS max_qty
+    FROM items
+    """,
+    doc="Higher-order array functions over per-order item lists: "
+    "collect (linenumber, qty) structs, sort, transform to a qty "
+    "array, then aggregate/filter/max entirely with array built-ins — "
+    "the JVM-side lambda surface (transform/filter/aggregate/zip_with) "
+    "that replaces per-row Python in this engine.",
+    tags=["functions"],
+)
+def array_hof_orderitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    items = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("int").alias("q"),
+                    )
+                )
+            ),
+            lambda s: s.q,
+        ).alias("qtys")
+    )
+    return items.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.aggregate("qtys", F.lit(0), lambda a, b: a + b)
+        .cast("long")
+        .alias("total_qty"),
+        F.size(F.filter("qtys", lambda q: q > 25)).cast("long").alias("n_heavy"),
+        F.array_max("qtys").cast("long").alias("max_qty"),
+    )

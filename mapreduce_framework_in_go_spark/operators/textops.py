@@ -196,6 +196,63 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    """,
+    doc=f"TF-IDF: top-{TFIDF_TOP_K} most characteristic terms per "
+    "document (tf * ln(N/df), rank by rounded score then term). Two "
+    "aggregations — term frequencies shuffle on (doc, term), document "
+    "frequencies on term; the df table and the scalar N broadcast back "
+    "onto the tf rows. The standard corpus-weighting every retrieval/"
+    "quality pipeline needs.",
+    tags=["textops"],
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the oracle's (SELECT count(*)) subquery
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

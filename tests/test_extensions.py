@@ -133,3 +133,17 @@ def test_salted_agg_identical_to_unsalted(spark, sf_dir):
     # counting every node
     plan = formatted_plan(SPECS["mr_crash_shape_salted"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_kv_text_sink_roundtrip(spark, tmp_path):
+    """S3 sink contract (mr/worker.go:115): canonical mode writes one
+    globally sorted 'key value' file whose line set equals the frame."""
+    from mapreduce_framework_in_go_spark.sources.sinks import write_kv_text
+
+    df = spark.createDataFrame(
+        [("b", "2"), ("a", "1"), ("c", "3 x")], schema="key string, value string"
+    )
+    out = str(tmp_path / "kv_out")
+    write_kv_text(df, out, canonical=True)
+    back = [r["value"] for r in spark.read.text(out).collect()]
+    assert back == ["a 1", "b 2", "c 3 x"]

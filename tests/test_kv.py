@@ -125,3 +125,54 @@ def test_kv_state_rerun_deterministic(spark, sf_dir):
         return rows_canonical(d.columns, [tuple(r) for r in d.collect()])
 
     assert run() == run()
+
+
+def test_kv_fold_hypothesis_model_check(spark):
+    """Property-based form of the porcupine model check (SURVEY §5.3):
+    for arbitrary op logs — including duplicate op_ids and interleaved
+    keys — the distributed fold equals the sequential model replay."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),
+            st.sampled_from(["put", "append", "get"]),
+            st.text(alphabet="abcXYZ,;", min_size=0, max_size=4),
+            st.booleans(),  # duplicate this op?
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(ops_strategy)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(raw):
+        rows = []
+        for seq, (key, op, val, dup) in enumerate(raw, start=1):
+            rows.append((key, op, val, seq, f"op{seq}"))
+            if dup:
+                rows.append((key, op, val, seq, f"op{seq}"))
+        model: dict[str, str] = {}
+        counts: dict[str, int] = {}
+        seen = set()
+        for key, op, val, s, op_id in rows:
+            if op_id in seen or op == "get":
+                continue
+            seen.add(op_id)
+            model[key] = val if op == "put" else model.get(key, "") + val
+            counts[key] = counts.get(key, 0) + 1
+        ops = spark.createDataFrame(
+            rows, schema="key string, op string, value string, seq long, op_id string"
+        )
+        got = {
+            r["key"]: (r["value"], r["n_effect_ops"])
+            for r in kv.kv_state(ops).collect()
+        }
+        assert got == {k: (model[k], counts[k]) for k in model}
+
+    check()
