@@ -39,13 +39,22 @@ def md5_long32(col: Column) -> Column:
 def shingles_col(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array, as ' '-joined strings.
 
-    Built entirely from array built-ins (sequence + transform + slice) so
-    it stays inside codegen; length < n yields an empty array.
+    Built as a zip_with chain over n shifted slices rather than a
+    per-position ``transform(sequence, i -> slice(...))``: lambda
+    bodies are excluded from Spark's subexpression elimination, so a
+    per-position formulation re-evaluates the ``tokens`` expression
+    (often a regex split) once per POSITION — O(len^2) per row. The
+    zip_with chain references ``tokens`` only n+2 times and does one
+    O(len) pass per shingle word. Length < n yields an empty array.
     """
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(tokens) - (n - 1)  # number of shingles
+    acc = F.slice(tokens, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens, k, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(tokens) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -294,23 +294,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # Higher-order-function expressions are excluded from Spark's
     # subexpression elimination, so naming toks/shingles in straight
-    # projections would re-tokenize + re-shingle once per output column
-    # (O(tokens^2) shingling, 4x over). A single-element explode routes
-    # them through a Generate operator, whose output attributes are
-    # materialized once per row and shared by every consumer — still
-    # map-only, no exchange.
-    toks = tokens_col("text")
-    staged = docs.select(
+    # projections would re-run the regex tokenization once per lambda
+    # reference and re-shingle once per output column. Two single-
+    # element explodes route each array through a Generate operator:
+    # its output attribute is materialized once per row and shared by
+    # every consumer. Still map-only — no exchange.
+    tok_staged = docs.select(
         "doc_id",
+        F.explode(F.array(tokens_col("text"))).alias("toks"),
+    )
+    staged = tok_staged.select(
+        "doc_id",
+        "toks",
         F.explode(
-            F.array(
-                F.struct(
-                    toks.alias("toks"),
-                    F.array_distinct(shingles_col(toks, 3)).alias("sh"),
-                )
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.toks", F.col("x.sh").alias("sh"))
+            F.array(F.array_distinct(shingles_col(F.col("toks"), 3)))
+        ).alias("sh"),
+    )
     return staged.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_shingles"),
