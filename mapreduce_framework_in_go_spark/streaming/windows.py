@@ -123,6 +123,39 @@ def sliding_agg_stream(
     )
 
 
+def purchase_click_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's clicks from the preceding hour. Both sides carry watermarks
+    and the join has two-sided time bounds — the conditions Spark needs
+    to expire join state (clicks older than purchase-side watermark -
+    1h are dropped from the state store). The streaming twin of the
+    batch range_join_pre_purchase."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 def run_to_completion(df: DataFrame, query_name: str) -> DataFrame:
     """Drive a streaming frame over a bounded source to completion into an
     in-memory table; returns the result as a batch DataFrame."""

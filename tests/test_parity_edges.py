@@ -1,0 +1,89 @@
+"""Edge-case parity hardening: tokenizer Unicode semantics (SURVEY
+§2.6's named risk), sf_dir shape robustness, and the reference's own
+corpus as input."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_in_go_spark.functions.text import tokens_col
+from mapreduce_framework_in_go_spark.operators import mapreduce as mr
+from mapreduce_framework_in_go_spark.registry import all_queries
+
+from .oracle import rows_canonical
+
+SPECS = all_queries()
+
+NASTY = [
+    "curly ‘quotes’ and—dashes",
+    "café naïve résumé",
+    "中文分词 test",
+    "num3ric s0up",
+    "™®© marks",
+    "",
+]
+
+
+def test_tokenizer_three_way_parity(spark):
+    """Spark split('[^\\p{L}]+') == Python unicode.isalpha runs ==
+    DuckDB regexp_extract_all('[\\p{L}]+') on non-ASCII text — the Go
+    unicode.IsLetter contract all three must share."""
+    df = spark.createDataFrame([(s,) for s in NASTY], schema="text string")
+    spark_tokens = [
+        r["toks"] for r in df.select(tokens_col("text").alias("toks")).collect()
+    ]
+    python_tokens = [[t for t, _ in mr.wc_map("d", s)] for s in NASTY]
+    con = duckdb.connect()
+    duck_tokens = [
+        con.execute(
+            "SELECT regexp_extract_all(?, '[\\p{L}]+')", [s]
+        ).fetchone()[0]
+        for s in NASTY
+    ]
+    assert spark_tokens == python_tokens == duck_tokens
+
+
+def test_trailing_slash_sf_dir(spark, sf_dir):
+    """The driver may pass sf_dir with a trailing slash."""
+    a = SPECS["mr_wordcount"].fn(spark, sf_dir)
+    b = SPECS["mr_wordcount"].fn(spark, sf_dir + "/")
+    ca = rows_canonical(a.columns, [tuple(r) for r in a.collect()])
+    cb = rows_canonical(b.columns, [tuple(r) for r in b.collect()])
+    assert ca == cb
+
+
+REF_CORPUS = "/root/reference/main"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_CORPUS)
+    or not any(f.startswith("pg-") for f in os.listdir(REF_CORPUS)),
+    reason="reference corpus not present",
+)
+def test_wordcount_on_reference_corpus(spark):
+    """End-to-end on the reference's actual input (8 Project Gutenberg
+    books, read-only): whole-file scan -> wc pipeline vs a DuckDB
+    oracle over the same files. This is the exact job the reference's
+    test-mr.sh golden-diffs (main/test-mr.sh:33-67)."""
+    docs = spark.read.text(f"{REF_CORPUS}/pg-*.txt", wholetext=True).select(
+        F.col("value").alias("content")
+    )
+    got = (
+        docs.select(F.explode(tokens_col("content")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(content, '[\\p{{L}}]+')) AS word
+          FROM read_text('{REF_CORPUS}/pg-*.txt')
+        ) GROUP BY word
+        """
+    )
+    cols = [d[0] for d in want.description]
+    assert rows_canonical(got.columns, [tuple(r) for r in got.collect()]) == \
+        rows_canonical(cols, want.fetchall())

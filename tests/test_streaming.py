@@ -220,3 +220,42 @@ def test_kv_foreachbatch_upsert_matches_batch_fold(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "state" / "state"))
     want = kv.kv_state_fold(spark, sf_dir)
     assert _canon(got) == _canon(want)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The streaming interval join must produce exactly the pairs the
+    batch inequality join produces on the same bounded input."""
+    events = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    joined = sw.purchase_click_interval_join(events)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT purchase_id, click_id, user_id FROM ssj_stream")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    assert _canon(got) == _canon(want)
