@@ -259,3 +259,70 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         & (F.col("c_ts") < F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
     assert _canon(got) == _canon(want)
+
+
+def test_kv_state_stream_survives_restart(spark, sf_dir, tmp_path):
+    """Stop the stateful query mid-stream and restart from its
+    checkpoint: per-key state (including the dedup set) must survive,
+    and the final result must equal the batch fold — the streaming form
+    of the reference's crash-and-rerun-matches-oracle test."""
+    ops = kv.kv_ops(spark, sf_dir).orderBy("seq")
+    pdf = ops.toPandas()
+    src = tmp_path / "ops_restart"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    half = len(pdf) // 2
+
+    updates_dir = str(tmp_path / "updates")
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "key string, op string, value string, seq long, op_id string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(updates_dir)
+
+        return (
+            skv.kv_state_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    pdf.iloc[:half].to_parquet(src / "c0.parquet", index=False)
+    os.utime(src / "c0.parquet", (1_700_000_000, 1_700_000_000))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pdf.iloc[half:].to_parquet(src / "c1.parquet", index=False)
+    os.utime(src / "c1.parquet", (1_700_000_001, 1_700_000_001))
+    q = start()  # restart from checkpoint; memory sink restarts empty
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.read.parquet(updates_dir).createOrReplaceTempView("kv_restart_updates")
+    final = spark.sql(
+        """
+        SELECT key, value, n_effect_ops FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_effect_ops DESC) rn
+          FROM kv_restart_updates
+        ) WHERE rn = 1
+        """
+    )
+    want = kv.kv_state_fold(spark, sf_dir)
+    # the updates log spans both runs: the last update per key must
+    # carry the FULL folded state (proving the checkpoint restored the
+    # pre-restart state, including the dedup set)
+    assert _canon(final) == _canon(want)
