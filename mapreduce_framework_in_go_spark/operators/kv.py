@@ -384,3 +384,49 @@ def shard_rebalance_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         _scenario_rows(), schema="config_num int, shard int, gid int"
     )
+
+
+def migration_plan(configs: list[Config]) -> list[tuple[int, int, int, int]]:
+    """Shard movements between consecutive configs:
+    (to_config_num, shard, from_gid, to_gid). This is the data-movement
+    schedule the sharded store executes on reconfiguration
+    (shardkv/server.go's declared migration duty); gid 0 = unassigned,
+    so rows with from_gid=0 are initial placements, not copies."""
+    moves = []
+    for prev, cfg in zip(configs, configs[1:]):
+        for shard in range(NSHARDS):
+            if prev.shards[shard] != cfg.shards[shard]:
+                moves.append((cfg.num, shard, prev.shards[shard], cfg.shards[shard]))
+    return moves
+
+
+def _migration_values_sql() -> str:
+    rows = ", ".join(
+        f"({n}, {s}, {f}, {t})"
+        for n, s, f, t in migration_plan(apply_ops(_SCENARIO))
+    )
+    return (
+        "SELECT CAST(col0 AS INTEGER) AS to_config_num,"
+        " CAST(col1 AS INTEGER) AS shard,"
+        " CAST(col2 AS INTEGER) AS from_gid,"
+        " CAST(col3 AS INTEGER) AS to_gid"
+        f" FROM (VALUES {rows}) t(col0, col1, col2, col3)"
+    )
+
+
+@register(
+    "shard_migration_plan",
+    oracle=_migration_values_sql(),
+    doc="Shard migration schedule between consecutive configs of the "
+    "fixed Join/Leave/Move scenario: which shard moves from which "
+    "group to which, per reconfiguration — the declared data-movement "
+    "duty of the sharded store (shardkv client/server protocol). "
+    "Control-plane-sized; consumed as a broadcast dimension by any "
+    "data-plane move.",
+    tags=["kv"],
+)
+def shard_migration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        migration_plan(apply_ops(_SCENARIO)),
+        schema="to_config_num int, shard int, from_gid int, to_gid int",
+    )

@@ -176,3 +176,22 @@ def test_kv_fold_hypothesis_model_check(spark):
         assert got == {k: (model[k], counts[k]) for k in model}
 
     check()
+
+
+def test_migration_plan_consistency():
+    """Migration rows must exactly reconstruct each config from its
+    predecessor, and never move a shard to a dead group."""
+    configs = kv.apply_ops(
+        [("join", 1, ["a"]), ("join", 2, ["b"]), ("leave", [1]), ("join", 3, ["c"])]
+    )
+    moves = kv.migration_plan(configs)
+    shards = list(configs[0].shards)
+    by_config = {}
+    for n, s, f, t in moves:
+        by_config.setdefault(n, []).append((s, f, t))
+    for cfg in configs[1:]:
+        for s, f, t in by_config.get(cfg.num, []):
+            assert shards[s] == f
+            shards[s] = t
+            assert t == 0 or t in cfg.groups
+        assert shards == cfg.shards, cfg.num
