@@ -939,3 +939,29 @@ def array_hof_orderitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qtys", lambda q: q > 25)).cast("long").alias("n_heavy"),
         F.array_max("qtys").cast("long").alias("max_qty"),
     )
+
+
+@register(
+    "percentile_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS median_price,
+           round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per return flag: Spark's "
+    "percentile == DuckDB's quantile_cont (both exact linear "
+    "interpolation; rounded 4 to absorb interpolation-arithmetic "
+    "ulps). Exact percentiles sort within groups — at 100 TB swap to "
+    "approx_percentile (t-digest) unless exactness is contractual.",
+    tags=["aggregates"],
+)
+def percentile_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )

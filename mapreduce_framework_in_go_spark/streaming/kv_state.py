@@ -19,6 +19,13 @@ store on a cluster); the dedup set is the unbounded piece — the
 reference bounds it the same way real systems do (one outstanding op per
 client ⇒ keep only the max op-id per client); we keep the full set for
 test-sized logs and note the production fix.
+
+API note: Spark 4's successor API (``transformWithStateInPandas``,
+ValueState/ListState/timers) would express this identically, but its
+Python runner requires ``google.protobuf``, which this environment
+lacks (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+ImportError google.protobuf) — so the stable ``applyInPandasWithState``
+API is used.
 """
 
 from __future__ import annotations

@@ -326,3 +326,53 @@ def test_kv_state_stream_survives_restart(spark, sf_dir, tmp_path):
     # carry the FULL folded state (proving the checkpoint restored the
     # pre-restart state, including the dedup set)
     assert _canon(final) == _canon(want)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the documents table with injected duplicate rows; the
+    streaming dedup must keep exactly one row per digest — the same
+    group set batch dedup_exact produces."""
+    from mapreduce_framework_in_go_spark.streaming.dedup_stream import (
+        dedup_stream_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pdf = docs.toPandas()
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    # batch 0: first half; batch 1: second half + re-delivery of the
+    # first 20 docs (exact duplicate payloads)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "d0.parquet", index=False)
+    import pandas as pd
+
+    dup = pd.concat([pdf.iloc[half:], pdf.iloc[:20]])
+    dup.to_parquet(src / "d1.parquet", index=False)
+    os.utime(src / "d0.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "d1.parquet", (1_700_000_001, 1_700_000_001))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_stream_exact(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text_md5 FROM dedup_stream_q")
+    rows = got.collect()
+    digests = [r["text_md5"] for r in rows]
+    assert len(digests) == len(set(digests)), "stream emitted duplicate digests"
+    want = {
+        r["text_md5"]
+        for r in SPECS["dedup_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(digests) == want
