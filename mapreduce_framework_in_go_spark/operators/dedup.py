@@ -54,6 +54,9 @@ SIMHASH_BITS = 32
 
 _MD5_32_SQL = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
 
+# cached frames from the last dedup_minhash_lsh invocation (see there)
+_CACHE_GENERATION: list[DataFrame] = []
+
 _SHINGLES_CTE = """
   toks AS (
     SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS toks
@@ -199,12 +202,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature build, the size table, and candidate verification.
     # (At cluster scale this persist would be DISK_ONLY or a checkpoint;
     # recomputing three tokenization passes is the alternative cost.)
+    # The returned plan references the cached frames, so they cannot be
+    # unpersisted here; instead each invocation evicts the previous
+    # invocation's cache, bounding storage to one generation.
+    while _CACHE_GENERATION:
+        _CACHE_GENERATION.pop().unpersist()
     sh = (
         _shingle_rows(spark, sf_dir)
         .withColumn("h", md5_long32(F.col("s")))
         .persist()
     )
     sig = _minhash_sig(sh).cache()
+    _CACHE_GENERATION.extend([sh, sig])
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -32,7 +32,7 @@ _REV_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
 _REV_OUT = f"CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0"
 
 
-def _rev(li: DataFrame = None):
+def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 

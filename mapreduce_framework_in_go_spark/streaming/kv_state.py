@@ -62,18 +62,23 @@ def _fold_group(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator
     else:
         base, appended, n_ops, seen = "", "", 0, set()
 
-    for pdf in pdf_iter:
-        for row in pdf.sort_values("seq").itertuples(index=False):
-            if row.op_id in seen:
-                continue  # duplicate delivery (client retry) — apply once
-            seen.add(row.op_id)
-            if row.op == "put":
-                base, appended = row.value, ""
-                n_ops += 1
-            elif row.op == "append":
-                appended += row.value
-                n_ops += 1
-            # gets have no state effect
+    # One group's microbatch arrives as MULTIPLE pandas chunks (Arrow
+    # batch size); seq order only holds after concatenating them —
+    # sorting per chunk would apply a later chunk's earlier ops after
+    # this chunk's later ones.
+    chunks = list(pdf_iter)
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    for row in pdf.sort_values("seq").itertuples(index=False):
+        if row.op == "get":
+            continue  # no state effect; keep its op_id out of the dedup set
+        if row.op_id in seen:
+            continue  # duplicate delivery (client retry) — apply once
+        seen.add(row.op_id)
+        if row.op == "put":
+            base, appended = row.value, ""
+        else:  # append
+            appended += row.value
+        n_ops += 1
 
     state.update((base, appended, n_ops, sorted(seen)))
     yield pd.DataFrame(

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.relational import fsum
+
 # Explicit schema: streaming sources never infer. ts arrives as raw
 # nanos (INT64 TIMESTAMP(NANOS) parquet, read as long via nanosAsLong —
 # same contract as sources/tables.py).
@@ -66,10 +68,7 @@ def hourly_agg_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / 100.0
-            ).alias("total_value"),
+            fsum(F.col("value"), 100).alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -109,10 +108,7 @@ def sliding_agg_stream(
         .groupBy(F.window("ts", width, slide), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / 100.0
-            ).alias("total_value"),
+            fsum(F.col("value"), 100).alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -156,11 +152,18 @@ def purchase_click_interval_join(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
 
 
-def run_to_completion(df: DataFrame, query_name: str) -> DataFrame:
-    """Drive a streaming frame over a bounded source to completion into an
-    in-memory table; returns the result as a batch DataFrame."""
+def run_to_completion(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame over a bounded source to completion into
+    an in-memory table; returns the result as a batch DataFrame.
+
+    Defaults to ``complete`` mode: on a bounded source, ``append`` would
+    silently withhold every window not yet past the final watermark
+    (the last hour of data never emits), breaking batch parity.
+    """
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -376,3 +376,113 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in SPECS["dedup_exact"].fn(spark, sf_dir).collect()
     }
     assert set(digests) == want
+
+
+def test_streaming_windowed_dedup_drops_within_horizon_only(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving within the
+    1h horizon is dropped; after the digest's state expires past the
+    watermark, the same payload is admitted again (the bounded-state
+    trade-off, documented in dedup_stream.py)."""
+    import pandas as pd
+
+    from mapreduce_framework_in_go_spark.streaming.dedup_stream import (
+        dedup_stream_windowed,
+    )
+
+    src = tmp_path / "wdedup"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(rows):  # rows: (doc_id, hours_offset, text)
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(hours=r[1]) for r in rows]
+                ).astype("datetime64[us]"),
+                "text": [r[2] for r in rows],
+            }
+        )
+
+    batches = [
+        # X at 12:00, duplicate X at 12:30 (within horizon -> dropped),
+        # and a 15:00 row to advance the watermark
+        mk([(1, 0, "X"), (2, 0.5, "X"), (3, 3, "adv1")]),
+        mk([(4, 4, "adv2")]),  # previous-batch watermark now 14:00
+        mk([(5, 5, "X")]),  # X state expired (12:00 < 14:00) -> admitted
+    ]
+    for i, b in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        b.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_stream_windowed(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wdedup_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM wdedup_q").collect()
+    )
+    # doc 2 (dup within horizon) dropped; doc 5 (dup after expiry) kept
+    assert 2 not in emitted
+    assert {1, 3, 4, 5} <= set(emitted)
+
+
+def test_kv_stream_fold_spans_arrow_chunks(spark, tmp_path):
+    """Regression: one group's microbatch arrives as multiple Arrow
+    chunks; the fold must sort by seq across ALL chunks, not per chunk.
+    With per-chunk sorting, an append delivered in a later chunk but
+    with an earlier seq would be applied after a put that supersedes
+    it."""
+    import pandas as pd
+
+    rows = [
+        ("a", "append", "A", 1, "op1"),
+        ("a", "put", "P", 3, "op3"),
+        ("a", "append", "C", 4, "op4"),
+        ("a", "append", "B", 2, "op2"),  # earlier seq, later arrow chunk
+        ("a", "append", "D", 5, "op5"),
+    ]
+    src = tmp_path / "chunked_ops"
+    src.mkdir()
+    pd.DataFrame(
+        rows, columns=["key", "op", "value", "seq", "op_id"]
+    ).to_parquet(src / "c0.parquet", index=False)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(
+            "key string, op string, value string, seq long, op_id string"
+        ).parquet(str(src))
+        q = (
+            skv.kv_state_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("chunked_kv")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["key"]: r["value"]
+            for r in spark.sql("SELECT * FROM chunked_kv").collect()
+        }
+        # seq order: append A, append B, put P (wipes), append C, D
+        assert got == {"a": "PCD"}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
