@@ -1,0 +1,116 @@
+"""Deterministic sampling and dataset splitting — the reproducibility
+primitives a training-data pipeline needs. ``df.sample(seed)`` is
+partition-layout dependent (the same seed gives different rows after a
+repartition), so everything here derives membership from a CONTENT
+hash: stable across runs, cluster sizes, partitionings, and engines —
+which is also what makes it DuckDB-oracle-checkable.
+
+Scale notes (100 TB): hash-bucket membership is a map-side predicate —
+sampling never shuffles and composes with pushdown (the filter sits on
+the scan). Stratified sampling adds one window per stratum ordered by
+hash — a single shuffle on the stratum key; quotas are exact, unlike
+fraction-based `sampleBy`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long32
+from ..registry import register
+from ..sources.tables import table
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
+STRATUM_QUOTA = 20
+
+_BUCKET_SQL = "('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+def split_col(id_col, salt: str = "doc"):
+    """train/val/test assignment from a salted content hash: stable
+    under any execution layout; re-salting produces a fresh split."""
+    bucket = md5_long32(F.concat(F.lit(salt), id_col.cast("string"))) % SPLIT_BUCKETS
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc=f"Reproducible {TRAIN_PCT}/{VAL_PCT}/{100 - TRAIN_PCT - VAL_PCT} "
+    "train/val/test split by salted content hash: the same document "
+    "lands in the same split on any cluster, partitioning, or engine "
+    "(unlike seed-based sample()). Assignment is a map-side predicate "
+    "— zero shuffles before the summary agg.",
+    tags=["sampling"],
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "n_chars", split_col(F.col("doc_id")).alias("split")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {STRATUM_QUOTA}
+    GROUP BY lang
+    """,
+    doc=f"Stratified sampling with exact quotas: {STRATUM_QUOTA} docs "
+    "per language, chosen by hash order (deterministic 'random' "
+    "without a seedable RNG shared across engines). One window per "
+    "stratum — a single shuffle on the stratum key; quotas are exact "
+    "where fraction-based sampleBy is only expected-value.",
+    tags=["sampling"],
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = md5_long32(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATUM_QUOTA)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         mapreduce,
         multimodal,
         relational,
+        sampling,
         similarity,
         skew,
         temporal,

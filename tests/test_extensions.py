@@ -147,3 +147,26 @@ def test_kv_text_sink_roundtrip(spark, tmp_path):
     write_kv_text(df, out, canonical=True)
     back = [r["value"] for r in spark.read.text(out).collect()]
     assert back == ["a 1", "b 2", "c 3 x"]
+
+
+def test_split_stable_under_repartition(spark, sf_dir):
+    """The hash split must assign identically regardless of physical
+    layout — the property seed-based sample() lacks."""
+    from mapreduce_framework_in_go_spark.operators.sampling import split_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in docs.select("doc_id", split_col(F.col("doc_id")).alias("split")).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(17)
+        .select("doc_id", split_col(F.col("doc_id")).alias("split"))
+        .collect()
+    }
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9
