@@ -148,10 +148,13 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_join_pre_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec_per_bucket = 3600
     ev = table(spark, sf_dir, "events")
-    bucket_of = (
-        lambda c: (F.unix_timestamp(F.col(c).cast("timestamp")) / sec_per_bucket)
-        .cast("long")
-    )
+    # timestampdiff on the NTZ value — unix_timestamp(cast) would
+    # interpret the NTZ instant in the session timezone, shifting
+    # bucket boundaries under a non-UTC driver session
+    bucket_of = lambda c: (  # noqa: E731
+        F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+        / sec_per_bucket
+    ).cast("long")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),

@@ -87,3 +87,27 @@ def test_wordcount_on_reference_corpus(spark):
     cols = [d[0] for d in want.description]
     assert rows_canonical(got.columns, [tuple(r) for r in got.collect()]) == \
         rows_canonical(cols, want.fetchall())
+
+
+def test_timezone_independence(spark, duck):
+    """The driver's session may not pin UTC: the time-handling queries
+    must hash-match the (timezone-naive) oracle under a hostile session
+    timezone (+12:45)."""
+    from .oracle import compare
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Chatham")
+    try:
+        for name in [
+            "events_hourly_agg",
+            "events_sessionization",
+            "date_functions",
+            "asof_join_event_order",
+            "range_join_pre_purchase",
+            "q4_order_priority",
+        ]:
+            from .conftest import SF_DIR
+
+            compare(SPECS[name].fn(spark, SF_DIR), duck, SPECS[name].oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
