@@ -399,13 +399,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Lossless length filter: J(A,B) >= t implies |A| >= t*|B| and
+    # |B| >= t*|A| (since intersection <= min and J >= t forces
+    # min >= t*max). Pruning incompatible pairs BEFORE the pair-count
+    # shuffle cuts the quadratic posting-list blowup without changing
+    # the output (the oracle runs unfiltered and still matches).
+    sh_n = sh.join(F.broadcast(sizes), "doc_id")
+    a = sh_n.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
+    )
+    b = sh_n.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        a.join(b, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # epsilon margin: the output threshold applies to round(j, 6),
+            # so keep pairs down to t - 1e-6 to stay strictly lossless
+            & (F.col("n_a") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_b"))
+            & (F.col("n_b") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_a"))
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.round(
