@@ -204,9 +204,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputing three tokenization passes is the alternative cost.)
     # The returned plan references the cached frames, so they cannot be
     # unpersisted here; instead each invocation evicts the previous
-    # invocation's cache, bounding storage to one generation.
+    # invocation's cache, bounding storage to one generation. The old
+    # frames may belong to a stopped session — eviction is best-effort.
     while _CACHE_GENERATION:
-        _CACHE_GENERATION.pop().unpersist()
+        try:
+            _CACHE_GENERATION.pop().unpersist()
+        except Exception:
+            pass
     sh = (
         _shingle_rows(spark, sf_dir)
         .withColumn("h", md5_long32(F.col("s")))
@@ -420,17 +424,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_a") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_b"))
             & (F.col("n_b") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_a"))
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")  # sizes ride along —
+        .agg(F.count("*").alias("n_common"))  # no re-join with `sizes`
     )
     jac = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.col("n_common").cast("long"), jac.alias("jaccard"))
+    return inter.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.col("n_common").cast("long"), jac.alias("jaccard")
     )
 
 

@@ -361,13 +361,18 @@ def _scenario_rows() -> list[tuple[int, int, int]]:
     ]
 
 
-def _scenario_values_sql() -> str:
-    rows = ", ".join(f"({n}, {s}, {g})" for n, s, g in _scenario_rows())
-    return (
-        "SELECT CAST(col0 AS INTEGER) AS config_num, CAST(col1 AS INTEGER) AS shard,"
-        " CAST(col2 AS INTEGER) AS gid"
-        f" FROM (VALUES {rows}) t(col0, col1, col2)"
+def _values_sql(rows: list[tuple], col_names: list[str]) -> str:
+    """Pin a small control-plane result as a DuckDB VALUES oracle."""
+    values = ", ".join("(" + ", ".join(str(v) for v in row) + ")" for row in rows)
+    cols = ", ".join(
+        f"CAST(col{i} AS INTEGER) AS {name}" for i, name in enumerate(col_names)
     )
+    srcs = ", ".join(f"col{i}" for i in range(len(col_names)))
+    return f"SELECT {cols} FROM (VALUES {values}) t({srcs})"
+
+
+def _scenario_values_sql() -> str:
+    return _values_sql(_scenario_rows(), ["config_num", "shard", "gid"])
 
 
 @register(
@@ -401,16 +406,9 @@ def migration_plan(configs: list[Config]) -> list[tuple[int, int, int, int]]:
 
 
 def _migration_values_sql() -> str:
-    rows = ", ".join(
-        f"({n}, {s}, {f}, {t})"
-        for n, s, f, t in migration_plan(apply_ops(_SCENARIO))
-    )
-    return (
-        "SELECT CAST(col0 AS INTEGER) AS to_config_num,"
-        " CAST(col1 AS INTEGER) AS shard,"
-        " CAST(col2 AS INTEGER) AS from_gid,"
-        " CAST(col3 AS INTEGER) AS to_gid"
-        f" FROM (VALUES {rows}) t(col0, col1, col2, col3)"
+    return _values_sql(
+        migration_plan(apply_ops(_SCENARIO)),
+        ["to_config_num", "shard", "from_gid", "to_gid"],
     )
 
 

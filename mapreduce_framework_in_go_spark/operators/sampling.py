@@ -25,10 +25,14 @@ SPLIT_BUCKETS = 100
 TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
 STRATUM_QUOTA = 20
 
-_BUCKET_SQL = "('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+SPLIT_SALT = "doc"
+_BUCKET_SQL = (
+    f"('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {SPLIT_BUCKETS}"
+)
 
 
-def split_col(id_col, salt: str = "doc"):
+def split_col(id_col, salt: str = SPLIT_SALT):
     """train/val/test assignment from a salted content hash: stable
     under any execution layout; re-salting produces a fresh split."""
     bucket = md5_long32(F.concat(F.lit(salt), id_col.cast("string"))) % SPLIT_BUCKETS

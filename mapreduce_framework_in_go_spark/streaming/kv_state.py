@@ -67,7 +67,12 @@ def _fold_group(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator
     # sorting per chunk would apply a later chunk's earlier ops after
     # this chunk's later ones.
     chunks = list(pdf_iter)
-    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    if len(chunks) > 1:
+        pdf = pd.concat(chunks)
+    elif chunks:
+        pdf = chunks[0]
+    else:  # timed-out key (no data this batch) — state unchanged
+        pdf = pd.DataFrame(columns=["key", "op", "value", "seq", "op_id"])
     for row in pdf.sort_values("seq").itertuples(index=False):
         if row.op == "get":
             continue  # no state effect; keep its op_id out of the dedup set

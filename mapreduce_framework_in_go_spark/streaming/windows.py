@@ -152,15 +152,14 @@ def purchase_click_interval_join(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
 
 
-def run_to_completion(
-    df: DataFrame, query_name: str, output_mode: str = "complete"
-) -> DataFrame:
+def run_to_completion(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Drive a streaming frame over a bounded source to completion into
     an in-memory table; returns the result as a batch DataFrame.
 
-    Defaults to ``complete`` mode: on a bounded source, ``append`` would
-    silently withhold every window not yet past the final watermark
-    (the last hour of data never emits), breaking batch parity.
+    ``output_mode`` is deliberately required: ``complete`` for
+    aggregated frames (``append`` would silently withhold every window
+    not yet past the final watermark), ``append`` for non-aggregated
+    frames (joins, dedup — ``complete`` is rejected by Spark there).
     """
     q = (
         df.writeStream.outputMode(output_mode)

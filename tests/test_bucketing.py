@@ -13,6 +13,7 @@ from mapreduce_framework_in_go_spark.sources.bucketing import (
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -38,7 +39,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         plain_plan = formatted_plan(plain)
         assert len(re.findall(r"\(\d+\) Exchange", plain_plan)) == 2
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
