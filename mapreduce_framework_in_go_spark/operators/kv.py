@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -106,6 +106,22 @@ def _sorted_concat(seq: Column, value: Column) -> Column:
     )
 
 
+def _sorted_concat_filtered(seq: Column, value: Column, keep: Column) -> Column:
+    """_sorted_concat over only the rows matching ``keep`` (conditional
+    aggregate — lets one groupBy compute base and appends together)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(keep, F.struct(seq.alias("s"), value.alias("v")))
+                )
+            ),
+            lambda s: s.v,
+        ),
+        "",
+    )
+
+
 def kv_state(ops: DataFrame) -> DataFrame:
     """Fold an ops log into the final state table.
 
@@ -113,45 +129,43 @@ def kv_state(ops: DataFrame) -> DataFrame:
     overwrites; ``append`` concatenates; ``get`` reads (no state effect);
     duplicate op_ids apply once. Fold = value of the last put (or ``""``)
     followed by all later appends in seq order.
+
+    Plan shape: op-dedup distinct → one per-key window (last put seq) →
+    one per-key aggregate. The window's hash partitioning on ``key`` is
+    reused by the groupBy, so the whole fold is ~2 exchanges regardless
+    of input size (the earlier self-join formulation planned 8).
     """
     effects = (
         ops.where(F.col("op") != "get")
         .select("key", "op", "value", "seq", "op_id")
         .distinct()  # exactly-once: duplicate deliveries are identical rows
     )
-    last_put = (
-        effects.where(F.col("op") == "put")
-        .groupBy("key")
-        .agg(F.max("seq").alias("last_put_seq"))
+    w = Window.partitionBy("key")
+    with_base = effects.withColumn(
+        "last_put_seq",
+        F.coalesce(
+            F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w), F.lit(-1)
+        ),
     )
-    with_base = effects.join(last_put, "key", "left").withColumn(
-        "last_put_seq", F.coalesce("last_put_seq", F.lit(-1))
-    )
-    put_val = (
-        with_base.where(
-            (F.col("op") == "put") & (F.col("seq") == F.col("last_put_seq"))
-        )
-        .select("key", F.col("value").alias("base_value"))
-    )
-    appended = (
-        with_base.where((F.col("op") == "append") & (F.col("seq") > F.col("last_put_seq")))
-        .groupBy("key")
-        .agg(_sorted_concat(F.col("seq"), F.col("value")).alias("appended"))
-    )
-    all_keys = effects.select("key").distinct()
-    n_ops = effects.groupBy("key").agg(F.count("*").alias("n_effect_ops"))
-    return (
-        all_keys.join(put_val, "key", "left")
-        .join(appended, "key", "left")
-        .join(n_ops, "key", "left")
-        .select(
-            "key",
-            F.concat(
-                F.coalesce("base_value", F.lit("")),
-                F.coalesce("appended", F.lit("")),
-            ).alias("value"),
-            F.col("n_effect_ops"),
-        )
+    return with_base.groupBy("key").agg(
+        F.concat(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("op") == "put")
+                        & (F.col("seq") == F.col("last_put_seq")),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(""),
+            ),
+            _sorted_concat_filtered(
+                F.col("seq"),
+                F.col("value"),
+                (F.col("op") == "append") & (F.col("seq") > F.col("last_put_seq")),
+            ),
+        ).alias("value"),
+        F.count("*").alias("n_effect_ops"),
     )
 
 
