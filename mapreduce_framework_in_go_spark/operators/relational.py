@@ -965,3 +965,91 @@ def percentile_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
     )
+
+
+@register(
+    "window_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_order,
+           CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_in_cust,
+           CAST(nth_value(o_orderkey, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_in_cust
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="The analytic window-function suite over per-customer order "
+    "sequences: lag/lead, ntile, percent_rank, cume_dist, first/nth "
+    "value. One shuffle on the partition key; deterministic total "
+    "order via (o_orderdate, o_orderkey).",
+    tags=["windows"],
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_in_cust"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_in_cust"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+    doc="Sequential funnel analysis: users whose first click falls after "
+    "signup, and first purchase after that click. One "
+    "conditional-min aggregate per user then a global rollup — the "
+    "ordered-event pattern product analytics runs at full corpus "
+    "scale; no joins, two exchanges.",
+    tags=["events"],
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        one(signed).alias("n_signup"),
+        one(clicked).alias("n_click_after_signup"),
+        one(purchased).alias("n_full_funnel"),
+    )
