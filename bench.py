@@ -54,9 +54,10 @@ def main() -> None:
 
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
-    # warm up the JVM/parquet footer cache so timings measure the query,
-    # not session startup
+    # warm up the JVM/parquet footer cache and the Python UDF workers so
+    # timings measure the query, not session/interpreter startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in names:
