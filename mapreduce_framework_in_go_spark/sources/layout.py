@@ -1,0 +1,56 @@
+"""Output layout management — the ingest-side half of scan performance.
+
+At 100 TB the dominant scan costs are decided at WRITE time:
+
+- **File sizing**: millions of small files drown the driver in listing
+  and footer reads; multi-GB files serialize task scheduling.
+  ``write_sized`` targets a row budget per file via
+  ``maxRecordsPerFile`` plus a repartition so files are neither tiny
+  nor monolithic.
+- **Sort clustering**: parquet stores min/max stats per file and row
+  group; writing range-partitioned-and-sorted by a filter column makes
+  those ranges disjoint, so a predicate prunes whole files without
+  reading them (poor man's Z-order for the 1-D case, which covers
+  time-series scans). ``write_clustered`` does
+  ``repartitionByRange(col).sortWithinPartitions(col)``.
+
+Tests (tests/test_layout.py) verify the file-count arithmetic and that
+clustered output files have pairwise-disjoint value ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sized(
+    df: DataFrame, path: str, rows_per_file: int, approx_total: int | None = None
+) -> None:
+    """Write parquet with ~rows_per_file rows per output file.
+
+    ``maxRecordsPerFile`` caps file size; the repartition spreads rows
+    so the cap actually shapes files (without it, one task could emit
+    many capped files while others emit one tiny one).
+    """
+    if approx_total is None:
+        approx_total = df.count()
+    n_parts = max(1, approx_total // rows_per_file)
+    (
+        df.repartition(n_parts)
+        .write.option("maxRecordsPerFile", rows_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_clustered(df: DataFrame, path: str, cluster_col: str, n_files: int) -> None:
+    """Range-partition + sort by ``cluster_col`` so each output file
+    covers a disjoint value range — parquet min/max stats then prune
+    whole files for range predicates on that column."""
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
