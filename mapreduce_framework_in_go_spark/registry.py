@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         temporal,
         textops,
         tpch_extra,
+        tpch_partsupp,
     )
 
 
