@@ -73,9 +73,17 @@ _SHINGLES_CTE = """
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-gram shingles per document."""
+    """(doc_id, s): distinct 3-gram shingles per document.
+
+    Docs are hash-repartitioned on doc_id BEFORE tokenize/shingle/
+    explode: the one exchange carries raw documents (1x bytes) instead
+    of exploded shingle rows (~50x), decouples the CPU-heavy shingling
+    from the storage file/row-group layout, and pre-satisfies every
+    downstream doc_id-keyed operation (signature groupBy, size counts,
+    per-candidate verification join) so those run exchange-free on the
+    alias-aware partitioning."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.repartition("doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3))).alias("s"),
     )
