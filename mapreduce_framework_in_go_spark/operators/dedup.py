@@ -51,11 +51,25 @@ MH_B = [7_919 * i for i in range(MINHASH_K)]
 JACCARD_THRESHOLD = 0.7
 COSINE_DUP_THRESHOLD = 0.45  # synthetic embeddings are near-orthogonal
 SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 x 8-bit bands => hamming<=3 lossless by pigeonhole
+SIMHASH_HAMMING_MAX = SIMHASH_CHUNKS - 1
 
 _MD5_32_SQL = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
 
-# cached frames from the last dedup_minhash_lsh invocation (see there)
+# cached frames from the last caching dedup invocation (one generation:
+# each new invocation evicts the previous one's frames — see
+# dedup_minhash_lsh for the rationale)
 _CACHE_GENERATION: list[DataFrame] = []
+
+
+def _evict_previous_generation() -> None:
+    """Best-effort unpersist of the previous invocation's cached frames
+    (they may belong to a stopped session)."""
+    while _CACHE_GENERATION:
+        try:
+            _CACHE_GENERATION.pop().unpersist()
+        except Exception:
+            pass
 
 _SHINGLES_CTE = """
   toks AS (
@@ -212,13 +226,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputing three tokenization passes is the alternative cost.)
     # The returned plan references the cached frames, so they cannot be
     # unpersisted here; instead each invocation evicts the previous
-    # invocation's cache, bounding storage to one generation. The old
-    # frames may belong to a stopped session — eviction is best-effort.
-    while _CACHE_GENERATION:
-        try:
-            _CACHE_GENERATION.pop().unpersist()
-        except Exception:
-            pass
+    # invocation's cache, bounding storage to one generation.
+    _evict_previous_generation()
     sh = (
         _shingle_rows(spark, sf_dir)
         .withColumn("h", md5_long32(F.col("s")))
@@ -301,7 +310,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_sigs_cte() -> str:
+    """CTE chain ending at ``sigs(doc_id, simhash)`` — shared by the
+    signature query and the pairing query so both oracles are verbatim
+    the same computation."""
     bit_sums = ", ".join(
         f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{j}"
         for j in range(SIMHASH_BITS)
@@ -311,7 +323,7 @@ def _simhash_oracle() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS t
       FROM documents
     ),
@@ -324,28 +336,11 @@ def _simhash_oracle() -> str:
     bits AS (
       SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
     ),
-    sigs AS (SELECT doc_id, {sig_expr} AS simhash FROM bits)
-    SELECT doc_id, simhash,
-           CAST((simhash >> 24) & 255 AS BIGINT) AS chunk0,
-           CAST((simhash >> 16) & 255 AS BIGINT) AS chunk1,
-           CAST((simhash >> 8) & 255 AS BIGINT)  AS chunk2,
-           CAST(simhash & 255 AS BIGINT)         AS chunk3
-    FROM sigs
-    """
+    sigs AS (SELECT doc_id, {sig_expr} AS simhash FROM bits)"""
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(),
-    doc=f"SimHash fingerprints: {SIMHASH_BITS}-bit signature from "
-    "term-frequency-weighted token hashes (bit j set iff the weighted "
-    "+1/-1 vote is positive), plus the 4x8-bit chunks used for "
-    "hamming<=3 LSH banding by pigeonhole. Map + one groupBy; pair "
-    "generation joins on chunk equality (not done here — signature "
-    "table is the deliverable, pairing mirrors dedup_minhash_lsh).",
-    tags=["dedup"],
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): TF-weighted 32-bit SimHash per document."""
     docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
@@ -371,13 +366,110 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0).cast("long"),
     )
-    return bits.select("doc_id", sig.alias("simhash")).select(
+    return bits.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sigs_cte()}
+    SELECT doc_id, simhash,
+           CAST((simhash >> 24) & 255 AS BIGINT) AS chunk0,
+           CAST((simhash >> 16) & 255 AS BIGINT) AS chunk1,
+           CAST((simhash >> 8) & 255 AS BIGINT)  AS chunk2,
+           CAST(simhash & 255 AS BIGINT)         AS chunk3
+    FROM sigs
+    """,
+    doc=f"SimHash fingerprints: {SIMHASH_BITS}-bit signature from "
+    "term-frequency-weighted token hashes (bit j set iff the weighted "
+    "+1/-1 vote is positive), plus the 4x8-bit chunks used for "
+    "hamming<=3 LSH banding by pigeonhole. Map + one groupBy; "
+    "pair generation is dedup_simhash_pairs.",
+    tags=["dedup"],
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_sig_frame(spark, sf_dir).select(
         "doc_id",
         "simhash",
         F.shiftright("simhash", 24).bitwiseAND(F.lit(255)).cast("long").alias("chunk0"),
         F.shiftright("simhash", 16).bitwiseAND(F.lit(255)).cast("long").alias("chunk1"),
         F.shiftright("simhash", 8).bitwiseAND(F.lit(255)).cast("long").alias("chunk2"),
         F.col("simhash").bitwiseAND(F.lit(255)).cast("long").alias("chunk3"),
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_sigs_cte()},
+    chunks AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> (8 * ({SIMHASH_CHUNKS - 1} - c.chunk_id))) & 255
+               AS chunk_val
+      FROM sigs, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk_id) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup pairs: candidates share one of "
+    f"{SIMHASH_CHUNKS} 8-bit signature chunks (lossless for "
+    f"hamming<={SIMHASH_HAMMING_MAX} by pigeonhole — {SIMHASH_HAMMING_MAX} "
+    f"bit flips can corrupt at most {SIMHASH_HAMMING_MAX} chunks), then "
+    "verified with an exact popcount on the XOR of full signatures. "
+    "Cost is driven by chunk-bucket collision counts, never |docs|^2; "
+    "at 100 TB widen to a 64-bit signature with 16-bit chunks so "
+    "buckets stay small.",
+    tags=["dedup"],
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The chunk self-join references the signature frame on both sides;
+    # without a persist the tokenize + two-groupBy signature build runs
+    # twice (no ReusedExchange: the broadcast side has no shuffle to
+    # match). Same one-generation cache policy as dedup_minhash_lsh.
+    _evict_previous_generation()
+    sig = _simhash_sig_frame(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(sig)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", 8 * (SIMHASH_CHUNKS - 1 - c))
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_id", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.where(hamming <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
 
 
@@ -409,6 +501,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["dedup"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _jaccard_inter_frame(spark, sf_dir)
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    return inter.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.col("n_common").cast("long"), jac.alias("jaccard")
+    )
+
+
+def _jaccard_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_common) for length-compatible pairs
+    sharing at least one shingle — the exact-Jaccard pair core shared by
+    dedup_ngram_jaccard and dedup_clusters."""
     sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Lossless length filter: J(A,B) >= t implies |A| >= t*|B| and
@@ -423,7 +528,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh_n.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
     )
-    inter = (
+    return (
         a.join(b, "s")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
@@ -434,12 +539,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")  # sizes ride along —
         .agg(F.count("*").alias("n_common"))  # no re-join with `sizes`
-    )
-    jac = F.round(
-        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-    )
-    return inter.where(jac >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.col("n_common").cast("long"), jac.alias("jaccard")
     )
 
 
@@ -481,4 +580,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc_id)
+    SELECT c.doc_id, c.cluster_rep, CAST(s.n AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1) s
+      USING (cluster_rep)
+    """,
+    doc="Duplicate clusters: connected components over the exact-Jaccard "
+    "near-dup pairs (threshold shared with dedup_ngram_jaccard), each "
+    "doc labeled with the minimum doc_id of its component as the "
+    "canonical representative — the final 'keep one copy' step of a "
+    "dedup pipeline. Spark side is iterative min-label propagation with "
+    "per-round localCheckpoint to truncate lineage, converging in "
+    "O(diameter) rounds (near-dup components are tiny; at 100 TB with "
+    "adversarial chains switch to large-star/small-star, O(log n) "
+    "rounds). Oracle is a DuckDB recursive-CTE transitive closure. "
+    "Singleton docs (no dup pair) are excluded on both sides.",
+    tags=["dedup"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_inter_frame(spark, sf_dir)
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    dup = pairs.where(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    edges = (
+        dup.union(dup.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    # Min-label propagation to fixpoint. The per-round count() action is
+    # a scalar convergence probe, not a data collect; localCheckpoint
+    # keeps the plan O(1) deep across rounds. Labels move one hop per
+    # round, so the cap covers any component of diameter <= 64 — far
+    # beyond real near-dup clusters, which converge in 1-3 rounds.
+    for _ in range(64):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        F.col("n").cast("long").alias("cluster_size"),
     )

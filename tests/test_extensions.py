@@ -34,6 +34,48 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert exact <= lsh, f"LSH missed planted dups: {sorted(exact - lsh)[:5]}"
 
 
+def test_simhash_pairs_find_planted_near_dups(spark):
+    """Planted ~0.99-Jaccard pairs differ in ~1% of tokens, flipping
+    only bits whose TF-weighted vote margin is thin — most land within
+    hamming <= 3 and surface through the chunk banding. Unlike MinHash
+    (whose collision probability is a direct function of Jaccard),
+    SimHash offers no per-pair guarantee, so this asserts high recall,
+    not totality (at sf0.01 exactly one planted pair sits at hamming 4)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR_T2).collect()
+        if r["jaccard"] >= 0.95
+    }
+    assert exact, "corpus should contain planted near-duplicate pairs"
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_simhash_pairs"].fn(spark, SF_DIR_T2).collect()
+    }
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.85, (recall, sorted(exact - sim)[:5])
+
+
+def test_clusters_cover_pairs_with_min_rep(spark):
+    """Connected components must assign both endpoints of every dup pair
+    the same representative, reps must be the component minimum, and
+    cluster_size must equal the member count."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR_T2).collect()
+    ]
+    assert pairs
+    rows = SPECS["dedup_clusters"].fn(spark, SF_DIR_T2).collect()
+    rep = {r["doc_id"]: r["cluster_rep"] for r in rows}
+    for a, b in pairs:
+        assert rep[a] == rep[b], (a, b, rep.get(a), rep.get(b))
+    members = defaultdict(set)
+    for r in rows:
+        members[r["cluster_rep"]].add(r["doc_id"])
+    for r in rows:
+        assert r["cluster_rep"] == min(members[r["cluster_rep"]])
+        assert r["cluster_size"] == len(members[r["cluster_rep"]])
+
+
 def test_minhash_estimate_tracks_true_jaccard(spark):
     """Signature-estimated Jaccard within 0.35 of the true value for
     reported pairs (16 permutations => sd ~ sqrt(j(1-j)/16) ~ 0.11)."""
