@@ -78,34 +78,42 @@ def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
     FROM documents
     """,
-    doc="Metadata extraction over binary payloads via Arrow-batched "
-    "mapInPandas: byte length, md5 digest, and fake header-parsed "
-    "dimensions (deterministic stand-in for a real image header read). "
-    "Pure map — partition-preserving, no shuffle.",
+    doc="Metadata extraction over binary payloads: byte length and md5 "
+    "digest are JVM built-ins (F.length/F.md5 — codegen'd, no Python "
+    "round-trip for columns Spark can compute natively); only the fake "
+    "header parse (the stand-in for a real image-header read, which "
+    "genuinely needs custom byte logic) goes through Arrow-batched "
+    "mapInPandas. Pure map — partition-preserving, no shuffle.",
     tags=["multimodal"],
 )
 def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media_docs(spark, sf_dir)
+    media = _media_docs(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def parse_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Stand-in for the codec header read (see decode_media): consumes
+        # the binary payload batch like a real parser would, derives the
+        # dimensions deterministically from its length.
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            n_bytes = pdf["payload"].map(len)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes,
-                    "payload_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
+                    "n_bytes": pdf["n_bytes"],
+                    "payload_md5": pdf["payload_md5"],
                     "width": n_bytes % 640 + 1,
                     "height": (n_bytes * 7) % 480 + 1,
                 }
             )
 
     return media.mapInPandas(
-        extract,
+        parse_header,
         schema="doc_id long, media_type string, n_bytes long, "
         "payload_md5 string, width long, height long",
     )

@@ -243,7 +243,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dims AS (
       SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS dim_avg
-      FROM embeddings, unnest(range(1, 65)) u(i)
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
       GROUP BY 1, 2
     ),
     cent AS (

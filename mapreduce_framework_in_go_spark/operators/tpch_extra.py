@@ -4,8 +4,8 @@ no ``partsupp`` table (Q9's supplycost term dropped), no
 ``l_commitdate``/``l_receiptdate`` ("late" is re-expressed as
 ``l_shipdate > o_orderdate + N days``), no ``c_phone`` (Q22 selects by
 nation key set), no ``p_container``/``l_shipmode`` (filters swap to
-``p_brand``/``p_size``). Q2/Q11/Q16/Q20 are partsupp-centric and are
-intentionally out of scope for this schema.
+``p_brand``/``p_size``). The partsupp-centric Q2/Q11/Q16/Q20 live in
+tpch_partsupp.py over a deterministic derived partsupp table.
 
 Money aggregation follows the module convention in relational.py:
 exact fixed-point (sum of scaled BIGINT cents) on both engine and

@@ -35,7 +35,10 @@ def write_sized(
     """
     if approx_total is None:
         approx_total = df.count()
-    n_parts = max(1, approx_total // rows_per_file)
+    # Ceiling division: with floor, each partition carries slightly MORE
+    # than rows_per_file and maxRecordsPerFile splits off a tiny
+    # remainder file per partition — the opposite of the sizing goal.
+    n_parts = max(1, -(-approx_total // rows_per_file))
     (
         df.repartition(n_parts)
         .write.option("maxRecordsPerFile", rows_per_file)

@@ -96,3 +96,36 @@ def test_tpch_dims_broadcast(spark, sf_dir):
     assert_broadcast_join(SPECS["q7_volume_shipping"].fn(spark, sf_dir), 2)
     assert_broadcast_join(SPECS["q9_product_type_profit"].fn(spark, sf_dir), 3)
     assert_broadcast_join(SPECS["q14_promo_revenue"].fn(spark, sf_dir), 1)
+
+
+def test_tfidf_build_launches_no_job(spark, sf_dir):
+    """Building the tfidf frame must be pure plan construction: the
+    corpus size N is a broadcast 1-row aggregate, not a driver-side
+    .count() action (which would run an extra Spark job per build).
+    Baseline = a bare table read (spark.read.parquet's file-listing job
+    is inherent); the query build must add ZERO jobs beyond it."""
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    sc = spark.sparkContext
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, "", False)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "", False)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    base = jobs_during("probe-read", lambda: table(spark, sf_dir, "documents"))
+    build = jobs_during(
+        "probe-tfidf", lambda: SPECS["text_tfidf"].fn(spark, sf_dir)
+    )
+    assert build == base
+
+
+def test_mm_metadata_hashes_jvm_side(spark, sf_dir):
+    """n_bytes/md5 must be JVM built-ins before the Python boundary:
+    the plan shows length/md5 in a Project under the scan, and the
+    Arrow eval only parses the fake header."""
+    plan = formatted_plan(SPECS["mm_metadata"].fn(spark, sf_dir))
+    assert "md5(payload" in plan and "length(payload" in plan
