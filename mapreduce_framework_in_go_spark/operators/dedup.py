@@ -15,8 +15,15 @@ Scale notes (100 TB):
   bucket collision counts, not |docs|^2. Candidate verification joins
   shingles *restricted to candidates* (never the full inverted index).
   A pathological bucket (all-identical boilerplate docs) is the skew
-  risk: cap via salting the band key or pre-aggregating identical
-  digests through exact dedup first.
+  risk: dedup_clusters_lsh caps it by routing identical digests
+  through the exact collapse FIRST (one representative per distinct
+  text reaches the sketch; tests/test_components.py proves the bound
+  on an adversarial all-identical corpus).
+- clustering: connected components via alternating large-star/
+  small-star — O(log n) rounds on adversarial chains, explicit
+  failure on non-convergence. dedup_clusters consumes the exact
+  pair core as the reference; dedup_clusters_lsh is the end-to-end
+  100 TB pipeline (collapse -> sketch -> components -> expand).
 - SimHash: signature is pure map+agg (32 conditional sums); banding the
   32-bit signature into 4x8-bit chunks gives hamming<=3 candidate
   generation by pigeonhole without any pairwise scan.
@@ -71,10 +78,14 @@ def _evict_previous_generation() -> None:
         except Exception:
             pass
 
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "documents") -> str:
+    """CTE chain ending at ``sh(doc_id, s)`` — distinct 3-gram shingles
+    per document of the ``src`` relation (parametrized so the
+    exact-collapse pipeline can shingle representative docs only)."""
+    return f"""
   toks AS (
-    SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS toks
-    FROM documents
+    SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+    FROM {src}
   ),
   sh AS (
     SELECT DISTINCT doc_id, s FROM (
@@ -86,8 +97,11 @@ _SHINGLES_CTE = """
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-gram shingles per document.
+_SHINGLES_CTE = _shingles_cte()
+
+
+def _shingle_rows_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): distinct 3-gram shingles per document of ``docs``.
 
     Docs are hash-repartitioned on doc_id BEFORE tokenize/shingle/
     explode: the one exchange carries raw documents (1x bytes) instead
@@ -96,11 +110,14 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream doc_id-keyed operation (signature groupBy, size counts,
     per-candidate verification join) so those run exchange-free on the
     alias-aware partitioning."""
-    docs = table(spark, sf_dir, "documents")
     return docs.repartition("doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col("text"), 3))).alias("s"),
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingle_rows_from(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -169,8 +186,13 @@ def _bands_sql() -> str:
     return "\n      UNION ALL ".join(parts)
 
 
-_MINHASH_ORACLE = f"""
-    WITH {_SHINGLES_CTE},
+def _minhash_pair_ctes(src: str = "documents") -> str:
+    """CTE chain ending at ``vpairs(doc_a, doc_b, est_jaccard,
+    jaccard)`` — the full MinHash+LSH candidate generation + exact
+    verification over ``src``. Shared verbatim between the pair query
+    and the LSH-fed cluster query so both oracles are mechanically the
+    same computation."""
+    return f"""{_shingles_cte(src)},
     {_minhash_sig_sql()},
     bands AS (
       {_bands_sql()}
@@ -195,16 +217,23 @@ _MINHASH_ORACLE = f"""
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
       GROUP BY 1, 2
-    )
-    SELECT e.doc_a, e.doc_b,
-           round(e.est_jaccard, 6) AS est_jaccard,
-           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
-    FROM est e
-    JOIN inter i USING (doc_a, doc_b)
-    JOIN sizes sa ON sa.doc_id = e.doc_a
-    JOIN sizes sb ON sb.doc_id = e.doc_b
-    WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
-          >= {JACCARD_THRESHOLD}
+    ),
+    vpairs AS (
+      SELECT e.doc_a, e.doc_b,
+             round(e.est_jaccard, 6) AS est_jaccard,
+             round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+      FROM est e
+      JOIN inter i USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b
+      WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT doc_a, doc_b, est_jaccard, jaccard FROM vpairs
 """
 
 
@@ -220,16 +249,25 @@ _MINHASH_ORACLE = f"""
     tags=["dedup"],
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the tokenized/exploded shingle rows once — they feed
-    # the signature build, the size table, and candidate verification.
-    # (At cluster scale this persist would be DISK_ONLY or a checkpoint;
-    # recomputing three tokenization passes is the alternative cost.)
-    # The returned plan references the cached frames, so they cannot be
-    # unpersisted here; instead each invocation evicts the previous
-    # invocation's cache, bounding storage to one generation.
+    return _lsh_pair_frame(table(spark, sf_dir, "documents"))
+
+
+def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard): the full MinHash+LSH
+    pipeline over a ``(doc_id, text)`` frame — candidate pairs from
+    band buckets, verified with exact shingle Jaccard restricted to
+    candidates. Shared by dedup_minhash_lsh and dedup_clusters_lsh.
+
+    Materializes the tokenized/exploded shingle rows once — they feed
+    the signature build, the size table, and candidate verification.
+    (At cluster scale this persist would be DISK_ONLY or a checkpoint;
+    recomputing three tokenization passes is the alternative cost.)
+    The returned plan references the cached frames, so they cannot be
+    unpersisted here; instead each invocation evicts the previous
+    invocation's cache, bounding storage to one generation."""
     _evict_previous_generation()
     sh = (
-        _shingle_rows(spark, sf_dir)
+        _shingle_rows_from(docs)
         .withColumn("h", md5_long32(F.col("s")))
         .persist()
     )
@@ -583,6 +621,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """(doc_id, label): connected components of an undirected edge
+    frame ``(src, dst)``, label = minimum node id of the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) instead of one-hop
+    min-label propagation: labels jump to the current star root each
+    round, so convergence is O(log n) rounds on adversarial chains
+    rather than O(diameter). Each round is two self-contained
+    groupBy+join passes over the edge list; localCheckpoint truncates
+    lineage so the plan stays O(1) deep. Raises on non-convergence —
+    silently returning partial labels would be wrong output.
+
+    Round structure (edges kept directed high->low, so every (u, v)
+    has u > v):
+
+    - large-star: over the symmetric adjacency, each node u computes
+      m = min(u, neighbors) and connects its strictly-larger neighbors
+      to m. Shrinks long tails toward roots.
+    - small-star: each node u with smaller neighbors N(u) computes
+      m = min(N(u)) and rewires {u} + N(u) \\ {m} to m. Flattens local
+      stars.
+
+    Both steps preserve connectivity; the unique fixpoint is the star
+    forest where every node points at its component minimum.
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_e = e.count()
+    for _ in range(max_rounds):
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins_s, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # set equality via counts: |new| == |old| == |new U old|
+        n_small = small.count()
+        converged = (
+            n_small == n_e
+            and e.union(small).distinct().count() == n_e
+        )
+        e, n_e = small, n_small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "large-star/small-star rounds"
+        )
+    roots = (
+        e.select("v")
+        .distinct()
+        .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
+        .select(F.col("v").alias("doc_id"), F.col("v").alias("label"))
+    )
+    return e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("label")
+    ).union(roots)
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -621,12 +754,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup pairs (threshold shared with dedup_ngram_jaccard), each "
     "doc labeled with the minimum doc_id of its component as the "
     "canonical representative — the final 'keep one copy' step of a "
-    "dedup pipeline. Spark side is iterative min-label propagation with "
-    "per-round localCheckpoint to truncate lineage, converging in "
-    "O(diameter) rounds (near-dup components are tiny; at 100 TB with "
-    "adversarial chains switch to large-star/small-star, O(log n) "
-    "rounds). Oracle is a DuckDB recursive-CTE transitive closure. "
-    "Singleton docs (no dup pair) are excluded on both sides.",
+    "dedup pipeline. Components via alternating large-star/small-star "
+    "(O(log n) rounds even on adversarial chains; raises on "
+    "non-convergence). Oracle is a DuckDB recursive-CTE transitive "
+    "closure. Singleton docs (no dup pair) are excluded on both sides. "
+    "The pair core here is the exact-but-quadratic Jaccard baseline; "
+    "dedup_clusters_lsh is the same clustering fed from LSH candidates "
+    "— the 100 TB path.",
     tags=["dedup"],
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,46 +768,124 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
     )
-    dup = pairs.where(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b")
-    edges = (
-        dup.union(dup.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
+    dup = pairs.where(jac >= JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # Min-label propagation to fixpoint. The per-round count() action is
-    # a scalar convergence probe, not a data collect; localCheckpoint
-    # keeps the plan O(1) deep across rounds. Labels move one hop per
-    # round, so the cap covers any component of diameter <= 64 — far
-    # beyond real near-dup clusters, which converge in 1-3 rounds.
-    for _ in range(64):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    return _label_clusters(connected_components(dup))
+
+
+def _label_clusters(labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_rep, cluster_size) from a component labeling."""
     sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
     return labels.join(sizes, "label").select(
         "doc_id",
         F.col("label").alias("cluster_rep"),
         F.col("n").cast("long").alias("cluster_size"),
     )
+
+
+_CLUSTERS_LSH_ORACLE = f"""
+    WITH RECURSIVE
+    reps AS (
+      SELECT md5(text) AS dig, min(doc_id) AS rep, count(*) AS grp_n
+      FROM documents GROUP BY 1
+    ),
+    rdocs AS (
+      SELECT r.rep AS doc_id, d.text
+      FROM reps r JOIN documents d ON d.doc_id = r.rep
+    ),
+    {_minhash_pair_ctes('rdocs')},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+    rep_label AS (
+      SELECT r.dig, r.grp_n,
+             coalesce(c.label, r.rep) AS label,
+             c.doc_id IS NOT NULL AS in_comp
+      FROM reps r LEFT JOIN comp c ON c.doc_id = r.rep
+    ),
+    members AS (
+      SELECT d.doc_id, rl.label AS cluster_rep
+      FROM documents d JOIN rep_label rl ON md5(d.text) = rl.dig
+      WHERE rl.in_comp OR rl.grp_n > 1
+    )
+    SELECT m.doc_id, m.cluster_rep, CAST(s.n AS BIGINT) AS cluster_size
+    FROM members m
+    JOIN (SELECT cluster_rep, count(*) AS n FROM members GROUP BY 1) s
+      USING (cluster_rep)
+"""
+
+
+def _exact_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup collapse: one group per distinct text, represented by
+    its min doc_id. Returns (groups(dig, rep, grp_n), rep_docs).
+
+    This is the skew cap for the LSH stage — a pathological corpus of
+    identical boilerplate collapses to ONE representative before
+    shingling, so no band bucket (and no LSH join partition) ever
+    carries an exact-dup crowd."""
+    groups = docs.groupBy(F.md5("text").alias("dig")).agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("grp_n")
+    )
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return groups, rep_docs
+
+
+def _clusters_lsh_frame(docs: DataFrame) -> DataFrame:
+    """Clusters-from-sketch over a ``(doc_id, text)`` frame — the
+    engine core of dedup_clusters_lsh, parametrized so tests can feed
+    adversarial fixtures (e.g. an all-identical corpus)."""
+    groups, rep_docs = _exact_collapse(docs)
+    pairs = _lsh_pair_frame(rep_docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    rep_label = groups.join(
+        comp.withColumnRenamed("doc_id", "rep"), "rep", "left"
+    ).select(
+        "dig",
+        "grp_n",
+        F.coalesce("label", "rep").alias("label"),
+        F.col("label").isNotNull().alias("in_comp"),
+    )
+    # Expand back to every doc: exact dups inherit their rep's
+    # component; an exact-dup group whose rep has no near-dup pair is
+    # its own cluster. Join key is the digest — at scale this is a
+    # plain hash join on a 32-char key, never a broadcast of the corpus.
+    members = (
+        docs.select("doc_id", F.md5("text").alias("dig"))
+        .join(rep_label, "dig")
+        .where(F.col("in_comp") | (F.col("grp_n") > 1))
+        .select("doc_id", "label")
+    )
+    return _label_clusters(members)
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=_CLUSTERS_LSH_ORACLE,
+    doc="The 100 TB dedup pipeline end-to-end: exact-collapse (one rep "
+    "per distinct md5 digest) -> MinHash+LSH candidate pairs over reps "
+    "only (verified with exact Jaccard restricted to candidates) -> "
+    "large-star/small-star connected components -> expand exact-dup "
+    "groups back into their rep's cluster. No stage touches the "
+    "quadratic pair space: the only joins are band-bucket equi-joins "
+    "and hash joins on digest/doc_id, and identical-text crowds are "
+    "collapsed before the sketch so they can never flood a band "
+    "bucket (boilerplate skew cap). This — clusters from sketch — is "
+    "what a pretraining-corpus dedup actually runs; dedup_clusters is "
+    "the exact-Jaccard reference it is measured against.",
+    tags=["dedup"],
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clusters_lsh_frame(table(spark, sf_dir, "documents"))

@@ -1,0 +1,110 @@
+"""Connected components (large-star/small-star) and the LSH-fed
+cluster pipeline — the scale-path dedup machinery.
+
+The component algorithm is validated three ways: against a Python
+union-find on a seeded random graph, for O(log n) round convergence on
+an adversarial 128-node chain (one-hop label propagation would need 127
+rounds), and for an explicit failure (not silent wrong output) when the
+round budget is too small. The skew cap is validated on the adversarial
+corpus the dedup.py docstring warns about: all-identical boilerplate.
+"""
+
+import random
+from collections import defaultdict
+
+from mapreduce_framework_in_go_spark.operators import dedup
+from mapreduce_framework_in_go_spark.registry import all_queries
+
+from .conftest import SF_DIR_T2
+
+SPECS = all_queries()
+
+
+def _edges_df(spark, edge_list):
+    return spark.createDataFrame(edge_list, "src long, dst long")
+
+
+def test_components_match_union_find(spark):
+    random.seed(7)
+    edges = [(random.randrange(200), random.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes = {n for e in edges for n in e}
+    comp_min = defaultdict(lambda: 10**9)
+    for n in nodes:
+        comp_min[find(n)] = min(comp_min[find(n)], n)
+    want = {n: comp_min[find(n)] for n in nodes}
+
+    got = {
+        r.doc_id: r.label
+        for r in dedup.connected_components(_edges_df(spark, edges)).collect()
+    }
+    assert got == want
+
+
+def test_chain_converges_in_log_rounds(spark):
+    """A 128-node path graph: one-hop min-label propagation needs 127
+    rounds; star contraction must finish within ~log2(n) + slack."""
+    chain = [(i, i + 1) for i in range(127)]
+    labels = dedup.connected_components(
+        _edges_df(spark, chain), max_rounds=9
+    ).collect()
+    assert len(labels) == 128
+    assert all(r.label == 0 for r in labels)
+
+
+def test_nonconvergence_raises(spark):
+    """An exhausted round budget must raise — never return partial
+    (wrong) cluster labels."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(127)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(_edges_df(spark, chain), max_rounds=2)
+
+
+def test_clusters_lsh_identical_docs_skew_cap(spark):
+    """The adversarial corpus from the module docstring: N identical
+    boilerplate docs. The exact collapse must shrink the LSH stage's
+    input to ONE representative document (so no band bucket ever holds
+    an exact-dup crowd), while the final expansion still clusters all N
+    docs under the min doc_id."""
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i + 10, text) for i in range(300)], "doc_id long, text string"
+    )
+    groups, rep_docs = dedup._exact_collapse(docs)
+    assert rep_docs.count() == 1  # bounded LSH input, the skew cap
+    rows = dedup._clusters_lsh_frame(docs).collect()
+    assert len(rows) == 300
+    assert all(r.cluster_rep == 10 and r.cluster_size == 300 for r in rows)
+
+
+def test_clusters_lsh_equals_exact_on_corpus(spark):
+    """dedup_clusters_lsh (clusters from sketch) must reproduce
+    dedup_clusters (clusters from exact-Jaccard pairs) on the sf0.01
+    corpus with its planted near-dups — LSH at 4x4 banding catches
+    every planted pair (J ~ 0.99), so the pipelines agree exactly.
+    Both are deterministic (fixed hash constants), so this is stable."""
+    ex = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in SPECS["dedup_clusters"].fn(spark, SF_DIR_T2).collect()
+    }
+    lsh = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in SPECS["dedup_clusters_lsh"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert ex, "corpus should contain dup clusters"
+    assert lsh == ex
