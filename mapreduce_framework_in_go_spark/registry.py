@@ -54,6 +54,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         dedup,
         kv,
+        linearizability,
         mapreduce,
         multimodal,
         relational,
