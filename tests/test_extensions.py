@@ -115,6 +115,22 @@ def test_ivf_recall_above_chance_and_exact_scores(spark):
     assert mean_recall > searched_fraction, (mean_recall, searched_fraction)
 
 
+def test_trained_ivf_recall_beats_sample(spark):
+    """Lloyd-trained centroids must improve recall over the sample
+    seeds (and stay above the searched-fraction chance level) — the
+    metric that makes ann_ivf_trained an honest index, not just a
+    different dataflow. Deterministic: fixed seeds, exact fixed-point
+    means."""
+    rows = {
+        r["variant"]: r["mean_recall"]
+        for r in SPECS["ann_ivf_recall"].fn(spark, SF_DIR_T2).collect()
+    }
+    n_cells = 500 // similarity.CENTROID_MOD + 1
+    chance = similarity.NPROBE / n_cells
+    assert rows["trained"] > rows["sample"], rows
+    assert rows["sample"] > chance, rows
+
+
 def test_rolling_hash_is_order_sensitive(spark):
     """The Rabin-Karp fold must distinguish permutations that the
     order-insensitive content fingerprint collapses."""

@@ -129,3 +129,21 @@ def test_mm_metadata_hashes_jvm_side(spark, sf_dir):
     Arrow eval only parses the fake header."""
     plan = formatted_plan(SPECS["mm_metadata"].fn(spark, sf_dir))
     assert "md5(payload" in plan and "length(payload" in plan
+
+
+def test_bruteforce_broadcast_is_bounded(spark, sf_dir):
+    """The exact ANN must never broadcast an unbounded query side: with
+    a small batch the plan splits into one bounded BroadcastExchange
+    per id-hash slice; with the default batch (>= |Q| here) exactly
+    one. Either way, no shuffle join of the corpus side appears."""
+    import re
+
+    from mapreduce_framework_in_go_spark.operators import similarity
+
+    emb = similarity._emb(spark, sf_dir)
+    small = formatted_plan(similarity._bruteforce_topk(emb, 5, batch=4))
+    n_q = 500 // similarity.QUERY_MOD  # sf0.001: vec_ids 0..499
+    want = -(-n_q // 4)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", small)) == want
+    default = formatted_plan(similarity._bruteforce_topk(emb, 5))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", default)) == 1
