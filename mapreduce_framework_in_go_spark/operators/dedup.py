@@ -31,9 +31,12 @@ Scale notes (100 TB):
   method; it shuffles the full posting list and is the quadratic-risk
   baseline the sketch methods exist to replace — kept as the oracle of
   record for recall checks (test_dedup.py).
-- embedding cosine: brute-force O(n^2) pair join, usable to ~1M rows
-  per blocking bucket; the scale path is the IVF/LSH candidate
-  generation in operators/similarity.py with this as the verifier.
+- embedding cosine: dedup_embedding_cosine is the brute-force O(n^2)
+  exact verifier, usable to ~1M rows per blocking bucket;
+  dedup_embedding_ivf is the scale path — candidates share a trained
+  IVF cell (top-ASSIGN_PROBE multi-assignment), verification is the
+  exact cosine restricted to candidates, cost driven by cell
+  occupancy, never |vectors|^2.
 """
 
 from __future__ import annotations
@@ -889,3 +892,96 @@ def _clusters_lsh_frame(docs: DataFrame) -> DataFrame:
 )
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_lsh_frame(table(spark, sf_dir, "documents"))
+
+
+# Each vector lands in its top-3 trained-IVF cells. Multi-assignment is
+# the recall lever: at sf0.01, probe=2 catches 10/14 of the exact
+# >=0.45-cosine pairs, probe=3 catches 14/14 at ~2x the candidate pairs
+# (67k of the 125k brute-force total) — measured, not guessed.
+ASSIGN_PROBE = 3
+
+
+def _emb_ivf_oracle() -> str:
+    from .similarity import LLOYD_ITERS, _lloyd_ctes
+
+    return f"""
+    WITH {_lloyd_ctes(LLOYD_ITERS)},
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings v, cent{LLOYD_ITERS} c
+      ) WHERE rn <= {ASSIGN_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asg a JOIN asg b USING (cell_id)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                        y.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.vec_a
+    JOIN embeddings y ON y.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                       y.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_ivf",
+    oracle=_emb_ivf_oracle(),
+    doc="Embedding near-dup pairs AT SCALE: candidates are vectors "
+    f"sharing one of their top-{ASSIGN_PROBE} trained-IVF cells "
+    "(multi-assignment — both endpoints of a similar pair rarely "
+    "straddle every cell boundary), verified with the exact "
+    "double-fold cosine restricted to candidates. The pair join is an "
+    "equi-join on cell_id whose cost is driven by cell occupancy, "
+    "never |vectors|^2 — this is the production sibling of "
+    "dedup_embedding_cosine (the exact quadratic verifier), exactly "
+    "as the MinHash band join is to dedup_ngram_jaccard. Recall vs "
+    "the exact method is pinned in tests/test_components.py.",
+    tags=["dedup"],
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import (
+        _emb,
+        _evict_previous_generation as _sim_evict,
+        _nearest_cells,
+        _trained_centroids,
+    )
+
+    _sim_evict()
+    emb = _emb(spark, sf_dir)
+    assign = _nearest_cells(emb, _trained_centroids(emb), "vec_id", ASSIGN_PROBE)
+    pa = assign.select("cell_id", F.col("vec_id").alias("vec_a"))
+    pb = assign.select("cell_id", F.col("vec_id").alias("vec_b"))
+    cand = (
+        pa.join(pb, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("vn").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("vn").alias("nb"),
+    )
+    cos = F.round(
+        cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

@@ -108,3 +108,21 @@ def test_clusters_lsh_equals_exact_on_corpus(spark):
     }
     assert ex, "corpus should contain dup clusters"
     assert lsh == ex
+
+
+def test_embedding_ivf_recall_and_precision(spark):
+    """The IVF-bucketed embedding dedup must (a) report only pairs the
+    exact method reports — verification is exact, so precision is 1.0
+    by construction — and (b) recover every exact pair at sf0.01 with
+    top-3 multi-assignment (measured basis for ASSIGN_PROBE=3)."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SPECS["dedup_embedding_cosine"].fn(spark, SF_DIR_T2).collect()
+    }
+    ivf = {
+        (r.vec_a, r.vec_b)
+        for r in SPECS["dedup_embedding_ivf"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert exact, "corpus should contain >=0.45-cosine pairs"
+    assert ivf <= exact  # precision 1.0
+    assert ivf == exact, (len(ivf), len(exact))
