@@ -42,7 +42,11 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
+    "dedup_embedding_ivf",
     "ann_topk_bruteforce",
+    "ann_ivf_trained",
+    "kv_linearizability",
     "mm_metadata",
 ]
 
