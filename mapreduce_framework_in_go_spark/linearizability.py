@@ -215,13 +215,19 @@ def generate_history(
     return out
 
 
+def corrupt_get(ops: list[KvOp], idx: int) -> list[KvOp]:
+    """Corrupt the get at ``idx``: append a marker no write ever
+    produces (generated values are ``x<cli>.<i> `` shaped), so the
+    resulting history is non-linearizable by construction."""
+    bad = replace(ops[idx], output=ops[idx].output + "#corrupt#")
+    return [*ops[:idx], bad, *ops[idx + 1 :]]
+
+
 def tamper(ops: list[KvOp], seed: int = 0) -> list[KvOp]:
-    """Corrupt one get's observed value — the resulting history must be
-    rejected (no write ever produces the planted value)."""
+    """Corrupt one randomly-chosen get's observed value — the resulting
+    history must be rejected."""
     rng = random.Random(seed)
     gets = [i for i, o in enumerate(ops) if o.op == GET]
     if not gets:
         raise ValueError("history has no get to tamper")
-    i = rng.choice(gets)
-    bad = replace(ops[i], output=ops[i].output + "#corrupt#")
-    return [*ops[:i], bad, *ops[i + 1 :]]
+    return corrupt_get(ops, rng.choice(gets))

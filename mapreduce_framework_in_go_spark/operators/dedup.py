@@ -827,28 +827,34 @@ _CLUSTERS_LSH_ORACLE = f"""
 """
 
 
-def _exact_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _exact_collapse(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Exact-dup collapse: one group per distinct text, represented by
-    its min doc_id. Returns (groups(dig, rep, grp_n), rep_docs).
+    its min doc_id. Returns (digests(doc_id, dig), groups(dig, rep,
+    grp_n), rep_docs) — the digest frame is shared so the member
+    expansion reuses it instead of re-deriving md5(text) (at cluster
+    scale you would additionally persist it: doc_id + 32 chars).
 
     This is the skew cap for the LSH stage — a pathological corpus of
     identical boilerplate collapses to ONE representative before
     shingling, so no band bucket (and no LSH join partition) ever
     carries an exact-dup crowd."""
-    groups = docs.groupBy(F.md5("text").alias("dig")).agg(
+    digests = docs.select("doc_id", F.md5("text").alias("dig"))
+    groups = digests.groupBy("dig").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("grp_n")
     )
     rep_docs = docs.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    return groups, rep_docs
+    return digests, groups, rep_docs
 
 
 def _clusters_lsh_frame(docs: DataFrame) -> DataFrame:
     """Clusters-from-sketch over a ``(doc_id, text)`` frame — the
     engine core of dedup_clusters_lsh, parametrized so tests can feed
     adversarial fixtures (e.g. an all-identical corpus)."""
-    groups, rep_docs = _exact_collapse(docs)
+    digests, groups, rep_docs = _exact_collapse(docs)
     pairs = _lsh_pair_frame(rep_docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -866,8 +872,7 @@ def _clusters_lsh_frame(docs: DataFrame) -> DataFrame:
     # its own cluster. Join key is the digest — at scale this is a
     # plain hash join on a 32-char key, never a broadcast of the corpus.
     members = (
-        docs.select("doc_id", F.md5("text").alias("dig"))
-        .join(rep_label, "dig")
+        digests.join(rep_label, "dig")
         .where(F.col("in_comp") | (F.col("grp_n") > 1))
         .select("doc_id", "label")
     )

@@ -91,11 +91,11 @@ def check_frame(hist: DataFrame) -> DataFrame:
 
 
 def _tamper_last_get(ops: list[KvOp], key: str) -> list[KvOp]:
-    from dataclasses import replace
+    from ..linearizability import corrupt_get
 
-    idx = max(i for i, o in enumerate(ops) if o.key == key and o.op == GET)
-    bad = replace(ops[idx], output=ops[idx].output + "#corrupt#")
-    return [*ops[:idx], bad, *ops[idx + 1 :]]
+    return corrupt_get(
+        ops, max(i for i, o in enumerate(ops) if o.key == key and o.op == GET)
+    )
 
 
 @register(

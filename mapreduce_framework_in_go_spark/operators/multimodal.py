@@ -96,11 +96,12 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def parse_header(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Stand-in for the codec header read (see decode_media): consumes
+        # Stand-in for the codec header read (see decode_media): receives
         # the binary payload batch like a real parser would, derives the
-        # dimensions deterministically from its length.
+        # dimensions deterministically from the JVM-computed length (no
+        # per-row Python len() — that column already rides the batch).
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
+            n_bytes = pdf["n_bytes"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

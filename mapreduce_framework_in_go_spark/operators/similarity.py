@@ -48,7 +48,11 @@ LLOYD_ITERS = 2  # k-means refinement rounds for the trained IVF index
 CENT_SCALE = 10_000_000  # fixed-point scale for exact centroid means
 
 # one-generation cache for trained-centroid frames (same policy as
-# operators/dedup.py: each invocation evicts the previous one's)
+# operators/dedup.py: each invocation evicts the previous one's).
+# NOTE: _emb / _nearest_cells / _trained_centroids /
+# _evict_previous_generation are a shared internal contract —
+# operators/dedup.py's dedup_embedding_ivf builds its candidate
+# generation on them; change their signatures in both call sites.
 _CACHE_GENERATION: list[DataFrame] = []
 
 

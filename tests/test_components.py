@@ -85,7 +85,7 @@ def test_clusters_lsh_identical_docs_skew_cap(spark):
     docs = spark.createDataFrame(
         [(i + 10, text) for i in range(300)], "doc_id long, text string"
     )
-    groups, rep_docs = dedup._exact_collapse(docs)
+    _digests, _groups, rep_docs = dedup._exact_collapse(docs)
     assert rep_docs.count() == 1  # bounded LSH input, the skew cap
     rows = dedup._clusters_lsh_frame(docs).collect()
     assert len(rows) == 300
