@@ -27,10 +27,12 @@ Scale notes (100 TB):
 - SimHash: signature is pure map+agg (32 conditional sums); banding the
   32-bit signature into 4x8-bit chunks gives hamming<=3 candidate
   generation by pigeonhole without any pairwise scan.
-- n-gram Jaccard: the inverted-index self-join is the textbook exact
-  method; it shuffles the full posting list and is the quadratic-risk
-  baseline the sketch methods exist to replace — kept as the oracle of
-  record for recall checks (test_dedup.py).
+- n-gram Jaccard: exact pairs via LOSSLESS prefix filtering (PPJoin):
+  only each doc's rarest ``n - ceil(t*n) + 1`` shingles are join keys,
+  so candidate generation is bounded by prefix-bucket collisions, not
+  the full posting-list square; verification is restricted to
+  candidates. Exact recall by construction — the oracle of record for
+  the sketch methods' recall checks.
 - embedding cosine: dedup_embedding_cosine is the brute-force O(n^2)
   exact verifier, usable to ~1M rows per blocking bucket;
   dedup_embedding_ivf is the scale path — candidates share a trained
@@ -41,7 +43,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long32, shingles_col, tokens_col
@@ -533,12 +535,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
           >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact n-gram Jaccard dedup via the inverted-index self-join: "
-    "pairs sharing 3-gram shingles, intersection counted by groupBy, "
-    "union by inclusion-exclusion. This is the exact-but-quadratic "
-    "baseline the MinHash sketch approximates; its full posting-list "
-    "shuffle is why the sketch wins at scale (prefix/length filtering "
-    "would bound it, LSH replaces it).",
+    doc="Exact n-gram Jaccard dedup with lossless prefix filtering "
+    "(PPJoin family): candidates must share a shingle within their "
+    "rarest-first prefixes (length n - ceil(t*n) + 1) and pass the "
+    "length-ratio filter; exact intersection counting runs restricted "
+    "to candidates. Same output as the naive inverted-index self-join "
+    "(the unfiltered oracle proves it) without shuffling full posting "
+    "lists — the exact method's answer to the band-bucket trick.",
     tags=["dedup"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,34 +555,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, n_a, n_b, n_common) for length-compatible pairs
-    sharing at least one shingle — the exact-Jaccard pair core shared by
-    dedup_ngram_jaccard and dedup_clusters."""
-    sh = _shingle_rows(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Lossless length filter: J(A,B) >= t implies |A| >= t*|B| and
-    # |B| >= t*|A| (since intersection <= min and J >= t forces
-    # min >= t*max). Pruning incompatible pairs BEFORE the pair-count
-    # shuffle cuts the quadratic posting-list blowup without changing
-    # the output (the oracle runs unfiltered and still matches).
-    sh_n = sh.join(F.broadcast(sizes), "doc_id")
-    a = sh_n.select(
+    """(doc_a, doc_b, n_a, n_b, n_common) for every pair that can reach
+    JACCARD_THRESHOLD — the exact-Jaccard pair core shared by
+    dedup_ngram_jaccard and dedup_clusters.
+
+    Candidate generation is LOSSLESS prefix filtering (the PPJoin
+    family: Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08) instead of the full posting-list self-join:
+
+    - order every document's shingles by a global total order (document
+      frequency ascending, then shingle — rarest first);
+    - a doc with n shingles exposes only its first
+      ``n - ceil(t*n) + 1`` shingles as join keys.  J(A,B) >= t forces
+      |A∩B| >= ceil(t*max(|A|,|B|)), and two sets whose overlap is
+      >= o must collide within their (size - o + 1)-prefixes, so every
+      qualifying pair shares a PREFIX shingle — no recall loss (the
+      unfiltered DuckDB oracle still matches).
+    - the length filter (|A| >= t*|B|, both ways) prunes at candidate
+      time; exact intersection counting then runs RESTRICTED to
+      candidate pairs, exactly like the MinHash verify stage.
+
+    At t=0.7 the prefix is ~30% of each posting list, and rarest-first
+    ordering keeps high-frequency shingles out of the join keys — the
+    quadratic posting-list blowup the old plan risked on a
+    boilerplate-heavy corpus is bounded by prefix-bucket collisions.
+    Epsilon: the output threshold applies to round(j, 6), so both the
+    prefix length and the length filter use t - 1e-6 to stay strictly
+    lossless. Shingle rows persist one generation (they feed the df
+    count, the ranking, and both sides of the verify join)."""
+    _evict_previous_generation()
+    sh = _shingle_rows(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(sh)
+    cand = _prefix_candidates(sh, JACCARD_THRESHOLD - 1e-6)
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b): every pair that can have Jaccard >= t,
+    by lossless prefix filtering over a ``(doc_id, s)`` shingle frame.
+    Only each doc's first ``n - ceil(t*n) + 1`` shingles in the global
+    (df ASC, s ASC) order are join keys; the length-ratio filter prunes
+    the rest at candidate time."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
+        F.count("*").over(by_doc).alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+    pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
     )
-    b = sh_n.select(
+    pb = prefix.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
     )
     return (
-        a.join(b, "s")
+        pa.join(pb, "s")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            # epsilon margin: the output threshold applies to round(j, 6),
-            # so keep pairs down to t - 1e-6 to stay strictly lossless
-            & (F.col("n_a") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_b"))
-            & (F.col("n_b") >= (JACCARD_THRESHOLD - 1e-6) * F.col("n_a"))
+            & (F.col("n_a") >= t * F.col("n_b"))
+            & (F.col("n_b") >= t * F.col("n_a"))
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")  # sizes ride along —
-        .agg(F.count("*").alias("n_common"))  # no re-join with `sizes`
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
     )
 
 

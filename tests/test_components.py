@@ -24,6 +24,12 @@ def _edges_df(spark, edge_list):
     return spark.createDataFrame(edge_list, "src long, dst long")
 
 
+def _alpha(i: int) -> str:
+    """Digits-to-letters (4 -> 'e', 27 -> 'ch'): the tokenizer keeps
+    Unicode LETTER runs only, so numeric suffixes would vanish."""
+    return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+
 def test_components_match_union_find(spark):
     random.seed(7)
     edges = [(random.randrange(200), random.randrange(200)) for _ in range(150)]
@@ -108,6 +114,65 @@ def test_clusters_lsh_equals_exact_on_corpus(spark):
     }
     assert ex, "corpus should contain dup clusters"
     assert lsh == ex
+
+
+def test_prefix_filter_prunes_boilerplate_corpus(spark):
+    """Adversarial corpus for the exact-Jaccard join: every doc shares
+    a long boilerplate header, so the naive inverted-index self-join
+    would emit all ~N^2/2 pairs into the intersection shuffle. With
+    rarest-first prefix filtering the boilerplate shingles (df = N)
+    sort to the END of every doc's ordering and never become join keys
+    — candidate count must be ZERO (no pair can reach J >= 0.7), while
+    the pruned pairs demonstrably DO share shingles."""
+    # tokens must be pure letter runs: the tokenizer drops digits
+    boiler = " ".join(f"common{_alpha(i)}" for i in range(30))
+    n = 120
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                boiler
+                + " "
+                + " ".join(f"uniq{_alpha(i)}x{_alpha(j)}" for j in range(70)),
+            )
+            for i in range(n)
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup._shingle_rows_from(docs)
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where("a.doc_id < b.doc_id")
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert shared == n * (n - 1) // 2  # naive join would see every pair
+    cands = dedup._prefix_candidates(sh, dedup.JACCARD_THRESHOLD - 1e-6)
+    assert cands.count() == 0
+
+
+def test_prefix_filter_keeps_true_near_dups(spark):
+    """Lossless check on a corpus where the qualifying pairs are known:
+    two planted near-identical docs (one token changed) must survive
+    prefix filtering and come out of dedup's pair core with the right
+    Jaccard, alongside unrelated docs that must not pair."""
+    base = " ".join(f"tok{_alpha(i)}" for i in range(60))
+    near = base.replace(f"tok{_alpha(30)} ", "tokzzz ")
+    rows = [(1, base), (2, near)] + [
+        (10 + i, " ".join(f"other{_alpha(i)}y{_alpha(j)}" for j in range(60)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup._shingle_rows_from(docs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._prefix_candidates(
+            sh, dedup.JACCARD_THRESHOLD - 1e-6
+        ).collect()
+    }
+    assert (1, 2) in got
 
 
 def test_embedding_ivf_recall_and_precision(spark):
