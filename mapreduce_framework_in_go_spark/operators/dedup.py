@@ -946,11 +946,14 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_lsh_frame(table(spark, sf_dir, "documents"))
 
 
-# Each vector lands in its top-3 trained-IVF cells. Multi-assignment is
-# the recall lever: at sf0.01, probe=2 catches 10/14 of the exact
-# >=0.45-cosine pairs, probe=3 catches 14/14 at ~2x the candidate pairs
-# (67k of the 125k brute-force total) — measured, not guessed.
-ASSIGN_PROBE = 3
+# Each vector lands in its top-5 trained-IVF cells. Multi-assignment is
+# the recall lever: at sf0.01 (sqrt(N) = 23 cells), probe=3 catches
+# 12/14 of the exact >=0.45-cosine pairs, probe=4 13/14, probe=5 14/14
+# at 91k candidate pairs — measured, not guessed. 91k of the 125k
+# brute-force pair total looks high only because N is tiny: the
+# candidate fraction scales ~ (probe/k)*occupancy-skew, i.e. 5/23 here
+# vs 5/31623 at 1e9 vectors with sqrt(N) cells.
+ASSIGN_PROBE = 5
 
 
 def _emb_ivf_oracle() -> str:

@@ -19,12 +19,16 @@ Scale notes (100 TB / billions of vectors):
   cell_id. Queries probe nprobe cells; the candidate join hits only
   |N| * nprobe / n_cells vectors per query. On a real cluster the cell
   assignment would be written bucketed-by-cell so probes prune
-  partitions. ann_ivf searches the deterministic-sample seeds
-  (vec_id % C); ann_ivf_trained refines them with LLOYD_ITERS k-means
+  partitions. k ~ sqrt(N) (modulus = floor(sqrt(N)), a broadcast 1-row
+  aggregate) balances assignment against in-cell verification and
+  bounds the centroid broadcast. ann_ivf searches the
+  deterministic-sample seeds; ann_ivf_trained refines them with LLOYD_ITERS k-means
   rounds, each round one broadcast-argmax assignment + one
   O(cells*dims) exact fixed-point mean update — same probe dataflow,
   better cells. ann_ivf_recall quantifies both against the exact
-  brute-force top-k (trained beats sample: 0.38 vs 0.28 at sf0.01).
+  brute-force top-k (0.42 at sf0.01 with sqrt(N) cells; trained ties
+  sample there — the synthetic corpus is near-orthogonal, so k-means
+  has little structure to learn, but must never do worse).
 - label centroids: posexplode to (label, dim) then two-level agg —
   partial aggregation map-side makes the shuffle O(labels * d), not
   O(rows * d).
@@ -40,7 +44,17 @@ from ..registry import register
 from ..sources.tables import table
 
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 => a query vector
-CENTROID_MOD = 37  # vec_id % CENTROID_MOD == 0 => a centroid seed
+# Centroid seeds are vec_id % M == 0 where M = max(1, floor(sqrt(N))) —
+# so k ~ sqrt(N) cells of ~sqrt(N) vectors each, the IVF sizing that
+# balances assignment O(N*k*d) against in-cell verification O(N^2/k*d)
+# and keeps the centroid broadcast ~sqrt(N)*d*8 bytes (16 MB at 1e9
+# vectors). A FIXED modulus would grow k linearly with the corpus:
+# quadratic assignment and an unbounded broadcast in disguise. M is a
+# 1-row aggregate cross-joined into the plan (no driver action), and
+# the oracle computes the identical scalar subquery.
+_CMOD_SQL = (
+    "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
 TOP_K = 10
 IVF_TOP_K = 5
 NPROBE = 2
@@ -152,7 +166,7 @@ def _bruteforce_topk(
 @register(
     "ann_ivf",
     oracle=f"""
-    WITH cent AS (SELECT * FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),
+    WITH cent AS (SELECT * FROM embeddings WHERE vec_id % {_CMOD_SQL} = 0),
     assign_scored AS (
       SELECT v.vec_id, c.vec_id AS cell_id,
              row_number() OVER (
@@ -193,8 +207,9 @@ def _bruteforce_topk(
     FROM ranked WHERE rank <= {IVF_TOP_K}
     """,
     doc=f"IVF approximate nearest neighbors: vectors are assigned to "
-    f"their nearest centroid cell (centroids = vec_id % {CENTROID_MOD} "
-    f"sample, broadcast); each query probes its {NPROBE} nearest cells "
+    "their nearest centroid cell (~sqrt(N) deterministic-sample "
+    "centroids, broadcast); each query probes its "
+    f"{NPROBE} nearest cells "
     f"and ranks only those cells' members, returning top-{IVF_TOP_K}. "
     "Cost per query drops from |N| to |N|*nprobe/cells; on a cluster "
     "the assignment table is bucketed by cell_id so probes prune "
@@ -214,11 +229,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _seed_centroids(emb: DataFrame) -> DataFrame:
     """(cell_id, ce, cn): the deterministic-sample centroid table —
-    k-means INIT (and the untrained baseline ann_ivf searches with)."""
-    return emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("embedding").alias("ce"),
-        F.col("vn").alias("cn"),
+    k-means INIT (and the untrained baseline ann_ivf searches with).
+    k ~ sqrt(N): the modulus is a broadcast 1-row aggregate, so the
+    seed rule self-scales with the corpus without a driver action."""
+    m = emb.agg(
+        F.greatest(F.lit(1), F.floor(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("cmod")
+    )
+    return (
+        emb.crossJoin(F.broadcast(m))
+        .where(F.col("vec_id") % F.col("cmod") == 0)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("ce"),
+            F.col("vn").alias("cn"),
+        )
     )
 
 
@@ -418,7 +444,7 @@ def _lloyd_ctes(n_iters: int) -> str:
     parts = [
         f"""cent0 AS (
       SELECT vec_id AS cell_id, embedding::DOUBLE[] AS ce
-      FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+      FROM embeddings WHERE vec_id % {_CMOD_SQL} = 0
     )"""
     ]
     for i in range(n_iters):

@@ -179,7 +179,7 @@ def test_embedding_ivf_recall_and_precision(spark):
     """The IVF-bucketed embedding dedup must (a) report only pairs the
     exact method reports — verification is exact, so precision is 1.0
     by construction — and (b) recover every exact pair at sf0.01 with
-    top-3 multi-assignment (measured basis for ASSIGN_PROBE=3)."""
+    top-5 multi-assignment (measured basis for ASSIGN_PROBE=5)."""
     exact = {
         (r.vec_a, r.vec_b)
         for r in SPECS["dedup_embedding_cosine"].fn(spark, SF_DIR_T2).collect()
