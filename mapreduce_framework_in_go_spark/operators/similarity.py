@@ -251,8 +251,9 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
 def _nearest_cells(
     vecs: DataFrame, cent: DataFrame, id_col: str, n: int
 ) -> DataFrame:
-    """Top-n centroid cells per vector: broadcast the (KB-MB) centroid
-    table, rank by (rounded cosine DESC, cell_id) per vector."""
+    """Top-n (n > 1) centroid cells per vector: broadcast the (KB-MB)
+    centroid table, rank by (rounded cosine DESC, cell_id) per vector.
+    For n == 1 use _with_nearest_cell — same semantics, no shuffle."""
     scored = vecs.join(F.broadcast(cent)).select(
         id_col,
         "cell_id",
@@ -271,11 +272,61 @@ def _nearest_cells(
     )
 
 
+def _with_nearest_cell(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """``vecs`` plus a ``cell_id`` column: each row's argmax-cosine
+    centroid — the n=1 assignment as a MAP-ONLY stage.
+
+    The k ~ sqrt(N) centroid table is collapsed to one row holding an
+    array of (cell_id, ce, cn) structs, cross-joined broadcast, and
+    folded per vector row. The window-rank path shuffles and sorts
+    N*k scored rows per assignment; this shuffles nothing, which also
+    lets Lloyd rounds skip the emb-to-assignment re-join because the
+    embedding never leaves the row. Two-step fold: transform scores
+    each cell ONCE (lambda bodies get no subexpression elimination —
+    the cosine must not sit in the comparator), then an
+    order-independent argmax fold applies the oracle's exact
+    tie-break (round(cos, 6) DESC, cell_id ASC), so the
+    nondeterministic collect_list order cannot perturb the result.
+    """
+    carr = cent.agg(
+        F.collect_list(F.struct("cell_id", "ce", "cn")).alias("_cells")
+    )
+    scored = F.transform(
+        F.col("_cells"),
+        lambda cell: F.struct(
+            F.round(
+                cosine_from_norms(
+                    F.col("embedding"), cell["ce"], F.col("vn"), cell["cn"]
+                ),
+                6,
+            ).alias("c"),
+            cell["cell_id"].alias("id"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("c"),
+            F.lit(None).cast("long").alias("id"),
+        ),
+        lambda acc, s: F.when(
+            acc["id"].isNull()
+            | (s["c"] > acc["c"])
+            | ((s["c"] == acc["c"]) & (s["id"] < acc["id"])),
+            s,
+        ).otherwise(acc),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .withColumn("cell_id", best["id"])
+        .drop("_cells")
+    )
+
+
 def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """The IVF probe plan over any centroid table: assign corpus
     vectors to their nearest cell, probe each query's NPROBE nearest
     cells, rank only those cells' members."""
-    assign = _nearest_cells(emb, cent, "vec_id", 1)
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     probes = _nearest_cells(
         q.select(F.col("vec_id").alias("query_id"), "embedding", "vn"),
@@ -284,9 +335,11 @@ def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
         NPROBE,
     )
 
-    members = assign.join(
-        emb.select("vec_id", F.col("embedding").alias("ne"), F.col("vn").alias("nn")),
+    members = _with_nearest_cell(emb, cent).select(
         "vec_id",
+        "cell_id",
+        F.col("embedding").alias("ne"),
+        F.col("vn").alias("nn"),
     )
     scored = (
         probes.join(members, "cell_id")
@@ -380,10 +433,12 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     centroids, entirely as DataFrame aggregates.
 
     Each round: (1) assign every vector to its nearest centroid (the
-    broadcast-join argmax in _nearest_cells); (2) recompute each cell's
+    map-only HOF argmax in _with_nearest_cell — no shuffle, no re-join,
+    the embedding stays on the row); (2) recompute each cell's
     centroid as the mean of its members via posexplode + groupBy
     (cell_id, pos) — map-side partials make the update shuffle
-    O(cells * dims), independent of corpus size.
+    O(cells * dims), independent of corpus size. One small shuffle
+    per round total.
 
     Determinism contract: the mean is EXACT fixed-point — per-element
     round(x * CENT_SCALE) to BIGINT, integer sum, then one double
@@ -402,9 +457,8 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     """
     cent = _seed_centroids(emb)
     for _ in range(LLOYD_ITERS):
-        assign = _nearest_cells(emb, cent, "vec_id", 1)
         sums = (
-            emb.join(assign, "vec_id")
+            _with_nearest_cell(emb, cent)
             .select("cell_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cell_id", "pos")
             .agg(
