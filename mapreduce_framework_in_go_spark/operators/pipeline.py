@@ -1,0 +1,275 @@
+"""The composed pretraining-corpus pipeline: every cleaning stage a
+100 TB training-data build runs, chained end-to-end over ``documents``
+and accounted per stage.
+
+    ingest -> quality gate -> language gate -> exact dedup -> near dedup
+
+Stages reuse the registered single-stage operators' exact semantics
+(same expressions, same thresholds, same tie-breaks): the quality
+composite and heuristic language ID from ``textops``, the md5
+exact-collapse and the MinHash+LSH near-dup components from ``dedup``.
+What this module adds is the composition — later (expensive) stages run
+only on earlier survivors, which is the point of ordering a pipeline
+cheapest-filter-first — and the yield ledger a corpus build publishes.
+
+Two queries:
+
+- ``pretrain_corpus_yield``: the funnel — docs and token counts
+  retained after each stage. Computed in ONE pass: each document gets a
+  survival level (the number of consecutive stages it passes), the
+  stage rows are conditional aggregates over that single frame, so the
+  expensive text expressions are evaluated once per doc, not once per
+  stage.
+- ``pretrain_survivors``: the final kept set (doc_id, source,
+  n_tokens) — what would actually be handed to tokenization.
+
+Scale notes (100 TB): the flag computation is shuffle-free map work;
+the exact-rep stage shuffles 32-char digests; the near-dup stage is the
+LSH band join over exact-reps of quality+language survivors only
+(every upstream gate shrinks the shingle/band shuffle, and the
+exact-collapse ordering means identical boilerplate can never flood a
+band bucket). The funnel aggregate is a single tiny reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..registry import register
+from ..sources.tables import table
+from .dedup import _lsh_pair_frame, _minhash_pair_ctes, connected_components
+from .textops import EN_STOP, STOPWORDS, _stop_hits
+
+QUALITY_MIN = 0.315  # ~p15 of the corpus quality distribution
+MIN_TOKENS = 15
+
+_STAGES = ["ingest", "quality", "language", "exact_dedup", "near_dedup"]
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOP) + "]"
+
+
+def _lang_best_sql() -> tuple[str, str]:
+    """(best_expr, en_is_best_expr) over a lowercase token array
+    ``ltoks`` — the text_lang_id voting with its alphabetical
+    tie-break, reduced to the 'is the prediction en' bit."""
+    hits = {
+        lang: "len(list_filter(ltoks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + "], t)))"
+        for lang in sorted(STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    # 'en' wins iff hits are nonzero, no alphabetically-earlier
+    # language attains the max, and en does.
+    earlier = [hits[lang] for lang in sorted(STOPWORDS) if lang < "en"]
+    en_best = (
+        f"(best > 0 AND {hits['en']} = best"
+        + "".join(f" AND {h} < best" for h in earlier)
+        + ")"
+    )
+    return best, en_best
+
+
+def _pipeline_ctes() -> str:
+    """CTE chain ending at ``lev(doc_id, source, n_tokens, level)`` —
+    the per-document survival level, shared by both pipeline oracles.
+    Must stay expression-for-expression identical to _level_frame."""
+    best, en_best = _lang_best_sql()
+    return f"""
+    rawf AS (
+      SELECT doc_id, text, source, n_chars,
+             regexp_extract_all(text, '[\\p{{L}}]+') AS toks,
+             regexp_extract_all(lower(text), '[\\p{{L}}]+') AS ltoks,
+             len(regexp_replace(text, '[^\\p{{L}}]+', '', 'g')) AS n_letter
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, text, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (round(0.5 * coalesce(len(list_filter(toks, t ->
+                        list_contains({_EN_STOP_SQL}, t)))
+                        * 1.0 / nullif(len(toks), 0), 0)
+                  + 0.3 * least(coalesce(n_letter * 1.0
+                        / nullif(len(toks), 0), 0) / 10.0, 1.0)
+                  + 0.2 * coalesce(n_letter * 1.0
+                        / nullif(n_chars, 0), 0), 6) >= {QUALITY_MIN}
+              AND len(toks) >= {MIN_TOKENS}) AS pass_q,
+             {en_best.replace('best', f'({best})')} AS pass_lang
+      FROM rawf
+    ),
+    s2 AS (SELECT * FROM flags WHERE pass_q AND pass_lang),
+    xreps AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+    s3docs AS (
+      SELECT s2.doc_id, s2.text FROM s2 JOIN xreps USING (doc_id)
+    ),
+    {_minhash_pair_ctes('s3docs')},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    ndrops AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id
+      ) WHERE doc_id != label
+    ),
+    lev AS MATERIALIZED (
+      SELECT f.doc_id, f.source, f.n_tokens,
+             CASE WHEN NOT f.pass_q THEN 0
+                  WHEN NOT f.pass_lang THEN 1
+                  WHEN x.doc_id IS NULL THEN 2
+                  WHEN d.doc_id IS NOT NULL THEN 3
+                  ELSE 4 END AS level
+      FROM flags f
+      LEFT JOIN xreps x ON x.doc_id = f.doc_id
+      LEFT JOIN ndrops d ON d.doc_id = f.doc_id
+    )"""
+
+
+def _level_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, level): survival level per document —
+    0 fails quality, 1 fails language, 2 loses exact dedup, 3 loses
+    near dedup, 4 survives everything. The oracle twin is
+    _pipeline_ctes; stage semantics are shared with textops/dedup."""
+    toks = tokens_col("text")
+    ltoks = tokens_col(F.lower(F.col("text")))
+    n_tok = F.size(toks).cast("long")
+    n_letter = F.length(F.regexp_replace("text", r"[^\p{L}]+", ""))
+    stop_ratio = _stop_hits(toks, EN_STOP) / F.nullif(n_tok, F.lit(0))
+    alpha = n_letter / F.nullif(F.col("n_chars"), F.lit(0))
+    mean_len = n_letter / F.nullif(n_tok, F.lit(0))
+    quality = F.round(
+        0.5 * F.coalesce(stop_ratio, F.lit(0.0))
+        + 0.3 * F.least(F.coalesce(mean_len, F.lit(0.0)) / 10.0, F.lit(1.0))
+        + 0.2 * F.coalesce(alpha, F.lit(0.0)),
+        6,
+    )
+    hit_cols = {
+        lang: _stop_hits(ltoks, STOPWORDS[lang]) for lang in sorted(STOPWORDS)
+    }
+    best = F.greatest(*hit_cols.values())
+    en_best = (best > 0) & (hit_cols["en"] == best)
+    for lang in sorted(STOPWORDS):
+        if lang < "en":
+            en_best = en_best & (hit_cols[lang] < best)
+
+    flags = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        n_tok.alias("n_tokens"),
+        ((quality >= QUALITY_MIN) & (n_tok >= MIN_TOKENS)).alias("pass_q"),
+        en_best.alias("pass_lang"),
+    )
+    s2 = flags.where(F.col("pass_q") & F.col("pass_lang"))
+    xreps = (
+        s2.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(xreps, "doc_id", "left_semi").select("doc_id", "text")
+    pairs = _lsh_pair_frame(s3).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ndrops = (
+        connected_components(pairs)
+        .where(F.col("doc_id") != F.col("label"))
+        .select("doc_id")
+    )
+    return (
+        flags.join(
+            xreps.withColumn("is_xrep", F.lit(True)), "doc_id", "left"
+        )
+        .join(ndrops.withColumn("is_ndrop", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.when(~F.col("pass_q"), F.lit(0))
+            .when(~F.col("pass_lang"), F.lit(1))
+            .when(F.col("is_xrep").isNull(), F.lit(2))
+            .when(F.col("is_ndrop").isNotNull(), F.lit(3))
+            .otherwise(F.lit(4))
+            .alias("level"),
+        )
+    )
+
+
+@register(
+    "pretrain_corpus_yield",
+    oracle=f"""
+    WITH RECURSIVE {_pipeline_ctes()}
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT {k} AS stage_idx, '{s}' AS stage, count(*) AS n_docs, "
+        f"coalesce(sum(n_tokens), 0) AS n_tokens FROM lev WHERE level >= {k}"
+        for k, s in enumerate(_STAGES)
+      )}
+    )
+    """,
+    doc="The pretraining-corpus funnel: documents and token counts "
+    "retained after each pipeline stage (ingest, quality gate, "
+    "language gate, exact dedup, near dedup), stages composed "
+    "cheapest-first so each gate shrinks the next stage's shuffle. "
+    "Single-pass: one survival level per doc, stage rows are "
+    "conditional aggregates — the text expressions run once per "
+    "document regardless of stage count.",
+    tags=["pipeline"],
+)
+def pretrain_corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lev = _level_frame(table(spark, sf_dir, "documents"))
+    agg = lev.agg(
+        *[
+            F.count(F.when(F.col("level") >= k, True)).alias(f"d{k}")
+            for k in range(len(_STAGES))
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("level") >= k, F.col("n_tokens"))),
+                F.lit(0),
+            ).alias(f"t{k}")
+            for k in range(len(_STAGES))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"d{k}").alias("n_docs"),
+                F.col(f"t{k}").alias("n_tokens"),
+            )
+            for k, s in enumerate(_STAGES)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "pretrain_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_pipeline_ctes()}
+    SELECT doc_id, source, n_tokens FROM lev WHERE level = 4
+    """,
+    doc="The final kept document set of the pretraining pipeline — "
+    "what survives quality, language, exact-dedup and near-dedup "
+    "gates and would be handed to tokenization. Columns (doc_id, "
+    "source, n_tokens) so downstream sampling can weight by source "
+    "and budget by token count.",
+    tags=["pipeline"],
+)
+def pretrain_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lev = _level_frame(table(spark, sf_dir, "documents"))
+    return lev.where(F.col("level") == 4).select(
+        "doc_id", "source", "n_tokens"
+    )

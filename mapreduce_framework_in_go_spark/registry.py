@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         linearizability,
         mapreduce,
         multimodal,
+        pipeline,
         relational,
         sampling,
         similarity,

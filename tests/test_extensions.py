@@ -232,3 +232,41 @@ def test_split_stable_under_repartition(spark, sf_dir):
     n = len(a)
     train_frac = sum(1 for v in a.values() if v == "train") / n
     assert 0.7 < train_frac < 0.9
+
+
+def test_pretrain_funnel_consistent(spark, sf_dir):
+    """The composed pipeline's funnel must be internally consistent:
+    5 monotone non-increasing stages starting at the full corpus, with
+    the survivors query agreeing with the final stage's ledger row."""
+    funnel = {
+        r["stage_idx"]: r
+        for r in SPECS["pretrain_corpus_yield"].fn(spark, sf_dir).collect()
+    }
+    assert [funnel[k]["stage"] for k in sorted(funnel)] == [
+        "ingest", "quality", "language", "exact_dedup", "near_dedup",
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert funnel[0]["n_docs"] == docs.count()
+    for k in range(1, 5):
+        assert funnel[k]["n_docs"] <= funnel[k - 1]["n_docs"]
+        assert funnel[k]["n_tokens"] <= funnel[k - 1]["n_tokens"]
+    surv = SPECS["pretrain_survivors"].fn(spark, sf_dir).collect()
+    assert len(surv) == funnel[4]["n_docs"]
+    assert sum(r["n_tokens"] for r in surv) == funnel[4]["n_tokens"]
+    assert len(surv) > 0
+
+
+def test_pretrain_survivors_are_clean(spark, sf_dir):
+    """End-to-end guarantee of the composed pipeline: the kept set
+    contains no exact duplicates and no LSH-verified near-dup pair —
+    the properties the dedup stages exist to enforce."""
+    from mapreduce_framework_in_go_spark.operators.dedup import (
+        _lsh_pair_frame,
+    )
+
+    surv = SPECS["pretrain_survivors"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    n = kept.count()
+    assert kept.select("text").distinct().count() == n
+    assert _lsh_pair_frame(kept.select("doc_id", "text")).count() == 0
