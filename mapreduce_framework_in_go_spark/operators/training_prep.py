@@ -1,0 +1,231 @@
+"""Training-set preparation operators: the steps between a cleaned
+corpus and a training run — benchmark decontamination, sequence
+packing, and source mixing under a token budget. All three are
+deterministic (hash-order, integer arithmetic) so every one is
+oracle-checked.
+
+Scale notes (100 TB):
+
+- decontamination: the benchmark side of the join is an eval suite —
+  megabytes, not terabytes — so its distinct n-gram set is BROADCAST
+  and the scan stays shuffle-free on the corpus side except the final
+  per-doc count. If the eval set ever outgrows a broadcast, the same
+  plan works as a shuffle equi-join on the n-gram.
+- packing: the global token cumsum is computed two-level — a window
+  inside each doc_id range-group plus a tiny broadcast join of group
+  offsets — NEVER a single-partition global window (the classic
+  orderBy-window scale trap; same decomposition as the KV fold).
+- mixing: one window per source, parallel across sources. A single
+  pathological source can be range-split with the packing
+  decomposition; noted, not needed for this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long32, shingles_col, tokens_col
+from ..registry import register
+from ..sources.tables import table
+
+DECON_NGRAM = 5  # n-gram width for benchmark-overlap detection
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 => held-out "benchmark" doc
+CTX_TOKENS = 512  # packed training-context length
+SOURCE_TOKEN_BUDGET = 800  # per-source token budget for the mix
+
+# Number of docs per packing range-group: the local-window unit. Big
+# enough that the group-offset table stays tiny (one row per
+# PACK_GROUP_SPAN of doc_id space), small enough that one group's
+# window never approaches a single executor's memory.
+PACK_GROUP_SPAN = 1_000
+
+_SHINGLE_5_SQL = f"""
+  toks AS (
+    SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' ') AS s
+      FROM toks, unnest(range(1, len(toks) - {DECON_NGRAM - 2})) u(i)
+      WHERE len(toks) >= {DECON_NGRAM}
+    )
+  )
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH {_SHINGLE_5_SQL},
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} != 0),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY 1),
+    hits AS (
+      SELECT tr.doc_id, count(*) AS n_hit
+      FROM tr JOIN ev USING (s) GROUP BY 1
+    )
+    SELECT h.doc_id,
+           CAST(h.n_hit AS BIGINT) AS n_hit_ngrams,
+           CAST(z.n_ngrams AS BIGINT) AS n_ngrams,
+           round(h.n_hit * 1.0 / z.n_ngrams, 6) AS contamination
+    FROM hits h JOIN sizes z USING (doc_id)
+    """,
+    doc=f"Benchmark decontamination: training documents sharing at "
+    f"least one {DECON_NGRAM}-gram with the held-out eval split "
+    f"(doc_id % {EVAL_MOD} = 0) — the overlap check run before any "
+    "pretraining so eval answers cannot leak into the corpus. The "
+    "eval side's distinct n-gram set is broadcast (an eval suite is "
+    "MBs against a TB corpus), so the corpus scan joins map-side and "
+    "the only shuffle is the per-doc hit count.",
+    tags=["training_prep"],
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), DECON_NGRAM))
+        ).alias("s"),
+    )
+    ev = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0).select("s").distinct()
+    )
+    tr = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        F.col("n_hit").alias("n_hit_ngrams"),
+        F.col("n_ngrams"),
+        F.round(F.col("n_hit") / F.col("n_ngrams"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[\\p{{L}}]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS token_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           CAST(floor(token_offset / {CTX_TOKENS}) AS BIGINT) AS bin_first,
+           CAST(floor((token_offset + n_tokens - 1) / {CTX_TOKENS}) AS BIGINT)
+             AS bin_last
+    FROM c WHERE n_tokens > 0
+    """,
+    doc=f"Sequence packing, concat-then-chunk: documents are laid out "
+    f"in doc_id order on one global token axis and sliced into "
+    f"{CTX_TOKENS}-token training contexts; each doc reports its "
+    "global token offset and the first/last context bin it lands in. "
+    "The global cumulative sum is two-level (per range-group window + "
+    "broadcast group offsets), never a single-partition global "
+    "window — the layout a 100 TB packing job actually computes.",
+    tags=["training_prep"],
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_GROUP_SPAN).cast("long").alias("g"),
+    )
+    w_local = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn(
+        "local_cum", F.sum("n_tokens").over(w_local)
+    )
+    g_tot = t.groupBy("g").agg(F.sum("n_tokens").alias("g_tokens"))
+    w_g = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g_off = g_tot.select(
+        "g",
+        (F.sum("g_tokens").over(w_g) - F.col("g_tokens")).alias("g_offset"),
+    )
+    off = F.col("g_offset") + F.col("local_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(g_off), "g")
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            off.alias("token_offset"),
+            F.floor(off / CTX_TOKENS).alias("bin_first"),
+            F.floor((off + F.col("n_tokens") - 1) / CTX_TOKENS).alias(
+                "bin_last"
+            ),
+        )
+    )
+
+
+@register(
+    "mix_sources_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[\\p{{L}}]+')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS pre_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, pre_tokens
+    FROM c WHERE pre_tokens < {SOURCE_TOKEN_BUDGET}
+    """,
+    doc=f"Source mixing under a token budget: within each source, "
+    "documents are taken in deterministic hash order (md5-derived, "
+    "layout-independent) until the source has contributed "
+    f"{SOURCE_TOKEN_BUDGET} tokens — the sampling step that turns "
+    "per-source weights into an actual training mix. One window per "
+    "source, parallel across sources; a pathological mega-source "
+    "would be range-split exactly like pack_sequences' cumsum.",
+    tags=["training_prep"],
+)
+def mix_sources_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        md5_long32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("pre_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .where(F.col("pre_tokens") < SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "pre_tokens")
+    )

@@ -66,6 +66,7 @@ def load_all_operators() -> None:
         textops,
         tpch_extra,
         tpch_partsupp,
+        training_prep,
     )
 
 

@@ -270,3 +270,82 @@ def test_pretrain_survivors_are_clean(spark, sf_dir):
     n = kept.count()
     assert kept.select("text").distinct().count() == n
     assert _lsh_pair_frame(kept.select("doc_id", "text")).count() == 0
+
+
+def test_pack_sequences_matches_naive_global_cumsum(spark, sf_dir):
+    """The two-level (range-group + offsets) cumsum must equal the
+    single-window global cumsum it decomposes — the scale path may
+    never change the layout."""
+    from mapreduce_framework_in_go_spark.functions.text import tokens_col
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r["doc_id"]: r["off"]
+        for r in docs.select(
+            "doc_id", F.size(tokens_col("text")).cast("long").alias("n")
+        )
+        .select(
+            "doc_id", (F.sum("n").over(w) - F.col("n")).alias("off")
+        )
+        .collect()
+    }
+    packed = SPECS["pack_sequences"].fn(spark, sf_dir).collect()
+    assert packed
+    for r in packed:
+        assert r["token_offset"] == naive[r["doc_id"]]
+        assert r["bin_first"] <= r["bin_last"]
+        assert r["bin_first"] == r["token_offset"] // 512
+
+
+def test_mix_sources_budget_semantics(spark, sf_dir):
+    """Every kept doc starts inside its source's budget; every source
+    with enough tokens exhausts it (the next doc would start past the
+    budget); hash order makes the kept set layout-independent."""
+    from mapreduce_framework_in_go_spark.operators import training_prep as tp
+
+    kept = SPECS["mix_sources_budget"].fn(spark, sf_dir).collect()
+    assert kept
+    by_src = {}
+    for r in kept:
+        assert r["pre_tokens"] < tp.SOURCE_TOKEN_BUDGET
+        by_src.setdefault(r["source"], []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split("text", r"[^\p{L}]+"),
+                        lambda t: t != F.lit(""),
+                    )
+                ).cast("long")
+            ).alias("n")
+        )
+        .collect()
+    }
+    for src, rows in by_src.items():
+        taken = sum(r["n_tokens"] for r in rows)
+        if totals[src] >= tp.SOURCE_TOKEN_BUDGET:
+            # budget reached: the last kept doc crosses the line
+            assert taken >= tp.SOURCE_TOKEN_BUDGET
+        else:
+            assert taken == totals[src]
+
+
+def test_decontaminate_flags_only_real_overlaps(spark, sf_dir):
+    """Every flagged doc must share a 5-gram with the eval split, no
+    eval doc may be flagged, and ratios must be in (0, 1]."""
+    from mapreduce_framework_in_go_spark.operators import training_prep as tp
+
+    out = SPECS["decontaminate_ngram"].fn(spark, sf_dir).collect()
+    assert out, "eval split should contaminate at least one doc"
+    for r in out:
+        assert r["doc_id"] % tp.EVAL_MOD != 0
+        assert 1 <= r["n_hit_ngrams"] <= r["n_ngrams"]
+        assert 0 < r["contamination"] <= 1
