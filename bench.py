@@ -48,6 +48,10 @@ HEADLINE = [
     "ann_ivf_trained",
     "kv_linearizability",
     "mm_metadata",
+    "pretrain_corpus_yield",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "mix_sources_budget",
 ]
 
 
