@@ -133,11 +133,11 @@ def _pipeline_ctes() -> str:
     )"""
 
 
-def _level_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, n_tokens, level): survival level per document —
-    0 fails quality, 1 fails language, 2 loses exact dedup, 3 loses
-    near dedup, 4 survives everything. The oracle twin is
-    _pipeline_ctes; stage semantics are shared with textops/dedup."""
+def flag_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, source, n_tokens, pass_q, pass_lang): the
+    stateless gate flags — quality composite and language vote, the
+    map-only front of the pipeline. Pure column work, so the SAME
+    expressions run unchanged on a stream (streaming/ingest_gate.py)."""
     toks = tokens_col("text")
     ltoks = tokens_col(F.lower(F.col("text")))
     n_tok = F.size(toks).cast("long")
@@ -160,7 +160,7 @@ def _level_frame(docs: DataFrame) -> DataFrame:
         if lang < "en":
             en_best = en_best & (hit_cols[lang] < best)
 
-    flags = docs.select(
+    return docs.select(
         "doc_id",
         "text",
         "source",
@@ -168,6 +168,14 @@ def _level_frame(docs: DataFrame) -> DataFrame:
         ((quality >= QUALITY_MIN) & (n_tok >= MIN_TOKENS)).alias("pass_q"),
         en_best.alias("pass_lang"),
     )
+
+
+def _level_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, level): survival level per document —
+    0 fails quality, 1 fails language, 2 loses exact dedup, 3 loses
+    near dedup, 4 survives everything. The oracle twin is
+    _pipeline_ctes; stage semantics are shared with textops/dedup."""
+    flags = flag_frame(docs)
     s2 = flags.where(F.col("pass_q") & F.col("pass_lang"))
     xreps = (
         s2.groupBy(F.md5("text").alias("dig"))

@@ -486,3 +486,60 @@ def test_kv_stream_fold_spans_arrow_chunks(spark, tmp_path):
         assert got == {"a": "PCD"}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_ingest_gate_matches_batch_pipeline(spark, sf_dir, tmp_path):
+    """The streaming ingestion gate (quality + language + eval-split
+    decontamination, all stateless) must keep exactly the docs the
+    batch pipeline's front keeps: flag-passing, non-eval, zero eval
+    n-gram overlap."""
+    from mapreduce_framework_in_go_spark.operators.pipeline import flag_frame
+    from mapreduce_framework_in_go_spark.operators.training_prep import EVAL_MOD
+    from mapreduce_framework_in_go_spark.streaming.ingest_gate import (
+        eval_ngram_set,
+        ingest_gate_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = eval_ngram_set(docs)
+
+    pdf = docs.toPandas()
+    src = tmp_path / "gate_stream"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "d0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "d1.parquet", index=False)
+    os.utime(src / "d0.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "d1.parquet", (1_700_000_001, 1_700_000_001))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ingest_gate_stream(stream, ev)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_gate_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM ingest_gate_q").collect()}
+
+    contaminated = {
+        r["doc_id"] for r in SPECS["decontaminate_ngram"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in flag_frame(docs)
+        .where(F.col("pass_q") & F.col("pass_lang") & (F.col("doc_id") % EVAL_MOD != 0))
+        .collect()
+    } - contaminated
+    assert got == want
+    assert got, "gate should keep a nonempty survivor set"
