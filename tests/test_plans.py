@@ -147,3 +147,37 @@ def test_bruteforce_broadcast_is_bounded(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastExchange", small)) == want
     default = formatted_plan(similarity._bruteforce_topk(emb, 5))
     assert len(re.findall(r"\(\d+\) BroadcastExchange", default)) == 1
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The corpus-side cumsum window must be hash-partitioned by
+    range-group; the only single-partition work is the tiny
+    group-offset frame (one row per PACK_GROUP_SPAN of id space)."""
+    import re
+
+    plan = formatted_plan(SPECS["pack_sequences"].fn(spark, sf_dir))
+    hashed = re.findall(r"hashpartitioning\(g#", plan)
+    assert hashed, "corpus window should partition by range-group g"
+    # group offsets ride a broadcast join, not a corpus-wide shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    """The eval n-gram set must broadcast: the corpus-side scan joins
+    map-side, the only Exchange left is the per-doc hit count."""
+    plan = formatted_plan(SPECS["decontaminate_ngram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """The n=1 cell assignment (Lloyd rounds, IVF members) must not
+    window-shuffle N*k scored rows: ann_ivf's plan may contain no
+    window-function Exchange on vec_id — only the probe-side window
+    (query_id) and the final rank remain."""
+    import re
+
+    plan = formatted_plan(SPECS["ann_ivf"].fn(spark, sf_dir))
+    assert not re.search(r"hashpartitioning\(vec_id#", plan), (
+        "corpus-side assignment should be the broadcast argmax fold, "
+        "not a window shuffle on vec_id"
+    )
