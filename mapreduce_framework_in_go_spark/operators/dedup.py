@@ -1040,3 +1040,58 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+@register(
+    "dedup_crossmodal_agreement",
+    oracle=f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT v.doc_a, v.doc_b, v.jaccard,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine,
+           (round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {COSINE_DUP_THRESHOLD}) AS embedding_agrees
+    FROM vpairs v
+    JOIN embeddings a ON a.vec_id = v.doc_a
+    JOIN embeddings b ON b.vec_id = v.doc_b
+    """,
+    doc="Cross-modal dedup diagnostic: every MinHash-LSH text near-dup "
+    "pair annotated with its embedding cosine and whether the "
+    "embedding modality independently agrees it is a near-dup — the "
+    "audit a multi-signal dedup pipeline runs before trusting one "
+    "sketch family. The pair set comes from the banded LSH join (never "
+    "all-pairs); the embedding lookup is two hash joins on vec_id.",
+    tags=["dedup"],
+)
+def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb
+
+    pairs = _lsh_pair_frame(table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("vn").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("vn").alias("nb"),
+    )
+    cos = F.round(
+        cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cosine"),
+            (cos >= COSINE_DUP_THRESHOLD).alias("embedding_agrees"),
+        )
+    )

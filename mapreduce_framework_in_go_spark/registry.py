@@ -61,6 +61,7 @@ def load_all_operators() -> None:
         relational,
         sampling,
         similarity,
+        sketches,
         skew,
         temporal,
         textops,

@@ -191,3 +191,21 @@ def test_embedding_ivf_recall_and_precision(spark):
     assert exact, "corpus should contain >=0.45-cosine pairs"
     assert ivf <= exact  # precision 1.0
     assert ivf == exact, (len(ivf), len(exact))
+
+
+def test_crossmodal_agreement_consistent_with_both_modalities(spark):
+    """Cross-modal rows must be exactly the LSH text pairs, and a row
+    claims embedding agreement iff the pair is in the exact
+    embedding-cosine dup set."""
+    rows = SPECS["dedup_crossmodal_agreement"].fn(spark, SF_DIR_T2).collect()
+    text_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR_T2).collect()
+    }
+    emb_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in SPECS["dedup_embedding_cosine"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == text_pairs
+    for r in rows:
+        assert r.embedding_agrees == ((r.doc_a, r.doc_b) in emb_pairs)
