@@ -257,28 +257,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pair_frame(table(spark, sf_dir, "documents"))
 
 
-def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard, jaccard): the full MinHash+LSH
-    pipeline over a ``(doc_id, text)`` frame — candidate pairs from
-    band buckets, verified with exact shingle Jaccard restricted to
-    candidates. Shared by dedup_minhash_lsh and dedup_clusters_lsh.
-
-    Materializes the tokenized/exploded shingle rows once — they feed
-    the signature build, the size table, and candidate verification.
-    (At cluster scale this persist would be DISK_ONLY or a checkpoint;
-    recomputing three tokenization passes is the alternative cost.)
-    The returned plan references the cached frames, so they cannot be
-    unpersisted here; instead each invocation evicts the previous
-    invocation's cache, bounding storage to one generation."""
-    _evict_previous_generation()
-    sh = (
-        _shingle_rows_from(docs)
-        .withColumn("h", md5_long32(F.col("s")))
-        .persist()
-    )
-    sig = _minhash_sig(sh).cache()
-    _CACHE_GENERATION.extend([sh, sig])
-    bands = sig.select(
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig): the banded LSH keys of a signature
+    frame — md5 over each band's LSH_ROWS signature slots."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -300,6 +282,30 @@ def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_sig")
+
+
+def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard): the full MinHash+LSH
+    pipeline over a ``(doc_id, text)`` frame — candidate pairs from
+    band buckets, verified with exact shingle Jaccard restricted to
+    candidates. Shared by dedup_minhash_lsh and dedup_clusters_lsh.
+
+    Materializes the tokenized/exploded shingle rows once — they feed
+    the signature build, the size table, and candidate verification.
+    (At cluster scale this persist would be DISK_ONLY or a checkpoint;
+    recomputing three tokenization passes is the alternative cost.)
+    The returned plan references the cached frames, so they cannot be
+    unpersisted here; instead each invocation evicts the previous
+    invocation's cache, bounding storage to one generation."""
+    _evict_previous_generation()
+    sh = (
+        _shingle_rows_from(docs)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    sig = _minhash_sig(sh).cache()
+    _CACHE_GENERATION.extend([sh, sig])
+    bands = _band_frame(sig)
 
     cand = (
         bands.alias("a")
@@ -1093,5 +1099,171 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             cos.alias("cosine"),
             (cos >= COSINE_DUP_THRESHOLD).alias("embedding_agrees"),
+        )
+    )
+
+
+# Delta split for the incremental-maintenance query: doc_id % DELTA_MOD
+# == DELTA_REM plays "today's crawl increment", the rest is the
+# standing deduped base corpus.
+DELTA_MOD = 10
+DELTA_REM = 9
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_shingles_cte()},
+    {_minhash_sig_sql()},
+    bands AS (
+      {_bands_sql()}
+    ),
+    delta AS (
+      SELECT doc_id, md5(text) AS dig FROM documents
+      WHERE doc_id % {DELTA_MOD} = {DELTA_REM}
+    ),
+    base AS (
+      SELECT doc_id, md5(text) AS dig FROM documents
+      WHERE doc_id % {DELTA_MOD} != {DELTA_REM}
+    ),
+    ex AS (
+      SELECT d.doc_id, min(b.doc_id) AS dup_of
+      FROM delta d JOIN base b USING (dig) GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_d, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_id, band_sig)
+      WHERE a.doc_id % {DELTA_MOD} = {DELTA_REM}
+        AND b.doc_id % {DELTA_MOD} != {DELTA_REM}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_d, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_d
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT i.doc_d, i.doc_b,
+             round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_d
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT doc_d, doc_b, jaccard FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_d ORDER BY jaccard DESC, doc_b) AS rn
+        FROM near
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_d IS NOT NULL THEN 'near'
+                ELSE 'new' END AS dup_kind,
+           coalesce(e.dup_of, n.doc_b) AS dup_of,
+           CASE WHEN e.doc_id IS NOT NULL THEN NULL
+                ELSE n.jaccard END AS jaccard
+    FROM delta d
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN best n ON n.doc_d = d.doc_id
+    """,
+    doc="Incremental corpus maintenance: classify each delta document "
+    f"(doc_id % {DELTA_MOD} = {DELTA_REM}, playing a crawl increment) "
+    "against the standing base corpus as an exact dup (digest match, "
+    "min base partner), a near dup (best LSH-verified Jaccard partner "
+    "in the base), or new. The candidate join is DELTA bands against "
+    "BASE bands only — never base x base: on a real deployment the "
+    "base's band table is persisted bucketed by (band_id, band_sig) "
+    "and only the delta is sketched per increment, so per-day cost "
+    "scales with the delta, not the 100 TB corpus.",
+    tags=["dedup"],
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
+    _evict_previous_generation()
+    sh = (
+        _shingle_rows_from(docs)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    sig = _minhash_sig(sh).cache()
+    _CACHE_GENERATION.extend([sh, sig])
+    bands = _band_frame(sig)
+
+    digests = docs.select("doc_id", F.md5("text").alias("dig"))
+    delta = digests.where(is_delta)
+    base = digests.where(~is_delta)
+    ex = (
+        delta.join(base.select(F.col("doc_id").alias("b_id"), "dig"), "dig")
+        .groupBy("doc_id")
+        .agg(F.min("b_id").alias("ex_dup_of"))
+    )
+
+    cand = (
+        bands.where(is_delta)
+        .select("band_id", "band_sig", F.col("doc_id").alias("doc_d"))
+        .join(
+            bands.where(~is_delta).select(
+                "band_id", "band_sig", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("doc_d", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_d"), "s"), "doc_d")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_d", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    near = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_d"), F.col("n").alias("n_a")),
+            "doc_d",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_d", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_d").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b")
+    )
+    best = (
+        near.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_d").alias("doc_id"),
+            F.col("doc_b").alias("nr_dup_of"),
+            F.col("jaccard").alias("nr_jaccard"),
+        )
+    )
+    return (
+        delta.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_dup_of").isNotNull(), F.lit("exact"))
+            .when(F.col("nr_dup_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("dup_kind"),
+            F.coalesce("ex_dup_of", "nr_dup_of").alias("dup_of"),
+            F.when(F.col("ex_dup_of").isNotNull(), F.lit(None).cast("double"))
+            .otherwise(F.col("nr_jaccard"))
+            .alias("jaccard"),
         )
     )

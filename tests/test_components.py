@@ -209,3 +209,40 @@ def test_crossmodal_agreement_consistent_with_both_modalities(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} == text_pairs
     for r in rows:
         assert r.embedding_agrees == ((r.doc_a, r.doc_b) in emb_pairs)
+
+
+def test_incremental_dedup_classification(spark):
+    """Every 'exact' delta doc must share text with its base partner;
+    every 'near' pair must be in the exact-Jaccard dup-pair set (LSH
+    verification is exact, so precision is 1.0); 'new' docs must have
+    no identical base text."""
+    from mapreduce_framework_in_go_spark.operators import dedup as dd
+
+    rows = SPECS["dedup_incremental"].fn(spark, SF_DIR_T2).collect()
+    assert rows and {r.dup_kind for r in rows} <= {"exact", "near", "new"}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            f"{SF_DIR_T2}/documents.parquet"
+        ).collect()
+    }
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR_T2).collect()
+    }
+    base_texts = {
+        t
+        for d, t in docs.items()
+        if d % dd.DELTA_MOD != dd.DELTA_REM
+    }
+    for r in rows:
+        assert r.doc_id % dd.DELTA_MOD == dd.DELTA_REM
+        if r.dup_kind == "exact":
+            assert docs[r.doc_id] == docs[r.dup_of]
+        elif r.dup_kind == "near":
+            pair = (min(r.doc_id, r.dup_of), max(r.doc_id, r.dup_of))
+            assert pair in exact_pairs
+            assert r.jaccard >= dd.JACCARD_THRESHOLD
+        else:
+            assert r.dup_of is None and r.jaccard is None
+            assert docs[r.doc_id] not in base_texts
