@@ -31,19 +31,35 @@ TABLE_NAMES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Catalyst prunes columns / pushes filters.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
-    natively; we read it as raw long (legacy nanosAsLong conf) and
-    truncate to microsecond TIMESTAMP_NTZ — exactly what DuckDB does on
-    read, so oracle comparisons see identical instants. timestampadd on
-    an NTZ epoch base keeps the conversion timezone-independent.
+    ``events.ts`` must come out as microsecond TIMESTAMP_NTZ — the naive
+    wall-clock DuckDB sees on the same file — whatever physical layout the
+    generator used. Three layouts are handled:
+
+    - INT64 TIMESTAMP(NANOS): Spark rejects it natively; read as raw long
+      (legacy nanosAsLong conf) and truncate to micros via timestampadd on
+      an NTZ epoch base (timezone-independent).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): native TIMESTAMP_NTZ read
+      (inferTimestampNTZ, default on in Spark 4) — pass through.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=true): an instant; re-render its
+      UTC wall clock as NTZ via unix_micros (session-TZ independent).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import types as T
+
+        dt = raw.schema["ts"].dataType
+        if isinstance(dt, T.TimestampNTZType):
+            return raw
+        if isinstance(dt, T.LongType):
+            micros = "ts div 1000"
+        else:  # instant (TIMESTAMP type)
+            micros = "unix_micros(ts)"
         return raw.withColumn(
             "ts",
             F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
+                f"timestampadd(MICROSECOND, {micros}, "
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )

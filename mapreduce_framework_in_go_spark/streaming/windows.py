@@ -22,24 +22,29 @@ from pyspark.sql import types as T
 
 from ..operators.relational import fsum
 
-# Explicit schema: streaming sources never infer. ts arrives as raw
-# nanos (INT64 TIMESTAMP(NANOS) parquet, read as long via nanosAsLong —
-# same contract as sources/tables.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit schema (streaming sources never infer); the ts physical
+    type is probed from the file so both the legacy raw-nanos layout and
+    the current micros TIMESTAMP_NTZ layout work (see sources/tables.py)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over the events parquet with the nanos→ntz conversion."""
+    """readStream over the events parquet, ts normalized to an instant."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # Probe the on-disk ts type with a metadata-only batch read, then
+    # declare the matching streaming schema.
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     # FileStreamSource requires a directory basePath; the testdata tables
     # are single files, so a trailing glob makes Spark infer the parent
     # directory as basePath while still matching only this table.
@@ -48,15 +53,28 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.isdir(path):
         path = path + "*"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
     # Watermarks require TimestampType (instant), not TIMESTAMP_NTZ —
-    # timestamp_micros is exact integer arithmetic on the epoch value.
-    # Downstream date_format therefore renders in the session timezone;
-    # sessions here pin UTC (session.py), matching the batch twins.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # both conversions are exact integer arithmetic on epoch micros,
+    # treating the naive wall clock as UTC regardless of session TZ.
+    # Downstream date_format renders in the session timezone; sessions
+    # here pin UTC (session.py), matching the batch twins.
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return raw
 
 
 def hourly_agg_stream(events: DataFrame) -> DataFrame:

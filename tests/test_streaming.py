@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_in_go_spark.operators import kv
 from mapreduce_framework_in_go_spark.registry import all_queries
+from mapreduce_framework_in_go_spark.sources import tables
 from mapreduce_framework_in_go_spark.streaming import kv_state as skv
 from mapreduce_framework_in_go_spark.streaming import windows as sw
 
@@ -239,9 +240,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         q.stop()
     got = spark.sql("SELECT purchase_id, click_id, user_id FROM ssj_stream")
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = tables.table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
