@@ -284,7 +284,7 @@ def _band_frame(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_sig")
 
 
-def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
+def _lsh_pair_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, est_jaccard, jaccard): the full MinHash+LSH
     pipeline over a ``(doc_id, text)`` frame — candidate pairs from
     band buckets, verified with exact shingle Jaccard restricted to
@@ -296,15 +296,19 @@ def _lsh_pair_frame(docs: DataFrame) -> DataFrame:
     recomputing three tokenization passes is the alternative cost.)
     The returned plan references the cached frames, so they cannot be
     unpersisted here; instead each invocation evicts the previous
-    invocation's cache, bounding storage to one generation."""
-    _evict_previous_generation()
-    sh = (
-        _shingle_rows_from(docs)
-        .withColumn("h", md5_long32(F.col("s")))
-        .persist()
-    )
+    invocation's cache, bounding storage to one generation. Callers that
+    already hold a persisted ``(doc_id, s, h)`` shingle frame pass it as
+    ``sh`` (and own its cache generation)."""
+    if sh is None:
+        _evict_previous_generation()
+        sh = (
+            _shingle_rows_from(docs)
+            .withColumn("h", md5_long32(F.col("s")))
+            .persist()
+        )
+        _CACHE_GENERATION.append(sh)
     sig = _minhash_sig(sh).cache()
-    _CACHE_GENERATION.extend([sh, sig])
+    _CACHE_GENERATION.append(sig)
     bands = _band_frame(sig)
 
     cand = (
@@ -633,6 +637,74 @@ def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_minhash_pair_ctes()},
+    exact_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    true_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM exact_inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM vpairs) AS BIGINT) AS n_lsh,
+           round((SELECT count(*) FROM vpairs) * 1.0 /
+                 greatest((SELECT count(*) FROM true_pairs), 1), 6) AS recall
+    """,
+    doc="Sketch-quality metric: recall of the MinHash+LSH candidate "
+    "path against the exact-Jaccard ground truth at the same threshold "
+    "(LSH-verified pairs are a subset of the true pairs, so recall = "
+    "|lsh| / |true|). The exact side reuses the lossless prefix-filter "
+    "candidate generation; both pipelines share one persisted shingle "
+    "frame, so the corpus is tokenized once. This is the number a "
+    "100 TB dedup run watches to tune bands x rows before committing "
+    "to a full pass.",
+    tags=["dedup", "metric"],
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    _evict_previous_generation()
+    sh = (
+        _shingle_rows_from(docs)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    _CACHE_GENERATION.append(sh)
+
+    lsh_pairs = _lsh_pair_frame(docs, sh=sh)
+
+    cand = _prefix_candidates(sh, JACCARD_THRESHOLD - 1e-6)
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    true_pairs = inter.where(jac >= JACCARD_THRESHOLD)
+
+    n_true = true_pairs.agg(F.count("*").alias("n_true"))
+    n_lsh = lsh_pairs.agg(F.count("*").alias("n_lsh"))
+    return n_true.crossJoin(n_lsh).select(
+        "n_true",
+        "n_lsh",
+        F.round(
+            F.col("n_lsh") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
     )
 
 

@@ -1,0 +1,147 @@
+"""Streaming queries registered in the correctness gate.
+
+The streaming twins in streaming/windows.py were previously exercised
+only by stream-vs-batch parity tests; here each one is also a first-class
+``queries()`` entry: the streaming query is driven to completion over the
+bounded events parquet (availableNow-style: one microbatch per file) and
+its materialized result is hash-compared against a plain ANSI-SQL oracle.
+That makes the streaming path itself oracle-checked, not just
+batch-equivalent by test.
+
+Scale notes: these run identically on an unbounded source — the memory
+sink + processAllAvailable harness is only the bounded-input driver. At
+100 TB the same frames write to Kafka/Delta with the watermark bounding
+state; nothing in the query shape changes. The oracle reads the same
+parquet with DuckDB, so the correctness statement is end-to-end: source
+decode, event-time windowing, watermark accounting, and sink output all
+agree with the declarative SQL semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..streaming import windows as sw
+
+# memory-sink table names must be unique per started query within a
+# session; a counter keeps repeated invocations (driver retries, tests)
+# from colliding.
+_SEQ = itertools.count()
+
+
+def _run(df: DataFrame, mode: str) -> DataFrame:
+    return sw.run_to_completion(df, f"sq_{next(_SEQ)}", mode)
+
+
+@register(
+    "stream_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling 1-hour window aggregation driven to "
+    "completion over the bounded events source (watermark 1h, complete "
+    "mode — append would withhold windows the final watermark never "
+    "passes). Oracle: the same GROUP BY date_trunc in plain SQL. "
+    "Streaming twin of events_hourly_agg.",
+    tags=["streaming", "events"],
+)
+def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    return _run(sw.hourly_agg_stream(ev), "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="Streaming sliding window (1h wide, 30m slide): every event "
+    "lands in exactly width/slide = 2 overlapping windows. Oracle "
+    "expands each row into both covering window starts (the 30-minute "
+    "floor and the one before it — time_bucket's origin is a whole "
+    "multiple of 30m from the epoch, matching Spark's epoch-aligned "
+    "windows) and aggregates.",
+    tags=["streaming", "events"],
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    return _run(sw.sliding_agg_stream(ev), "complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="Streaming session windows (30-minute gap) per user. Oracle is "
+    "the lag + cumulative-sum sessionization; the gap comparison is "
+    "STRICT (<) because session_window treats [start, last+gap) as "
+    "half-open — an event exactly at the gap boundary opens a new "
+    "session. Streaming twin of events_sessionization.",
+    tags=["streaming", "events", "window"],
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    return _run(sw.session_window_stream(ev), "complete")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Stream-stream interval join (each purchase joined to the same "
+    "user's clicks from the preceding hour), append mode. Two-sided "
+    "time bounds + watermarks let Spark expire join state; the oracle "
+    "is the plain inequality join.",
+    tags=["streaming", "events", "join"],
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    return _run(sw.purchase_click_interval_join(ev), "append")

@@ -143,6 +143,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    ),
+    counts AS (
+      SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, sum(c) AS n_shingles, count(*) AS n_distinct,
+             max(c) AS top_c
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+           round(CASE WHEN coalesce(a.n_shingles, 0) > 0
+                      THEN 1.0 - a.n_distinct * 1.0 / a.n_shingles
+                      ELSE 0.0 END, 6) AS rep_ratio,
+           round(CASE WHEN coalesce(a.n_shingles, 0) > 0
+                      THEN a.top_c * 1.0 / a.n_shingles
+                      ELSE 0.0 END, 6) AS top_share
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Within-document repetition scoring (the Gopher-style filter "
+    "signal): fraction of duplicated 3-gram shingles and the share of "
+    "the single most frequent shingle. Everything is computed inside "
+    "the staged shingle array with higher-order functions — the "
+    "explode(array(...)) staging materializes the array once per row, "
+    "so the per-distinct-shingle count scan binds an attribute, not a "
+    "re-evaluated expression. Zero shuffles: the plan is scan -> "
+    "generate -> project, partitioned exactly like the input.",
+    tags=["textops"],
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.explode(F.array(shingles_col(tokens_col("text"), 3))).alias("sh"),
+    )
+    n_sh = F.size("sh")
+    n_distinct = F.size(F.array_distinct("sh"))
+    top_c = F.when(
+        n_sh > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct("sh"),
+                lambda x: F.size(F.filter(F.col("sh"), lambda y: y == x)),
+            )
+        ),
+    ).otherwise(0)
+    return staged.select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(n_sh > 0, 1.0 - n_distinct / n_sh).otherwise(0.0), 6
+        ).alias("rep_ratio"),
+        F.round(
+            F.when(n_sh > 0, top_c / n_sh).otherwise(0.0), 6
+        ).alias("top_share"),
+    )
+
+
 def _langid_case_sql() -> str:
     langs = sorted(STOPWORDS)
     hits = {

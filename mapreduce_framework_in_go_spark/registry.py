@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         similarity,
         sketches,
         skew,
+        streaming_queries,
         temporal,
         textops,
         tpch_extra,

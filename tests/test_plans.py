@@ -169,6 +169,17 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_text_repetition_shuffle_free(spark, sf_dir):
+    """All repetition stats are computed inside the staged shingle
+    array — the plan must be scan -> generate -> project with zero
+    exchanges (partitioned exactly like the input at any scale)."""
+    import re
+
+    plan = formatted_plan(SPECS["text_repetition"].fn(spark, sf_dir))
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "Generate" in plan  # the explode(array(...)) staging
+
+
 def test_ivf_assignment_is_map_only(spark, sf_dir):
     """The n=1 cell assignment (Lloyd rounds, IVF members) must not
     window-shuffle N*k scored rows: ann_ivf's plan may contain no
