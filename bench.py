@@ -38,8 +38,11 @@ HEADLINE = [
     "asof_join_event_order",
     "range_join_pre_purchase",
     "kv_state_fold",
+    "global_sort_rank",
+    "stream_hourly_agg",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",

@@ -1090,7 +1090,9 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _sim_evict()
     emb = _emb(spark, sf_dir)
-    assign = _nearest_cells(emb, _trained_centroids(emb), "vec_id", ASSIGN_PROBE)
+    assign = _nearest_cells(
+        emb, _trained_centroids(emb, cache_key=sf_dir), "vec_id", ASSIGN_PROBE
+    )
     pa = assign.select("cell_id", F.col("vec_id").alias("vec_a"))
     pb = assign.select("cell_id", F.col("vec_id").alias("vec_b"))
     cand = (

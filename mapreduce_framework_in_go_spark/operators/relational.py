@@ -1053,3 +1053,144 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(clicked).alias("n_click_after_signup"),
         one(purchased).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global total-order sort with a scalable global rank (terasort pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_sort_rank",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                AS BIGINT) AS pos
+    FROM customer
+    """,
+    doc="Total-order global sort with an exact global position for every "
+    "row — the terasort pattern. orderBy plans a RangePartitioning "
+    "exchange (sampled split points, so partitions are balanced and "
+    "mutually ordered); the global rank is then TWO-LEVEL: a "
+    "row_number within each range partition plus a prefix-sum of "
+    "per-partition counts joined back by broadcast. The naive "
+    "row_number() OVER (ORDER BY ...) would funnel the whole corpus "
+    "through ONE partition — this shape never does (plan-asserted), "
+    "which is what makes a 100 TB global index feasible.",
+    tags=["relational", "sort"],
+)
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    # RangePartitioning + in-partition sort: partition i holds keys
+    # strictly before partition i+1 in (acctbal DESC, custkey) order.
+    ranked = (
+        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.col("c_acctbal").desc(), "c_custkey"
+                )
+            ),
+        )
+    )
+    # Per-partition counts are one tiny row per range partition; the
+    # cumulative offset window runs on that frame only (never the data).
+    offsets = (
+        ranked.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            (F.col("offset") + F.col("rn")).cast("long").alias("pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (lakehouse upsert): matched-update + not-matched-insert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+      FROM base WHERE o_orderkey % 97 = 0
+    ),
+    mx AS (SELECT max(o_orderkey) AS mk FROM base)
+    SELECT b.o_orderkey, b.o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action,
+           round(coalesce(u.new_price, b.o_totalprice), 2) AS o_totalprice
+    FROM base b LEFT JOIN upd u USING (o_orderkey)
+    UNION ALL
+    SELECT b.o_orderkey + mk, b.o_custkey, 'insert',
+           round(b.o_totalprice, 2)
+    FROM base b, mx WHERE b.o_orderkey % 97 = 0
+    """,
+    doc="MERGE INTO semantics (the lakehouse upsert): a deterministic "
+    "delta derived from orders (every 97th key re-priced +10%, plus the "
+    "same rows re-keyed past max(o_orderkey) as inserts) merged into "
+    "the base — matched rows update, unmatched delta rows insert, "
+    "everything else keeps, with the merge action made observable. "
+    "Engine shape: one left join on the merge key (the delta side is "
+    "small enough to broadcast — Catalyst/AQE decides) plus a union of "
+    "inserts; the new-key offset is a broadcast 1-row max, no driver "
+    "action. On a lakehouse table this is the copy-on-write MERGE "
+    "dataflow: the join IS the engine work, the file rewrite is the "
+    "committer's.",
+    tags=["relational", "merge"],
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    delta_src = base.where(F.col("o_orderkey") % 97 == 0)
+    upd = delta_src.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+    )
+    mx = base.agg(F.max("o_orderkey").alias("mk"))
+    merged = (
+        base.join(upd, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("new_price").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.round(
+                F.coalesce(F.col("new_price"), F.col("o_totalprice")), 2
+            ).alias("o_totalprice"),
+        )
+    )
+    inserts = delta_src.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_orderkey") + F.col("mk")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("insert").alias("action"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    return merged.union(inserts)

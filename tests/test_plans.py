@@ -169,6 +169,19 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_global_sort_rank_two_level(spark, sf_dir):
+    """The terasort-style global rank must sort via RangePartitioning
+    and compute positions two-level (per-range-partition row_number +
+    broadcast prefix offsets): the only SinglePartition exchange in the
+    plan belongs to the tiny per-partition count frame — the full data
+    never funnels through one partition."""
+    plan = formatted_plan(SPECS["global_sort_rank"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning(pid" in plan  # big-side window keyed by pid
+    assert plan.count("SinglePartition") <= 2  # offsets frame only
+    assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
+
+
 def test_text_repetition_shuffle_free(spark, sf_dir):
     """All repetition stats are computed inside the staged shingle
     array — the plan must be scan -> generate -> project with zero
