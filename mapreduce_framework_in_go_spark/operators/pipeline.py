@@ -72,10 +72,11 @@ def _lang_best_sql() -> tuple[str, str]:
     return best, en_best
 
 
-def _pipeline_ctes() -> str:
-    """CTE chain ending at ``lev(doc_id, source, n_tokens, level)`` —
-    the per-document survival level, shared by both pipeline oracles.
-    Must stay expression-for-expression identical to _level_frame."""
+def _flags_ctes() -> str:
+    """CTE chain ending at ``flags(doc_id, text, source, n_tokens,
+    pass_q, pass_lang)`` — the stateless gate flags, shared by the
+    pipeline oracles and the streaming ingest-gate oracle. Must stay
+    expression-for-expression identical to flag_frame."""
     best, en_best = _lang_best_sql()
     return f"""
     rawf AS (
@@ -98,7 +99,14 @@ def _pipeline_ctes() -> str:
               AND len(toks) >= {MIN_TOKENS}) AS pass_q,
              {en_best.replace('best', f'({best})')} AS pass_lang
       FROM rawf
-    ),
+    )"""
+
+
+def _pipeline_ctes() -> str:
+    """CTE chain ending at ``lev(doc_id, source, n_tokens, level)`` —
+    the per-document survival level, shared by both pipeline oracles.
+    Must stay expression-for-expression identical to _level_frame."""
+    return f"""{_flags_ctes()},
     s2 AS (SELECT * FROM flags WHERE pass_q AND pass_lang),
     xreps AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
     s3docs AS (

@@ -145,3 +145,87 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
     return _run(sw.purchase_click_interval_join(ev), "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingestion: exact dedup + the stateless gate, oracle-checked
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from ..operators.pipeline import _flags_ctes  # noqa: E402
+from ..operators.training_prep import _SHINGLE_5_SQL, EVAL_MOD  # noqa: E402
+from ..streaming.dedup_stream import dedup_stream_exact  # noqa: E402
+from ..streaming.ingest_gate import eval_ngram_set, ingest_gate_stream  # noqa: E402
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents.parquet*")
+    )
+
+
+@register(
+    "stream_dedup_digests",
+    oracle="SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    doc="Streaming exact dedup at ingest: dropDuplicates on the content "
+    "digest as documents arrive, projected to the digest set (WHICH "
+    "arrival survives per digest is an execution-order accident, the "
+    "digest set is not — so the set is the oracle-checkable contract, "
+    "exactly the determinism discipline of the batch canonical sink). "
+    "Unbounded digest state; the watermark-bounded twin "
+    "(dropDuplicatesWithinWatermark) is exercised in test_streaming.",
+    tags=["streaming", "dedup"],
+)
+def stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_stream_exact(_docs_stream(spark, sf_dir))
+    return _run(deduped.select("text_md5"), "append")
+
+
+@register(
+    "stream_ingest_gate",
+    oracle=f"""
+    WITH {_flags_ctes()},
+    {_SHINGLE_5_SQL},
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    dirty AS (
+      SELECT DISTINCT tr.doc_id
+      FROM sh tr JOIN ev USING (s)
+      WHERE tr.doc_id % {EVAL_MOD} != 0
+    )
+    SELECT f.doc_id, f.source, f.n_tokens
+    FROM flags f
+    LEFT JOIN dirty d ON d.doc_id = f.doc_id
+    WHERE f.pass_q AND f.pass_lang
+      AND f.doc_id % {EVAL_MOD} != 0
+      AND d.doc_id IS NULL
+    """,
+    doc="The streaming ingestion gate end-to-end in the correctness "
+    "gate: quality + language + eval-membership + zero-5-gram-overlap "
+    "decontamination applied to the document stream (stateless map "
+    "work, stream-static broadcast of the eval n-gram set), oracle = "
+    "the identical batch flags + overlap SQL. Proves the stream emits "
+    "exactly the batch pipeline's stage-2 survivors minus "
+    "contamination.",
+    tags=["streaming", "pipeline"],
+)
+def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table as _table
+
+    docs_static = _table(spark, sf_dir, "documents")
+    gated = ingest_gate_stream(
+        _docs_stream(spark, sf_dir), eval_ngram_set(docs_static)
+    )
+    return _run(gated, "append")
