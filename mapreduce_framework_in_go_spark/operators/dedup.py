@@ -1090,9 +1090,15 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _sim_evict()
     emb = _emb(spark, sf_dir)
+    # the (vec_id, cell_id) assignment feeds BOTH sides of the pair
+    # self-join — persist it (tiny: ASSIGN_PROBE rows per vector) so the
+    # N x k scoring window runs once, not once per side
+    from .similarity import _CACHE_GENERATION as _SIM_CACHE
+
     assign = _nearest_cells(
         emb, _trained_centroids(emb, cache_key=sf_dir), "vec_id", ASSIGN_PROBE
-    )
+    ).persist()
+    _SIM_CACHE.append(assign)
     pa = assign.select("cell_id", F.col("vec_id").alias("vec_a"))
     pb = assign.select("cell_id", F.col("vec_id").alias("vec_b"))
     cand = (

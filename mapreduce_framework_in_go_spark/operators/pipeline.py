@@ -182,8 +182,23 @@ def _level_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, source, n_tokens, level): survival level per document —
     0 fails quality, 1 fails language, 2 loses exact dedup, 3 loses
     near dedup, 4 survives everything. The oracle twin is
-    _pipeline_ctes; stage semantics are shared with textops/dedup."""
-    flags = flag_frame(docs)
+    _pipeline_ctes; stage semantics are shared with textops/dedup.
+
+    flags is consumed by three plan branches (exact-rep build, the LSH
+    stage via s3, and the final level join) — without a persist the
+    HOF-heavy quality/language expressions would run once per branch.
+    Persisted under dedup's one-generation cache, together with the
+    shingle frame handed to _lsh_pair_frame (evict once, up front)."""
+    from .dedup import (
+        _CACHE_GENERATION,
+        _evict_previous_generation,
+        _shingle_rows_from,
+        md5_long32,
+    )
+
+    _evict_previous_generation()
+    flags = flag_frame(docs).persist()
+    _CACHE_GENERATION.append(flags)
     s2 = flags.where(F.col("pass_q") & F.col("pass_lang"))
     xreps = (
         s2.groupBy(F.md5("text").alias("dig"))
@@ -191,7 +206,13 @@ def _level_frame(docs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     s3 = s2.join(xreps, "doc_id", "left_semi").select("doc_id", "text")
-    pairs = _lsh_pair_frame(s3).select(
+    sh = (
+        _shingle_rows_from(s3)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    _CACHE_GENERATION.append(sh)
+    pairs = _lsh_pair_frame(s3, sh=sh).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     ndrops = (
