@@ -1194,3 +1194,84 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
     return merged.union(inserts)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + market-basket co-occurrence (product analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity date, "
+    "counted active per (cohort, day offset) — the product-analytics "
+    "rollup run over full event history. Two shuffles on user_id "
+    "(first-day aggregate, distinct active days) then the small matrix "
+    "aggregate; at 100 TB both are map-side-combined and the join is "
+    "co-partitioned on user_id.",
+    tags=["relational", "events"],
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+    """,
+    doc="Market-basket co-occurrence: the top-100 part pairs appearing "
+    "together in the most orders. Pair generation is a self-join keyed "
+    "on l_orderkey, so fan-out is quadratic only in BASKET size (~7 "
+    "items), never order count; the per-pair count gets map-side "
+    "partials and the top-100 is TakeOrdered over (count DESC, "
+    "part_a, part_b) — a deterministic total order, no global sort.",
+    tags=["relational", "join"],
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
