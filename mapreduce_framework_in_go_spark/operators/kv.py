@@ -169,8 +169,10 @@ def kv_state(ops: DataFrame) -> DataFrame:
     )
 
 
-_STATE_CTES = f"""
-    ops AS ({_OPS_SQL}),
+# fold CTEs over an existing ``ops`` relation — shared by the full fold,
+# the get query, and the point-in-time snapshot (which redefines ops as
+# a seq-bounded prefix)
+_FOLD_CTES = """
     effects AS (
       SELECT DISTINCT key, op, value, seq, op_id FROM ops WHERE op <> 'get'
     ),
@@ -196,6 +198,11 @@ _STATE_CTES = f"""
       LEFT JOIN put_val p USING (key)
       LEFT JOIN appended a USING (key)
     )
+"""
+
+_STATE_CTES = f"""
+    ops AS ({_OPS_SQL}),
+    {_FOLD_CTES}
 """
 
 _STATE_SQL = f"""
@@ -241,6 +248,39 @@ def kv_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         gets.join(state, "key", "left")
         .select("op_id", "key", F.coalesce("value", F.lit("")).alias("value"))
     )
+
+
+@register(
+    "kv_snapshot_at",
+    oracle=f"""
+    WITH all_ops AS ({_OPS_SQL}),
+    half AS (SELECT max(seq) // 2 AS s_half FROM all_ops),
+    ops AS (SELECT o.* FROM all_ops o, half WHERE o.seq <= s_half),
+    {_FOLD_CTES},
+    n_ops AS (SELECT key, CAST(count(*) AS BIGINT) AS n_effect_ops
+              FROM effects GROUP BY key)
+    SELECT s.key, s.value, n.n_effect_ops
+    FROM state s LEFT JOIN n_ops n USING (key)
+    """,
+    doc="Point-in-time state reconstruction (event-sourcing time "
+    "travel): the fold replayed over only the ops-log prefix seq <= "
+    "max(seq)/2 — what the store contained halfway through history. "
+    "The snapshot bound is a broadcast 1-row aggregate (no driver "
+    "action); the fold dataflow is kv_state unchanged, which is the "
+    "point: ANY seq bound reconstructs any historical state from the "
+    "same log, the replay capability the reference's snapshot/restore "
+    "tests (kvraft 3B) get from Raft log replay.",
+    tags=["kv"],
+)
+def kv_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = kv_ops(spark, sf_dir)
+    s_half = ops.agg(F.expr("max(seq) div 2").alias("s_half"))
+    snap = (
+        ops.crossJoin(F.broadcast(s_half))
+        .where(F.col("seq") <= F.col("s_half"))
+        .drop("s_half")
+    )
+    return kv_state(snap)
 
 
 # ---------------------------------------------------------------------------
