@@ -169,6 +169,41 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_basket_pairs_topk_and_partial_agg(spark, sf_dir):
+    """Pair counting must map-side combine, and the top-100 must be
+    TakeOrdered — never a global sort of the pair space."""
+    plan = formatted_plan(SPECS["basket_part_pairs"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pagerank_no_cartesian_broadcast_constants(spark, sf_dir):
+    """Every iteration's constants (node count, teleport base) must ride
+    broadcasts, and the rank propagation must stay equi-join. The only
+    nested loops allowed are BroadcastNestedLoopJoin — the 1-row
+    constant attachments — never an unbroadcast CartesianProduct."""
+    plan = formatted_plan(SPECS["supplier_pagerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    import re
+
+    nlj = re.findall(r"\(\d+\) (\w*NestedLoop\w*)", plan)
+    assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
+
+
+def test_merge_upsert_is_single_keyed_join(spark, sf_dir):
+    """MERGE = one keyed join plus the insert union; the 1-row max
+    offset rides a BroadcastNestedLoopJoin (a broadcast scalar), and no
+    unbroadcast CartesianProduct may appear."""
+    plan = formatted_plan(SPECS["merge_upsert_orders"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    import re
+
+    nlj = re.findall(r"\(\d+\) (\w*NestedLoop\w*)", plan)
+    assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
+
+
 def test_global_sort_rank_two_level(spark, sf_dir):
     """The terasort-style global rank must sort via RangePartitioning
     and compute positions two-level (per-range-partition row_number +
