@@ -58,3 +58,56 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx - exact) <= F.lit(HLL_ERR_BOUND) * exact
         ).alias("sketch_within_bound"),
     )
+
+
+PCTL_ACCURACY = 100  # GK sketch accuracy: rank error <= 1/accuracy
+PCTL_RANK_EPS = 2.0 / PCTL_ACCURACY  # asserted bound (2x the guarantee)
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4)
+             AS exact_p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4)
+             AS exact_p95,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=f"Quantile sketch contract per return flag: the exact "
+    "interpolated p50/p95 are hash-checked against the oracle, and the "
+    f"Greenwald-Khanna sketch (percentile_approx, accuracy="
+    f"{PCTL_ACCURACY}) is asserted to land between the exact quantiles "
+    f"at p +/- {PCTL_RANK_EPS} — the rank-error guarantee the sketch "
+    "ships with, stated in VALUE space via two more exact quantiles "
+    "(cross-implementation value match is impossible; the rank bound "
+    "is the honest contract, same discipline as the HLL query). At "
+    "scale the sketch shuffles fixed-size summaries instead of "
+    "sorting groups.",
+    tags=["sketches"],
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def exact(p: float):
+        return F.expr(f"percentile(l_extendedprice, {p})")
+
+    def approx(p: float):
+        return F.expr(
+            f"approx_percentile(l_extendedprice, {p}, {PCTL_ACCURACY})"
+        )
+
+    def within(p: float):
+        return (approx(p) >= exact(p - PCTL_RANK_EPS)) & (
+            approx(p) <= exact(p + PCTL_RANK_EPS)
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact(0.5), 4).alias("exact_p50"),
+        F.round(exact(0.95), 4).alias("exact_p95"),
+        within(0.5).alias("p50_within_rank_eps"),
+        within(0.95).alias("p95_within_rank_eps"),
+    )
