@@ -1275,3 +1275,35 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "events_trailing_1h_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS trailing_1h_value
+    FROM events
+    """,
+    doc="Time-interval RANGE window frame: per user, the exact "
+    "fixed-point sum of event values within the trailing hour of each "
+    "event — the sliding-by-time analytic that ROWS frames cannot "
+    "express (frame membership is defined by timestamp distance, and "
+    "equal-timestamp peers are all included, so the result is "
+    "order-deterministic by construction). One shuffle on user_id; "
+    "state per row is the in-frame aggregate, same cost class as the "
+    "running-sum window.",
+    tags=["relational", "events", "window"],
+)
+def events_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts"
+        "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        " AS DOUBLE) / 100.0 AS trailing_1h_value",
+    )

@@ -60,8 +60,9 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     # Watermarks require TimestampType (instant), not TIMESTAMP_NTZ —
     # both conversions are exact integer arithmetic on epoch micros,
     # treating the naive wall clock as UTC regardless of session TZ.
-    # Downstream date_format renders in the session timezone; sessions
-    # here pin UTC (session.py), matching the batch twins.
+    # Downstream rendering goes through _utc_str, so the whole stream
+    # is session-timezone independent (the driver's session may not
+    # pin UTC).
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(ts_type, T.TimestampNTZType):
@@ -77,6 +78,21 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw
 
 
+def _utc_str(col: str, fmt: str) -> F.Column:
+    """Render an instant column's UTC wall clock, independent of the
+    session timezone: re-base the epoch micros onto an NTZ epoch (NTZ
+    date_format is TZ-free). A bare date_format(instant) would render
+    in the session zone — wrong under a non-UTC driver session, since
+    window arithmetic itself is pure epoch math (UTC-aligned)."""
+    return F.date_format(
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({col}), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+        fmt,
+    )
+
+
 def hourly_agg_stream(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window with a 1-hour watermark: count + exact
     fixed-point sum per (window, event_type). Streaming twin of the
@@ -89,7 +105,7 @@ def hourly_agg_stream(events: DataFrame) -> DataFrame:
             fsum(F.col("value"), 100).alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            _utc_str("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n",
             "total_value",
@@ -106,7 +122,7 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            _utc_str("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
                 "session_start"
             ),
             "n_events",
@@ -129,7 +145,7 @@ def sliding_agg_stream(
             fsum(F.col("value"), 100).alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            _utc_str("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
             "n",
             "total_value",

@@ -105,6 +105,13 @@ def test_timezone_independence(spark, duck):
             "asof_join_event_order",
             "range_join_pre_purchase",
             "q4_order_priority",
+            # streaming twins render via _utc_str: must be TZ-free too
+            "stream_hourly_agg",
+            "stream_session_windows",
+            "stream_sliding_agg",
+            "events_trailing_1h_sum",
+            "events_retention",
+            "kv_snapshot_at",
         ]:
             from .conftest import SF_DIR
 
