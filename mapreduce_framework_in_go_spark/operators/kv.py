@@ -75,7 +75,12 @@ _OPS_SQL = """
 def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KV ops log: (key, op, value, seq, op_id), with ~1/7 duplicate
     deliveries (same op_id) to exercise exactly-once application."""
-    ev = table(spark, sf_dir, "events")
+    return ops_from_events(table(spark, sf_dir, "events"))
+
+
+def ops_from_events(ev: DataFrame) -> DataFrame:
+    """Derive the ops log from an events frame — pure column work, so
+    the SAME derivation runs on a batch read or a stream."""
     base = ev.select(
         F.concat(
             F.chr(F.lit(97) + (F.col("user_id") % 50).cast("int") % 26),

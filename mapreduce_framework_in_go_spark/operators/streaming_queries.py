@@ -229,3 +229,30 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_stream(spark, sf_dir), eval_ngram_set(docs_static)
     )
     return _run(gated, "append")
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming: the KV fold via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+from ..operators.kv import _STATE_SQL, ops_from_events  # noqa: E402
+from ..streaming import kv_state as skv  # noqa: E402
+
+
+@register(
+    "stream_kv_state_fold",
+    oracle=_STATE_SQL,
+    doc="The stateful streaming KV fold itself in the correctness gate: "
+    "ops derive from the events STREAM (same column work as the batch "
+    "log), fold per key in applyInPandasWithState (op-id dedup set + "
+    "last-put base + append concat carried in state), update-mode "
+    "memory sink. Oracle = the batch fold SQL. The bounded source is "
+    "one file => one microbatch, so the sink holds exactly the final "
+    "state row per key; checkpoint-restart and multi-batch delivery "
+    "are exercised in test_streaming.",
+    tags=["streaming", "kv"],
+)
+def stream_kv_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    folded = skv.kv_state_stream(ops_from_events(ev))
+    return _run(folded, "update")

@@ -118,3 +118,14 @@ def test_timezone_independence(spark, duck):
             compare(SPECS[name].fn(spark, SF_DIR), duck, SPECS[name].oracle)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_missing_table_raises_path_not_found(spark, tmp_path):
+    """A missing table directory must surface Spark's PATH_NOT_FOUND
+    analysis error, not a silent empty frame."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    with pytest.raises(AnalysisException):
+        table(spark, str(tmp_path), "lineitem").collect()
