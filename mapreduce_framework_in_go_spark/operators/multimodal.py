@@ -200,3 +200,48 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "bin": out_bin, "n": out_n})
 
     return media.mapInPandas(hist, schema="doc_id long, bin long, n long")
+
+
+@register(
+    "mm_modality_stats",
+    oracle="""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS payload_md5
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(count(DISTINCT payload_md5) AS BIGINT) AS distinct_payloads
+    FROM m GROUP BY media_type
+    """,
+    doc="Per-modality corpus statistics: doc count, byte totals/extrema "
+    "and distinct-payload cardinality per media type — the dataset-card "
+    "rollup a multimodal corpus build publishes. Everything is "
+    "JVM-side (length/md5 on the binary column) with map-side partial "
+    "aggregation; shuffle carries one partial row per (partition, "
+    "modality).",
+    tags=["multimodal"],
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_docs(spark, sf_dir)
+    return (
+        media.select(
+            "media_type",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.count_distinct("payload_md5").alias("distinct_payloads"),
+        )
+    )
