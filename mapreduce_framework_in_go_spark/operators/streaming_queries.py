@@ -244,7 +244,7 @@ from ..streaming import kv_state as skv  # noqa: E402
     oracle=_STATE_SQL,
     doc="The stateful streaming KV fold itself in the correctness gate: "
     "ops derive from the events STREAM (same column work as the batch "
-    "log), fold per key in applyInPandasWithState (op-id dedup set + "
+    "log), fold per key in applyInPandasWithState (max-applied-seq dedup + "
     "last-put base + append concat carried in state), update-mode "
     "memory sink. Oracle = the batch fold SQL. The bounded source is "
     "one file => one microbatch, so the sink holds exactly the final "

@@ -5,8 +5,8 @@ The batch fold (operators/kv.py) replays a complete ops log; this is the
 incremental form — ops arrive as a stream (the analogue of committed
 Raft log entries surfacing on ``applyCh``, ``kvraft/server.go:95-96``)
 and per-key state evolves in the state store. Exactly-once application
-under redelivery (``kvraft/test_test.go:80-97``) is enforced by an
-op-id dedup set carried in state.
+under redelivery (``kvraft/test_test.go:80-97``) is enforced by the
+max-applied-serial carried in state (bounded dedup, see below).
 
 Delivery contract: ops arrive batch-monotonically in ``seq`` order (a
 committed log is ordered; within a microbatch we sort by seq). A
@@ -15,10 +15,16 @@ order ops in state until their predecessor arrives — omitted here, as
 the reference's applyCh contract already guarantees order.
 
 Scale notes: state is partitioned by key across executors (RocksDB state
-store on a cluster); the dedup set is the unbounded piece — the
-reference bounds it the same way real systems do (one outstanding op per
-client ⇒ keep only the max op-id per client); we keep the full set for
-test-sized logs and note the production fix.
+store on a cluster). Dedup state is BOUNDED the way the reference bounds
+it: with at most one outstanding op per client
+(``kvraft/test_test.go:80-97``) a redelivery always carries an op serial
+≤ the max already applied, so state keeps only the max applied serial —
+O(1) per key, not O(ops) — mirroring the reference's snapshot-size bound
+(≤ 500 B after 400 puts on one key, ``kvraft/test_test.go:676-707``).
+Here the per-client serial is ``seq`` (globally unique, monotone per
+key under the delivery contract above); an op is a duplicate iff its
+seq ≤ the key's max applied seq. ``tests/test_streaming.py::
+test_kv_state_bounded_after_400_op_replay`` proves the bound.
 
 API note: Spark 4's successor API (``transformWithStateInPandas``,
 ValueState/ListState/timers) would express this identically, but its
@@ -49,7 +55,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("base", T.StringType()),
         T.StructField("appended", T.StringType()),
         T.StructField("n_effect_ops", T.LongType()),
-        T.StructField("seen_ops", T.ArrayType(T.StringType())),
+        T.StructField("max_seq", T.LongType()),
     ]
 )
 
@@ -57,10 +63,9 @@ STATE_SCHEMA = T.StructType(
 def _fold_group(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """Fold one key's ops for one microbatch into its evolving state."""
     if state.exists:
-        base, appended, n_ops, seen_list = state.get
-        seen = set(seen_list)
+        base, appended, n_ops, max_seq = state.get
     else:
-        base, appended, n_ops, seen = "", "", 0, set()
+        base, appended, n_ops, max_seq = "", "", 0, -1
 
     # One group's microbatch arrives as MULTIPLE pandas chunks (Arrow
     # batch size); seq order only holds after concatenating them —
@@ -75,17 +80,17 @@ def _fold_group(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator
         pdf = pd.DataFrame(columns=["key", "op", "value", "seq", "op_id"])
     for row in pdf.sort_values("seq").itertuples(index=False):
         if row.op == "get":
-            continue  # no state effect; keep its op_id out of the dedup set
-        if row.op_id in seen:
+            continue  # no state effect; never advances the applied serial
+        if row.seq <= max_seq:
             continue  # duplicate delivery (client retry) — apply once
-        seen.add(row.op_id)
+        max_seq = row.seq
         if row.op == "put":
             base, appended = row.value, ""
         else:  # append
             appended += row.value
         n_ops += 1
 
-    state.update((base, appended, n_ops, sorted(seen)))
+    state.update((base, appended, n_ops, max_seq))
     yield pd.DataFrame(
         {"key": [key[0]], "value": [base + appended], "n_effect_ops": [n_ops]}
     )

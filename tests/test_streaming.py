@@ -262,7 +262,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
 
 def test_kv_state_stream_survives_restart(spark, sf_dir, tmp_path):
     """Stop the stateful query mid-stream and restart from its
-    checkpoint: per-key state (including the dedup set) must survive,
+    checkpoint: per-key state (including the dedup watermark) must survive,
     and the final result must equal the batch fold — the streaming form
     of the reference's crash-and-rerun-matches-oracle test."""
     ops = kv.kv_ops(spark, sf_dir).orderBy("seq")
@@ -323,7 +323,7 @@ def test_kv_state_stream_survives_restart(spark, sf_dir, tmp_path):
     want = kv.kv_state_fold(spark, sf_dir)
     # the updates log spans both runs: the last update per key must
     # carry the FULL folded state (proving the checkpoint restored the
-    # pre-restart state, including the dedup set)
+    # pre-restart state, including the dedup watermark)
     assert _canon(final) == _canon(want)
 
 
@@ -542,3 +542,58 @@ def test_streaming_ingest_gate_matches_batch_pipeline(spark, sf_dir, tmp_path):
     } - contaminated
     assert got == want
     assert got, "gate should keep a nonempty survivor set"
+
+
+class _FakeState:
+    """Minimal stand-in for GroupState: exactly the surface _fold_group
+    touches (exists/get/update), holding the tuple Spark would persist."""
+
+    def __init__(self):
+        self.exists = False
+        self.get = None
+
+    def update(self, t):
+        self.exists = True
+        self.get = t
+
+
+def _replay_puts(n_ops, batches):
+    """Drive the real fold function over n_ops puts on ONE key, every op
+    redelivered once (the client-retry duplicate), split into
+    ``batches`` seq-ordered microbatches; return the persisted state."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n_ops):
+        rows.append(("k", "put", f"v{i % 97}", i, f"op{i}"))
+        rows.append(("k", "put", f"v{i % 97}", i, f"op{i}"))  # redelivery
+    state = _FakeState()
+    per = len(rows) // batches + 1
+    for b in range(batches):
+        chunk = rows[b * per : (b + 1) * per]
+        pdf = pd.DataFrame(chunk, columns=["key", "op", "value", "seq", "op_id"])
+        list(skv._fold_group(("k",), iter([pdf]), state))
+    return state.get
+
+
+def test_kv_state_bounded_after_400_op_replay(spark):
+    """The reference bounds KV state explicitly: snapshot ≤ 500 B after
+    400 puts on one key (kvraft/test_test.go:676-707), relying on one
+    outstanding op per client (kvraft/test_test.go:80-97). The fold's
+    dedup state must therefore be O(clients) — the max applied serial —
+    not O(ops). Replays 400 puts (each redelivered) on a single key
+    through the real fold function and asserts (a) exactly-once
+    application, (b) the persisted state fits the reference's 500 B
+    snapshot budget, (c) state size does NOT grow with op count."""
+    import pickle
+
+    state_400 = _replay_puts(400, batches=4)
+    base, appended, n_ops, max_seq = state_400
+    assert (base, appended) == ("v" + str(399 % 97), "")
+    assert n_ops == 400  # each op applied once despite 800 deliveries
+    assert max_seq == 399
+    assert len(pickle.dumps(state_400)) <= 500
+
+    # O(1), not O(ops): 10x the ops, identical state footprint
+    state_40 = _replay_puts(40, batches=4)
+    assert len(pickle.dumps(state_400)) <= len(pickle.dumps(state_40)) + 8
