@@ -132,3 +132,64 @@ def test_whole_file_scan_roundtrip(spark, tmp_path):
         ("the", "3"), ("cat", "1"), ("sat", "1"), ("on", "1"),
         ("mat", "1"), ("dog", "1"),
     }
+
+
+def test_mid_write_crash_discards_partial_output(spark, sf_dir, tmp_path):
+    """S4 commit contract (mr/worker.go:56-82 temp+rename; exercised by
+    the reference's worker-respawn loop, main/test-mr.sh:160-192): a
+    task that dies MID-SINK-WRITE must leave no partial output. The
+    poison yields rows to the text writer first — so the first attempt
+    has already opened its task-temp file and written lines — then
+    raises; the committer must discard that attempt's file and publish
+    only the retry's. Verified by (a) output dir holds only committed
+    part-files (no temp/in-progress artifacts), (b) the merged line set
+    equals the canonical expected set exactly — no duplicated or torn
+    lines from the crashed attempt."""
+    import glob
+    import os
+
+    from mapreduce_framework_in_go_spark.sources.sinks import kv_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.length("text").cast("string").alias("value"),
+    )
+    expected = sorted(r["value"] for r in kv_lines(kv).collect())
+
+    crash_marker = str(tmp_path / "crash_fired")
+
+    def poison(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        crash = tc.partitionId() == 0 and tc.attemptNumber() == 0
+        for i, pdf in enumerate(batches):
+            yield pdf  # rows reach the file writer before the crash
+            if crash:
+                open(crash_marker, "w").close()
+                raise RuntimeError("injected crash mid-sink-write")
+
+    out = str(tmp_path / "crash_out")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    # several small Arrow batches per task => the writer has consumed
+    # (and written) at least one batch before the poison fires
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        lines = kv_lines(kv).mapInPandas(poison, schema="value string")
+        lines.write.mode("overwrite").text(out)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert os.path.exists(crash_marker), "poison never fired — test is vacuous"
+
+    files = [os.path.basename(p) for p in glob.glob(os.path.join(out, "*"))]
+    assert files, "sink produced no output"
+    for f in files:
+        assert f == "_SUCCESS" or (
+            f.startswith("part-") and not f.endswith((".inprogress", ".tmp"))
+        ), f"uncommitted artifact survived: {f}"
+    assert "_SUCCESS" in files, "job-level commit marker missing"
+
+    back = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert back == expected
