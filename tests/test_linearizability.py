@@ -124,3 +124,31 @@ def test_registered_query_flags_planted_violation(spark, sf_dir):
     assert verdicts[TAMPERED_KEY] is False
     assert all(ok for k, ok in verdicts.items() if k != TAMPERED_KEY)
     assert len(verdicts) >= 4
+
+
+def test_contract_twin_flags_exactly_corrupted_keys(spark, sf_dir, duck):
+    """The SQL-checkable twin: non-linearizable keys must be EXACTLY the
+    keys containing a corrupted get (seq % CORRUPT_MOD == 0), and at
+    least one of each verdict must occur (the fixture is non-trivial)."""
+    from mapreduce_framework_in_go_spark.operators.linearizability import (
+        CORRUPT_MOD,
+    )
+
+    verdicts = {
+        r.key: r.linearizable
+        for r in SPECS["kv_linearizability_contract"].fn(spark, sf_dir).collect()
+    }
+    corrupted = {
+        r[0]
+        for r in duck.execute(
+            f"""
+            SELECT DISTINCT chr(97 + CAST(user_id % 50 AS INTEGER) % 26)
+                     || CAST(user_id % 50 AS VARCHAR)
+            FROM events
+            WHERE event_type = 'purchase' AND event_id % {CORRUPT_MOD} = 0
+            """
+        ).fetchall()
+    }
+    assert corrupted, "fixture must plant at least one violation"
+    assert {k for k, ok in verdicts.items() if not ok} == corrupted
+    assert any(ok for ok in verdicts.values())
