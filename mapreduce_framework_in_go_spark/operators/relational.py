@@ -1059,6 +1059,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Global total-order sort with a scalable global rank (terasort pattern)
 # ---------------------------------------------------------------------------
 
+# one-generation cache for the ranked frame (same policy as
+# operators/dedup.py): the data branch and the offsets branch must see
+# the SAME materialized range partitioning — range split points come
+# from seeded per-RDD sampling, and two independently-planned
+# rangepartitioning exchanges could in principle disagree on partition
+# boundaries, silently corrupting global positions. Persisting pins one
+# materialization that both branches read.
+_RANK_CACHE: list[DataFrame] = []
+
+
+def _evict_previous_rank() -> None:
+    while _RANK_CACHE:
+        try:
+            _RANK_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 @register(
     "global_sort_rank",
@@ -1096,6 +1113,9 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    _evict_previous_rank()
+    ranked = ranked.persist()
+    _RANK_CACHE.append(ranked)
     # Per-partition counts are one tiny row per range partition; the
     # cumulative offset window runs on that frame only (never the data).
     offsets = (

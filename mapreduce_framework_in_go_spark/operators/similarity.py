@@ -109,7 +109,10 @@ _COS_SQL = (
     tags=["similarity"],
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bruteforce_topk(_emb(spark, sf_dir), TOP_K)
+    from ..sources.tables import parquet_num_rows
+
+    n_rows = parquet_num_rows(sf_dir, "embeddings")
+    return _bruteforce_topk(_emb(spark, sf_dir), TOP_K, n_rows)
 
 
 # Broadcasting an unbounded query side is the one scale hazard in the
@@ -118,23 +121,27 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries ~BROADCAST_QUERY_BATCH rows (disjoint id-hash slices are
 # balanced to within a few percent at this batch size; one bounded
 # broadcast-join per slice, results unioned — chunking cannot change
-# the output, every query lands in exactly one slice).
-# Sizing the loop costs one count() of the pruned 1-column query slice
-# — trivial beside the O(|Q|*|N|*d) arithmetic the query exists to do.
+# the output, every query lands in exactly one slice for ANY chunk
+# count >= 1).
+# The loop is sized from parquet FOOTER metadata (n_rows / QUERY_MOD),
+# not a count() action — the hot path stays free of driver-side jobs;
+# the estimate only shapes broadcast granularity, never correctness.
 BROADCAST_QUERY_BATCH = 4096
 
 
 def _bruteforce_topk(
-    emb: DataFrame, k: int, batch: int = BROADCAST_QUERY_BATCH
+    emb: DataFrame, k: int, n_rows: int, batch: int = BROADCAST_QUERY_BATCH
 ) -> DataFrame:
     """Exact cosine top-k: bounded broadcasts of the query side against
-    the partitioned corpus, rank per query."""
+    the partitioned corpus, rank per query. ``n_rows`` is the corpus
+    row count (from footer metadata) used only to size the chunk loop."""
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("vn").alias("qn"),
     )
-    n_chunks = max(1, -(-q.select("query_id").count() // batch))
+    n_queries = -(-n_rows // QUERY_MOD)  # ceil: dense 0-based vec_ids
+    n_chunks = max(1, -(-n_queries // batch))
     scored = None
     for c in range(n_chunks):
         qc = q.where(F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)) == c)
@@ -507,14 +514,17 @@ def _trained_centroids(emb: DataFrame, cache_key: str | None = None) -> DataFram
         )
         _CACHE_GENERATION.append(cent)
     if cache_key is not None:
-        # keep the final index out of generation eviction; drop any
-        # previously-memoized index (other dataset / session)
+        # keep the final index out of generation eviction; evict only
+        # indexes whose session is gone (their persisted blocks died
+        # with the context) — one live entry per (session, dataset), so
+        # alternating between datasets never retrains
         _CACHE_GENERATION.remove(cent)
         for old_key in list(_TRAINED_CACHE):
-            try:
-                _TRAINED_CACHE.pop(old_key).unpersist()
-            except Exception:
-                pass
+            if old_key[0] != key[0]:
+                try:
+                    _TRAINED_CACHE.pop(old_key).unpersist()
+                except Exception:
+                    pass
         _TRAINED_CACHE[key] = cent
     return cent
 

@@ -19,21 +19,18 @@ agree with the declarative SQL semantics.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..streaming import windows as sw
 
-# memory-sink table names must be unique per started query within a
-# session; a counter keeps repeated invocations (driver retries, tests)
-# from colliding.
-_SEQ = itertools.count()
 
-
-def _run(df: DataFrame, mode: str) -> DataFrame:
-    return sw.run_to_completion(df, f"sq_{next(_SEQ)}", mode)
+def _run(df: DataFrame, mode: str, name: str) -> DataFrame:
+    # FIXED per-query sink name: repeated invocations (driver retries,
+    # full test runs) replace the previous run's memory-sink temp view
+    # instead of accumulating unbounded materialized views in the
+    # catalog — run_to_completion drops any stale view before starting.
+    return sw.run_to_completion(df, f"sq_{name}", mode)
 
 
 @register(
@@ -55,7 +52,7 @@ def _run(df: DataFrame, mode: str) -> DataFrame:
 )
 def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
-    return _run(sw.hourly_agg_stream(ev), "complete")
+    return _run(sw.hourly_agg_stream(ev), "complete", "hourly_agg")
 
 
 @register(
@@ -87,7 +84,7 @@ def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
-    return _run(sw.sliding_agg_stream(ev), "complete")
+    return _run(sw.sliding_agg_stream(ev), "complete", "sliding_agg")
 
 
 @register(
@@ -120,7 +117,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
-    return _run(sw.session_window_stream(ev), "complete")
+    return _run(sw.session_window_stream(ev), "complete", "session_window")
 
 
 @register(
@@ -144,7 +141,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
-    return _run(sw.purchase_click_interval_join(ev), "append")
+    return _run(sw.purchase_click_interval_join(ev), "append", "interval_join")
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +188,7 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream_exact(_docs_stream(spark, sf_dir))
-    return _run(deduped.select("text_md5"), "append")
+    return _run(deduped.select("text_md5"), "append", "exact_dedup")
 
 
 @register(
@@ -228,7 +225,7 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = ingest_gate_stream(
         _docs_stream(spark, sf_dir), eval_ngram_set(docs_static)
     )
-    return _run(gated, "append")
+    return _run(gated, "append", "ingest_gate")
 
 
 # ---------------------------------------------------------------------------
@@ -255,4 +252,4 @@ from ..streaming import kv_state as skv  # noqa: E402
 def stream_kv_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
     folded = skv.kv_state_stream(ops_from_events(ev))
-    return _run(folded, "update")
+    return _run(folded, "update", "kv_state_fold")

@@ -179,8 +179,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the single most frequent shingle. Everything is computed inside "
     "the staged shingle array with higher-order functions — the "
     "explode(array(...)) staging materializes the array once per row, "
-    "so the per-distinct-shingle count scan binds an attribute, not a "
-    "re-evaluated expression. Zero shuffles: the plan is scan -> "
+    "and the top count is a sort + longest-run fold (O(n log n) per "
+    "document, one pass). Zero shuffles: the plan is scan -> "
     "generate -> project, partitioned exactly like the input.",
     tags=["textops"],
 )
@@ -192,13 +192,28 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_sh = F.size("sh")
     n_distinct = F.size(F.array_distinct("sh"))
+    # max multiplicity in ONE pass: sort the array, fold a longest-run
+    # counter over adjacent equals — O(n log n) per row, replacing the
+    # earlier distinct x total scan (quadratic in document length).
+    # "" is a safe run-seed: shingles are space-joined non-empty tokens.
     top_c = F.when(
         n_sh > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct("sh"),
-                lambda x: F.size(F.filter(F.col("sh"), lambda y: y == x)),
-            )
+        F.aggregate(
+            F.array_sort("sh"),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
         ),
     ).otherwise(0)
     return staged.select(

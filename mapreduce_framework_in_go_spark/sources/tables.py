@@ -90,3 +90,25 @@ def scan_text_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
         .withColumn("doc", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .select("doc", F.col("value").alias("content"))
     )
+
+
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTERS — planner-grade
+    metadata, zero Spark jobs and zero data pages read. Sizing loops
+    (e.g. the bounded-broadcast chunking in operators/similarity.py)
+    need a driver-side integer; footer stats provide it without the
+    driver-side ``count()`` action a hot path must not contain. At
+    cluster scale this reads the same footers the scan's own planning
+    lists."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

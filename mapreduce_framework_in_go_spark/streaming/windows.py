@@ -195,6 +195,10 @@ def run_to_completion(df: DataFrame, query_name: str, output_mode: str) -> DataF
     not yet past the final watermark), ``append`` for non-aggregated
     frames (joins, dedup — ``complete`` is rejected by Spark there).
     """
+    spark = df.sparkSession
+    # callers reuse fixed sink names across invocations; drop the stale
+    # view so the catalog holds at most one materialized result per name
+    spark.catalog.dropTempView(query_name)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -205,4 +209,4 @@ def run_to_completion(df: DataFrame, query_name: str, output_mode: str) -> DataF
         q.processAllAvailable()
     finally:
         q.stop()
-    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    return spark.sql(f"SELECT * FROM {query_name}")

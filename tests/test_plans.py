@@ -140,12 +140,15 @@ def test_bruteforce_broadcast_is_bounded(spark, sf_dir):
 
     from mapreduce_framework_in_go_spark.operators import similarity
 
+    from mapreduce_framework_in_go_spark.sources.tables import parquet_num_rows
+
     emb = similarity._emb(spark, sf_dir)
-    small = formatted_plan(similarity._bruteforce_topk(emb, 5, batch=4))
-    n_q = 500 // similarity.QUERY_MOD  # sf0.001: vec_ids 0..499
+    n_rows = parquet_num_rows(sf_dir, "embeddings")  # footer, no job
+    small = formatted_plan(similarity._bruteforce_topk(emb, 5, n_rows, batch=4))
+    n_q = -(-n_rows // similarity.QUERY_MOD)
     want = -(-n_q // 4)
     assert len(re.findall(r"\(\d+\) BroadcastExchange", small)) == want
-    default = formatted_plan(similarity._bruteforce_topk(emb, 5))
+    default = formatted_plan(similarity._bruteforce_topk(emb, 5, n_rows))
     assert len(re.findall(r"\(\d+\) BroadcastExchange", default)) == 1
 
 
@@ -215,6 +218,9 @@ def test_global_sort_rank_two_level(spark, sf_dir):
     assert "hashpartitioning(pid" in plan  # big-side window keyed by pid
     assert plan.count("SinglePartition") <= 2  # offsets frame only
     assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
+    # both branches must read ONE materialized range partitioning —
+    # independently sampled exchanges could disagree on boundaries
+    assert "InMemoryTableScan" in plan
 
 
 def test_text_repetition_shuffle_free(spark, sf_dir):
