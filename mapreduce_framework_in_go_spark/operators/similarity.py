@@ -664,9 +664,14 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["similarity"],
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_num_rows
+
     _evict_previous_generation()
     emb = _emb(spark, sf_dir)
-    exact5 = _bruteforce_topk(emb, IVF_TOP_K).select("query_id", "neighbor_id")
+    n_rows = parquet_num_rows(sf_dir, "embeddings")
+    exact5 = _bruteforce_topk(emb, IVF_TOP_K, n_rows).select(
+        "query_id", "neighbor_id"
+    )
     nq = exact5.agg(F.countDistinct("query_id").alias("q"))
 
     def recall_row(variant: str, ivf: DataFrame) -> DataFrame:
