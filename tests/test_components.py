@@ -246,3 +246,16 @@ def test_incremental_dedup_classification(spark):
         else:
             assert r.dup_of is None and r.jaccard is None
             assert docs[r.doc_id] not in base_texts
+
+
+def test_trained_ivf_strictly_beats_sample_on_structured_corpus(spark):
+    """On the label-blended fixture (genuine cluster structure), Lloyd
+    training must strictly improve recall over the sampled seeds — the
+    validation the near-orthogonal raw corpus cannot provide (there
+    trained only has to tie). Measured at sf0.01: 0.94 vs 0.76."""
+    rows = {
+        r.variant: r.mean_recall
+        for r in SPECS["ann_ivf_recall_structured"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert rows["trained"] > rows["sample"], rows
+    assert rows["sample"] > 0.3  # the index is usable even untrained
