@@ -605,12 +605,28 @@ def _jaccard_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
+def _prefix_candidates(
+    sh: DataFrame, t: float, positional: bool = True
+) -> DataFrame:
     """(doc_a, doc_b, n_a, n_b): every pair that can have Jaccard >= t,
     by lossless prefix filtering over a ``(doc_id, s)`` shingle frame.
     Only each doc's first ``n - ceil(t*n) + 1`` shingles in the global
     (df ASC, s ASC) order are join keys; the length-ratio filter prunes
-    the rest at candidate time."""
+    the rest at candidate time.
+
+    ``positional`` adds the PPJoin positional filter (Xiao et al.
+    WWW'08 §3.2), also lossless: both shingle lists are sorted by the
+    SAME global order, so a qualifying pair's EARLIEST common shingle
+    has the minimum rank among its prefix collisions in both docs
+    simultaneously (rank i in A, j in B — and it must lie inside both
+    prefixes: rank_A(c) <= n_a - |A∩B| + 1 <= the prefix length).
+    Every other common shingle sits after it in both lists, so
+    |A∩B| <= 1 + min(n_a - i, n_b - j); J >= t needs
+    |A∩B| >= t/(1+t) * (n_a + n_b), and pairs whose upper bound cannot
+    reach that are discarded before the (much wider) verify join. The
+    min-rank aggregate rides the same shuffle the candidate distinct
+    already paid — the filter is free, and cuts surviving candidates
+    ~2x on the documents corpus (asserted in test_components)."""
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     by_doc = Window.partitionBy("doc_id")
     ranked = sh.join(dfreq, "s").select(
@@ -623,21 +639,29 @@ def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
         F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s",
+        F.col("rn").alias("rn_a"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s",
+        F.col("rn").alias("rn_b"),
     )
-    return (
+    cand = (
         pa.join(pb, "s")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_a") >= t * F.col("n_b"))
             & (F.col("n_b") >= t * F.col("n_a"))
         )
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("rn_a").alias("i"), F.min("rn_b").alias("j"))
     )
+    if positional:
+        ubound = 1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))
+        cand = cand.where(
+            ubound >= F.lit(t) / (1 + t) * (F.col("n_a") + F.col("n_b"))
+        )
+    return cand.select("doc_a", "doc_b", "n_a", "n_b")
 
 
 @register(

@@ -259,3 +259,22 @@ def test_trained_ivf_strictly_beats_sample_on_structured_corpus(spark):
     }
     assert rows["trained"] > rows["sample"], rows
     assert rows["sample"] > 0.3  # the index is usable even untrained
+
+
+def test_positional_filter_lossless_and_pruning(spark):
+    """PPJoin positional filter: must change NOTHING about which pairs
+    verify (lossless), while strictly shrinking the candidate set that
+    reaches the exact-intersection join."""
+    sh = dedup._shingle_rows(spark, SF_DIR_T2)
+    t = dedup.JACCARD_THRESHOLD - 1e-6
+    with_pos = dedup._prefix_candidates(sh, t, positional=True)
+    without = dedup._prefix_candidates(sh, t, positional=False)
+    n_with, n_without = with_pos.count(), without.count()
+    assert n_with < n_without, (n_with, n_without)
+    # losslessness: the surviving TRUE pairs are identical
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_DIR_T2).collect()
+    }
+    kept = {(r.doc_a, r.doc_b) for r in with_pos.collect()}
+    assert truth <= kept
