@@ -1214,9 +1214,10 @@ DELTA_MOD = 10
 DELTA_REM = 9
 
 
-@register(
-    "dedup_incremental",
-    oracle=f"""
+# shared with the streaming twin (streaming/near_dedup.py via
+# operators/streaming_queries.py): the stream must converge to exactly
+# this batch classification
+INCREMENTAL_ORACLE = f"""
     WITH {_shingles_cte()},
     {_minhash_sig_sql()},
     bands AS (
@@ -1274,7 +1275,12 @@ DELTA_REM = 9
     FROM delta d
     LEFT JOIN ex e ON e.doc_id = d.doc_id
     LEFT JOIN best n ON n.doc_d = d.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_incremental",
+    oracle=INCREMENTAL_ORACLE,
     doc="Incremental corpus maintenance: classify each delta document "
     f"(doc_id % {DELTA_MOD} = {DELTA_REM}, playing a crawl increment) "
     "against the standing base corpus as an exact dup (digest match, "

@@ -20,6 +20,7 @@ agree with the declarative SQL semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..streaming import windows as sw
@@ -253,3 +254,40 @@ def stream_kv_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
     folded = skv.kv_state_stream(ops_from_events(ev))
     return _run(folded, "update", "kv_state_fold")
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest: the crawl-delta classifier as a stream
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import INCREMENTAL_ORACLE  # noqa: E402
+from ..streaming import near_dedup as snd  # noqa: E402
+
+
+@register(
+    "stream_near_dedup",
+    oracle=INCREMENTAL_ORACLE,
+    doc="Streaming near-duplicate ingest classification: delta "
+    "documents arrive as a stream and are classified against the "
+    "standing base corpus — exact (digest match), near (best "
+    "LSH-verified Jaccard partner via stream-static band-probe joins), "
+    "or new — with one applyInPandasWithState verdict fold per doc. "
+    "Oracle: the SAME SQL as the batch dedup_incremental, so the "
+    "stream provably converges to the batch classification. The "
+    "streaming twin that completes the crawl-delta story end-to-end.",
+    tags=["streaming", "dedup"],
+)
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table
+
+    delta = snd.delta_filter(_docs_stream(spark, sf_dir))
+    base = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % snd.DELTA_MOD != snd.DELTA_REM
+    )
+    out = snd.near_dedup_stream(
+        delta,
+        snd.base_band_table(base),
+        snd.base_shingle_sets(base),
+        snd.base_digest_lookup(base),
+    )
+    return _run(out, "update", "near_dedup")

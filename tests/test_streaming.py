@@ -597,3 +597,57 @@ def test_kv_state_bounded_after_400_op_replay(spark):
     # O(1), not O(ops): 10x the ops, identical state footprint
     state_40 = _replay_puts(40, batches=4)
     assert len(pickle.dumps(state_400)) <= len(pickle.dumps(state_40)) + 8
+
+
+def test_stream_near_dedup_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """The crawl-delta classifier must converge to the batch
+    dedup_incremental classification even when the delta arrives
+    split across several microbatches (each doc's candidate rows
+    derive from its single input row, so verdicts are per-batch
+    correct and batch-order independent)."""
+    import pandas as pd
+
+    from mapreduce_framework_in_go_spark.streaming import near_dedup as snd
+
+    docs = tables.table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % snd.DELTA_MOD != snd.DELTA_REM)
+    delta_pdf = (
+        docs.where(F.col("doc_id") % snd.DELTA_MOD == snd.DELTA_REM)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    src = tmp_path / "delta_stream"
+    src.mkdir()
+    third = len(delta_pdf) // 3 + 1
+    for i in range(3):
+        p = src / f"d{i}.parquet"
+        delta_pdf.iloc[i * third : (i + 1) * third].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = snd.near_dedup_stream(
+        stream,
+        snd.base_band_table(base),
+        snd.base_shingle_sets(base),
+        snd.base_digest_lookup(base),
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("near_dedup_mb")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM near_dedup_mb")
+    want = SPECS["dedup_incremental"].fn(spark, sf_dir)
+    assert _canon(got) == _canon(want)
