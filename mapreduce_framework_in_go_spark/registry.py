@@ -53,6 +53,7 @@ def load_all_operators() -> None:
     """Import every operator module so its @register calls run."""
     from .operators import (  # noqa: F401
         dedup,
+        frequency,
         graph,
         kv,
         linearizability,
