@@ -52,6 +52,7 @@ def register(
 def load_all_operators() -> None:
     """Import every operator module so its @register calls run."""
     from .operators import (  # noqa: F401
+        bloom,
         dedup,
         frequency,
         graph,
