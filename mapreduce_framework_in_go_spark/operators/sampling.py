@@ -81,6 +81,76 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSYS_K = 50  # target sample size (exactly K picks at any corpus size)
+WSYS_SALT = "wsys"
+WSYS_G_BITS = 12  # 4096 hash-range groups for the two-level cumsum
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('{WSYS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_chars) OVER () AS total
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM c
+    WHERE (cum * {WSYS_K}) // total > ((cum - n_chars) * {WSYS_K}) // total
+    """,
+    doc=f"Weighted (probability-proportional-to-size) systematic sample "
+    f"of {WSYS_K} documents, weight = n_chars: rows are laid on a "
+    "cumulative-weight axis in salted-hash order and one doc is picked "
+    f"per 1/{WSYS_K} of total weight — inclusion probability "
+    "proportional to length, sample size exactly fixed. All integer "
+    "arithmetic (cum*K div total), so the pick set is bit-reproducible "
+    "on any engine/cluster/partitioning — unlike exp/log-based weighted "
+    "reservoirs (A-ES), whose transcendental keys are libm-dependent. "
+    "The cumulative sum is two-level: per-hash-range local windows plus "
+    f"a bounded {1 << WSYS_G_BITS}-row offset window — never a global "
+    "single-partition sort.",
+    tags=["sampling"],
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = md5_long32(F.concat(F.lit(WSYS_SALT), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id", "source", "n_chars", h.alias("h"),
+        F.shiftright(h, 32 - WSYS_G_BITS).alias("g"),
+    )
+    w_local = (
+        Window.partitionBy("g")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n_chars").over(w_local))
+    g_tot = t.groupBy("g").agg(F.sum("n_chars").alias("g_chars"))
+    w_g = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g_off = g_tot.select(
+        "g", (F.sum("g_chars").over(w_g) - F.col("g_chars")).alias("g_offset")
+    )
+    total = t.agg(F.sum("n_chars").alias("total"))
+    return (
+        local.join(F.broadcast(g_off), "g")
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.expr(f"(g_offset + local_cum) * {WSYS_K} div total")
+            > F.expr(f"((g_offset + local_cum) - n_chars) * {WSYS_K} div total")
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 @register(
     "sample_stratified",
     oracle=f"""

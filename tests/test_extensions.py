@@ -349,3 +349,49 @@ def test_decontaminate_flags_only_real_overlaps(spark, sf_dir):
         assert r["doc_id"] % tp.EVAL_MOD != 0
         assert 1 <= r["n_hit_ngrams"] <= r["n_ngrams"]
         assert 0 < r["contamination"] <= 1
+
+
+def test_sample_weighted_matches_naive_global_cumsum(spark):
+    """The two-level cumulative weight must pick exactly the rows a
+    naive single-partition global window picks, and the PPS property
+    must hold: the sample over-represents long documents."""
+    from pyspark.sql import Window
+
+    from mapreduce_framework_in_go_spark.functions.text import md5_long32
+    from mapreduce_framework_in_go_spark.operators import sampling
+
+    sf2 = "/root/testdata/sf0.01"  # 500 docs: K=50 picks a real subset
+    got = {
+        r["doc_id"]
+        for r in sampling.sample_weighted(spark, sf2).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf2}/documents.parquet")
+    h = md5_long32(
+        F.concat(F.lit(sampling.WSYS_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy(h, "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("cum", F.sum("n_chars").over(w))
+        .crossJoin(
+            F.broadcast(docs.agg(F.sum("n_chars").alias("total")))
+        )
+        .where(
+            F.expr(f"cum * {sampling.WSYS_K} div total")
+            > F.expr(f"(cum - n_chars) * {sampling.WSYS_K} div total")
+        )
+    )
+    expect = {r["doc_id"] for r in naive.collect()}
+    assert got == expect
+    assert len(got) == sampling.WSYS_K
+
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sampled = (
+        docs.where(F.col("doc_id").isin(list(got)))
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert mean_sampled > mean_all  # probability proportional to size
