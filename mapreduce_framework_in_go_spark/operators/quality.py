@@ -1,0 +1,188 @@
+"""Data-quality operators: column profiling and time-series anomaly
+flagging — the observability layer a production ingest pipeline runs
+continuously over its tables.
+
+Scale notes (100 TB):
+
+- ``column_profile`` computes every column's statistics in ONE scan of
+  the table: nulls and min/max are plain aggregates; the multi-column
+  ``count(DISTINCT ...)`` lowers to a single Expand + two-phase
+  aggregate (one pass, no per-column re-scan). At extreme cardinality
+  swap the exact distincts for ``approx_count_distinct`` — the HLL
+  sketch contract is already established in ``operators/sketches.py``.
+- ``event_anomaly_hours`` is two aggregations (hour rollup, then
+  per-type moment sums) + a broadcast join of the tiny per-type stats
+  back onto the hourly rollup. Moments are EXACT integer sums (counts
+  are integers), so mean/variance/z derive from identical integers on
+  both engines via identical IEEE expressions — deterministic without
+  fixed-point tricks; ``sqrt`` is correctly rounded per IEEE 754, so
+  it is bit-stable across engines (unlike exp/ln).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+_NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+_TS_COLS = ["o_orderdate"]
+
+
+@register(
+    "column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column, CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(min(o_custkey) AS DOUBLE), 4),
+           round(CAST(max(o_custkey) AS DOUBLE), 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(CAST(min(o_totalprice) AS DOUBLE), 4),
+           round(CAST(max(o_totalprice) AS DOUBLE), 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           NULL, NULL,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+    doc="Per-column data-quality profile of orders (null count, exact "
+    "distinct cardinality, min/max) computed in ONE table scan: all "
+    "aggregates run in a single agg (multi-column DISTINCT lowers to "
+    "one Expand), then unpivot to a row per column. The oracle states "
+    "the same facts as six single-column scans.",
+    tags=["quality"],
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _NUM_COLS + _STR_COLS + _TS_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+        ]
+    for c in _NUM_COLS:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min_n"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max_n"),
+        ]
+    for c in _STR_COLS:
+        aggs += [F.min(c).alias(f"{c}__min_s"), F.max(c).alias(f"{c}__max_s")]
+    for c in _TS_COLS:
+        aggs += [
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min_s"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max_s"),
+        ]
+    row = o.agg(*aggs)
+
+    def entry(c: str) -> F.Column:
+        num = c in _NUM_COLS
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            (F.col(f"{c}__min_n") if num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"{c}__max_n") if num else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if num else F.col(f"{c}__min_s")).alias("min_str"),
+            (F.lit(None).cast("string") if num else F.col(f"{c}__max_s")).alias("max_str"),
+        )
+
+    cols = _NUM_COLS + _STR_COLS + _TS_COLS
+    return row.select(
+        F.explode(F.array(*[entry(c) for c in cols])).alias("p")
+    ).select("p.*")
+
+
+Z_ROUND = 6
+
+
+@register(
+    "event_anomaly_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour, h.n,
+           round(
+             CASE WHEN s.n_hours > 1
+                   AND (CAST(s.s2 AS DOUBLE)
+                        - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                          / CAST(s.n_hours AS DOUBLE))
+                       / CAST(s.n_hours - 1 AS DOUBLE) > 0
+             THEN (CAST(h.n AS DOUBLE)
+                   - CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE))
+                  / sqrt((CAST(s.s2 AS DOUBLE)
+                          - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                            / CAST(s.n_hours AS DOUBLE))
+                         / CAST(s.n_hours - 1 AS DOUBLE))
+             ELSE 0.0 END, {Z_ROUND}) AS zscore
+    FROM hourly h JOIN stats s USING (event_type)
+    """,
+    doc="Per-hour event-count z-scores per event type — the drift/"
+    "anomaly monitor over ingest volume. Mean and variance derive from "
+    "EXACT integer moment sums (sum n, sum n^2 over hourly counts), so "
+    "the doubles are bit-identical across engines; sqrt is IEEE-exact. "
+    "Two aggregations plus a broadcast of per-type stats (rows = event "
+    "types) back onto the hourly rollup.",
+    tags=["quality", "events"],
+)
+def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    nh = F.col("n_hours").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / nh) / (F.col("n_hours") - 1).cast("double")
+    mean = s1 / nh
+    z = F.when(
+        (F.col("n_hours") > 1) & (var > 0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type", "hour", "n", F.round(z, Z_ROUND).alias("zscore")
+    )

@@ -54,6 +54,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         bloom,
         dedup,
+        entity,
         frequency,
         graph,
         kv,
@@ -61,6 +62,7 @@ def load_all_operators() -> None:
         mapreduce,
         multimodal,
         pipeline,
+        quality,
         relational,
         sampling,
         similarity,

@@ -112,6 +112,8 @@ def test_timezone_independence(spark, duck):
             "events_trailing_1h_sum",
             "events_retention",
             "kv_snapshot_at",
+            "event_anomaly_hours",
+            "column_profile",
         ]:
             from .conftest import SF_DIR
 
