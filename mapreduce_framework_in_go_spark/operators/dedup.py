@@ -61,6 +61,7 @@ MH_A = [1_000_003 * (i + 1) + 12_345 for i in range(MINHASH_K)]
 MH_B = [7_919 * i for i in range(MINHASH_K)]
 
 JACCARD_THRESHOLD = 0.7
+CONTAINMENT_THRESHOLD = 0.9  # |A n B| / |A|: A's shingles inside B
 COSINE_DUP_THRESHOLD = 0.45  # synthetic embeddings are near-orthogonal
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 4 x 8-bit bands => hamming<=3 lossless by pigeonhole
@@ -662,6 +663,76 @@ def _prefix_candidates(
             ubound >= F.lit(t) / (1 + t) * (F.col("n_a") + F.col("n_b"))
         )
     return cand.select("doc_a", "doc_b", "n_a", "n_b")
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_sub, doc_sup, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_sub
+    WHERE round(n_common * 1.0 / sa.n, 6) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=f"ASYMMETRIC shingle containment |A∩B|/|A| >= "
+    f"{CONTAINMENT_THRESHOLD}: flags documents SUBSUMED by another "
+    "(quoted articles, page-in-site, excerpt-in-anthology) that "
+    "symmetric Jaccard misses when sizes differ. Candidate generation "
+    "is the one-sided prefix filter: if all of A∩B sat outside A's "
+    "(n - ceil(t*n) + 1)-prefix in the global rarest-first order, the "
+    "overlap could not reach ceil(t*|A|) — so A exposes only prefix "
+    "shingles as join keys while B exposes all, and exact counting "
+    "runs restricted to candidates (the unfiltered oracle proves "
+    "losslessness). No length-ratio filter applies — asymmetry is the "
+    "point. Rarest-first prefixes keep boilerplate shingles out of "
+    "the join keys, bounding the candidate fan-out at corpus scale.",
+    tags=["dedup"],
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    sh = _shingle_rows(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(sh)
+    t = CONTAINMENT_THRESHOLD - 1e-6  # threshold applies to round(c, 6)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
+        F.count("*").over(by_doc).alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_sub"), F.col("n").alias("n_sub"), "s"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_sup"), "s"), "s")
+        .where(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup", "n_sub")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_sub"), "s"), "doc_sub")
+        .join(sh.select(F.col("doc_id").alias("doc_sup"), "s"), ["doc_sup", "s"])
+        .groupBy("doc_sub", "doc_sup", "n_sub")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.round(F.col("n_common") / F.col("n_sub"), 6)
+    return inter.where(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_sub",
+        "doc_sup",
+        F.col("n_common").cast("long").alias("n_common"),
+        cont.alias("containment"),
+    )
 
 
 @register(

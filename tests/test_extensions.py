@@ -395,3 +395,30 @@ def test_sample_weighted_matches_naive_global_cumsum(spark):
         .collect()[0][0]
     )
     assert mean_sampled > mean_all  # probability proportional to size
+
+
+def test_containment_flags_subsumed_doc_one_direction(spark, monkeypatch):
+    """A document that is a strict prefix of a larger one must be
+    flagged sub -> sup (containment 1.0) but NOT sup -> sub — the
+    asymmetry symmetric Jaccard misses."""
+    from mapreduce_framework_in_go_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base + "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, base),  # strict subset of doc 1's shingles
+            (3, "completely different words entirely unrelated corpus here now"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        dedup, "_shingle_rows", lambda s, d: dedup._shingle_rows_from(docs)
+    )
+    rows = {
+        (r["doc_sub"], r["doc_sup"]): r["containment"]
+        for r in dedup.dedup_containment(spark, "unused").collect()
+    }
+    assert rows.get((2, 1)) == 1.0
+    assert (1, 2) not in rows  # sup side is far below the threshold
+    assert not any(3 in k for k in rows)
