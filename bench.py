@@ -55,6 +55,12 @@ HEADLINE = [
     "decontaminate_ngram",
     "pack_sequences",
     "mix_sources_budget",
+    "boilerplate_ngrams",
+    "bloom_prune_join",
+    "dedup_containment",
+    "sample_weighted",
+    "event_anomaly_hours",
+    "dataset_card",
 ]
 
 

@@ -186,3 +186,40 @@ def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "hour", "n", F.round(z, Z_ROUND).alias("zscore")
     )
+
+
+@register(
+    "dataset_card",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(len(regexp_extract_all(text, '[\\p{L}]+'))) AS BIGINT)
+             AS total_tokens,
+           round(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / count(*), 6)
+             AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source dataset card over the text corpus: volume (docs, "
+    "tokens), exact-duplicate incidence (md5 distinct vs rows — the "
+    "map-side digest trick from dedup_exact), length profile, and "
+    "language spread. One scan, one shuffle on source; the digest "
+    "distinct is the only wide aggregate. The governance artifact a "
+    "training-data release ships alongside the data.",
+    tags=["quality", "text"],
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dups"),
+        F.sum(F.size(tokens_col("text")).cast("long")).alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 6
+        ).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

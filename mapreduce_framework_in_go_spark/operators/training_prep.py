@@ -229,3 +229,63 @@ def mix_sources_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pre_tokens") < SOURCE_TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "pre_tokens")
     )
+
+
+CURR_FRACS = [i / 10 for i in range(1, 10)]  # decile boundaries
+
+
+@register(
+    "curriculum_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[\\p{{L}}]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT quantile_cont(n_tokens, [{', '.join(str(f) for f in CURR_FRACS)}]) AS qs
+      FROM t
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM (
+      SELECT n_tokens,
+             CAST(1 {' '.join(f'+ CASE WHEN n_tokens > qs[{i + 1}] THEN 1 ELSE 0 END' for i in range(len(CURR_FRACS)))} AS BIGINT) AS bin
+      FROM t, q
+    )
+    GROUP BY bin
+    """,
+    doc="Length-curriculum decile bins: documents bucketed into 10 "
+    "difficulty levels by token count. Boundaries are the exact "
+    "interpolated deciles (one aggregate pass — identical to DuckDB "
+    "quantile_cont, the parity percentile_pricing already pins), "
+    "broadcast as one row; bin assignment is then a map-side "
+    "comparison sum. NEVER a global ntile() window — that is a "
+    "single-partition sort at corpus scale. Swap the exact percentile "
+    "for approx_percentile (GK sketch, bounded rank error) when the "
+    "corpus outgrows exact interpolation.",
+    tags=["training"],
+)
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    fr = ", ".join(f"{f}D" for f in CURR_FRACS)
+    q = t.agg(F.expr(f"percentile(n_tokens, array({fr}))").alias("qs"))
+    bin_col = F.lit(1)
+    for i in range(len(CURR_FRACS)):
+        bin_col = bin_col + (
+            F.col("n_tokens") > F.try_element_at(F.col("qs"), F.lit(i + 1))
+        ).cast("int")
+    return (
+        t.crossJoin(F.broadcast(q))
+        .select("n_tokens", bin_col.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

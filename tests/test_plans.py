@@ -246,3 +246,44 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
         "corpus-side assignment should be the broadcast argmax fold, "
         "not a window shuffle on vec_id"
     )
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The bloom stage must reach the fact side as a broadcast (1-row
+    word map via BroadcastNestedLoopJoin) — never a shuffle of
+    lineitem before the prune filter."""
+    plan = formatted_plan(SPECS["bloom_prune_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchanges: bloom build aggs + final groupBy, all tiny
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    li = [ln for ln in read if "l_orderkey" in ln][0]
+    assert "l_shipdate" not in li  # fact scan pruned to needed columns
+
+
+def test_boilerplate_candidates_broadcast_and_single_pandas_stage(spark, sf_dir):
+    """Candidate restriction must be a broadcast join (candidates are
+    bounded by MG capacity x partitions) and the sketch runs in ONE
+    MapInPandas stage over the un-shuffled occurrence stream."""
+    import re
+
+    plan = formatted_plan(SPECS["boilerplate_ngrams"].fn(spark, sf_dir))
+    nodes = [
+        ln for ln in plan.splitlines() if re.match(r"^\(\d+\) MapInPandas", ln)
+    ]
+    assert len(nodes) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curriculum_assignment_no_global_window(spark, sf_dir):
+    """Decile assignment must be a broadcast compare, not ntile: no
+    Window operator anywhere in the plan."""
+    plan = formatted_plan(SPECS["curriculum_bins"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row boundary frame
+
+
+def test_anomaly_stats_broadcast(spark, sf_dir):
+    """Per-type stats (rows = event types) must broadcast back onto the
+    hourly rollup."""
+    plan = formatted_plan(SPECS["event_anomaly_hours"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
