@@ -223,3 +223,75 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chars"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(text, '[\\p{L}]+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM occ GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM occ a JOIN occ b USING (s)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    doc="Cross-source contamination matrix: shingle-set Jaccard between "
+    "every pair of sources — which feeds mirror/scrape each other, the "
+    "provenance question a multi-source corpus release must answer. "
+    "Shingle sets collapse to per-SOURCE distincts before the self-join, "
+    "so the pair fan-out per shingle is bounded by source count (a "
+    "constant), never document count; sources are the unit, so the "
+    "matrix is tiny at any corpus size.",
+    tags=["quality", "text"],
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles_col, tokens_col
+
+    occ = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col("text"), 3))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = occ.groupBy("source").agg(F.count("*").alias("n"))
+    a = occ.select(F.col("source").alias("src_a"), "s")
+    b = occ.select(F.col("source").alias("src_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+    )

@@ -851,3 +851,169 @@ def ann_ivf_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_search(emb, _trained_centroids(emb, cache_key=f"structured:{sf_dir}")),
     )
     return sample.union(trained)
+
+
+# --- Hyperplane (random-projection) LSH ANN ------------------------------
+# The other classic ANN bucketing besides IVF: sign bits of random
+# projections. 16 hyperplanes whose +/-1 coefficients derive from the
+# shared md5 hash (reproducible on any engine), signature split into
+# 4 x 4-bit chunks; two vectors are candidates when ANY chunk matches
+# (standard banding). Fixed-point projection sums (round(e*1e6) BIGINT)
+# make every sign bit — and therefore the candidate set — deterministic
+# under any summation order, which is what lets DuckDB reproduce the
+# whole index from SQL.
+HP_PLANES = 16
+HP_CHUNK_BITS = 4
+HP_CHUNKS = HP_PLANES // HP_CHUNK_BITS
+HP_FP = 10**6  # fixed-point scale for projection arithmetic
+
+_HP_COEF_SQL = f"""coef AS (
+      SELECT p, d,
+             CASE WHEN ('0x' || substr(md5('hp' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM unnest(range(0, {HP_PLANES})) up(p),
+           unnest(range(0, 64)) ud(d)
+    )"""
+
+_HP_BUCKETS_SQL = f"""ex AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(round(embedding[i]::DOUBLE * {HP_FP}) AS BIGINT) AS ei
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    {_HP_COEF_SQL},
+    sums AS (
+      SELECT vec_id, p, sum(sign * ei) AS s
+      FROM ex JOIN coef USING (d) GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT vec_id, p, CASE WHEN s >= 0 THEN 1 ELSE 0 END AS b FROM sums
+    ),
+    chunks AS (
+      SELECT vec_id, CAST(p // {HP_CHUNK_BITS} AS BIGINT) AS c,
+             CAST(sum(b * CAST(pow(2, p % {HP_CHUNK_BITS}) AS BIGINT)) AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "ann_hyperplane",
+    oracle=f"""
+    WITH {_HP_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM chunks q JOIN chunks n ON q.c = n.c AND q.val = n.val
+      WHERE q.vec_id % {QUERY_MOD} = 0 AND n.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {IVF_TOP_K}
+    """,
+    doc=f"Hyperplane-LSH ANN — the LSH-bucketed alternative to the IVF "
+    f"scale path: {HP_PLANES} random-projection sign bits (coefficients "
+    "derived from the shared md5 hash; projection sums in fixed-point "
+    "BIGINT so every bit is order-independent and engine-reproducible), "
+    f"banded into {HP_CHUNKS} x {HP_CHUNK_BITS}-bit chunks; candidates "
+    "share a chunk, exact cosine runs on candidates only (~1/4 of the "
+    "corpus per query at these parameters vs brute force). Signature "
+    "build is one O(N x planes) shuffle; candidate generation is a "
+    "bucket equi-join — never all-pairs.",
+    tags=["similarity"],
+)
+def ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_long32
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double") * HP_FP).cast("long").alias("ei"),
+    )
+    planes = spark.range(HP_PLANES).select(F.col("id").alias("p"))
+    dims = spark.range(64).select(F.col("id").alias("d"))
+    coef = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        F.when(
+            md5_long32(
+                F.concat(
+                    F.lit("hp"),
+                    F.col("p").cast("string"),
+                    F.lit("_"),
+                    F.col("d").cast("string"),
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    sums = (
+        ex.join(F.broadcast(coef), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("sign") * F.col("ei")).alias("s"))
+    )
+    bits = sums.select(
+        "vec_id", "p", F.when(F.col("s") >= 0, 1).otherwise(0).alias("b")
+    )
+    chunks = bits.groupBy("vec_id", (F.col("p") / HP_CHUNK_BITS).cast("long").alias("c")).agg(
+        F.sum(
+            F.col("b")
+            * F.pow(F.lit(2.0), (F.col("p") % HP_CHUNK_BITS).cast("double")).cast("long")
+        ).alias("val")
+    )
+    qb = chunks.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "c", "val"
+    )
+    nb = chunks.select(F.col("vec_id").alias("neighbor_id"), "c", "val")
+    cand = (
+        qb.join(nb, ["c", "val"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("vn").alias("qn"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("vn").alias("nn"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
