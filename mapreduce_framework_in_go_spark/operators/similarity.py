@@ -895,10 +895,7 @@ _HP_BUCKETS_SQL = f"""ex AS (
     )"""
 
 
-@register(
-    "ann_hyperplane",
-    oracle=f"""
-    WITH {_HP_BUCKETS_SQL},
+_HP_CHAIN_SQL = f"""{_HP_BUCKETS_SQL},
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       FROM chunks q JOIN chunks n ON q.c = n.c AND q.val = n.val
@@ -910,13 +907,22 @@ _HP_BUCKETS_SQL = f"""ex AS (
       FROM cand c
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings n ON n.vec_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= {IVF_TOP_K}
+    ),
+    hp_topk AS (
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= {IVF_TOP_K}
+    )"""
+
+
+@register(
+    "ann_hyperplane",
+    oracle=f"""
+    WITH {_HP_CHAIN_SQL}
+    SELECT query_id, neighbor_id, rank, cosine FROM hp_topk
     """,
     doc=f"Hyperplane-LSH ANN — the LSH-bucketed alternative to the IVF "
     f"scale path: {HP_PLANES} random-projection sign bits (coefficients "
@@ -1016,4 +1022,55 @@ def ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+@register(
+    "ann_hyperplane_recall",
+    oracle=f"""
+    WITH {_HP_CHAIN_SQL},
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rank <= {IVF_TOP_K}
+    ),
+    nq AS (SELECT count(DISTINCT query_id) AS q FROM exact5),
+    h AS (SELECT count(*) AS h FROM exact5 JOIN hp_topk USING (query_id, neighbor_id))
+    SELECT 'hyperplane' AS variant, CAST(q AS BIGINT) AS n_queries,
+           round(h::DOUBLE / (q * {float(IVF_TOP_K)}), 6) AS mean_recall
+    FROM h, nq
+    """,
+    doc=f"Recall@{IVF_TOP_K} of the hyperplane-LSH index against the "
+    "exact brute-force ground truth — the sketch-quality number that "
+    "tunes planes x chunk-bits before a full corpus pass, sibling of "
+    "ann_ivf_recall/dedup_lsh_recall. Both paths share the corpus scan; "
+    "the ratio is a crossJoin of two 1-row aggregates.",
+    tags=["similarity", "metric"],
+)
+def ann_hyperplane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_num_rows
+
+    _evict_previous_generation()
+    emb = _emb(spark, sf_dir)
+    n_rows = parquet_num_rows(sf_dir, "embeddings")
+    exact5 = _bruteforce_topk(emb, IVF_TOP_K, n_rows).select(
+        "query_id", "neighbor_id"
+    )
+    nq = exact5.agg(F.countDistinct("query_id").alias("q"))
+    hp = ann_hyperplane(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact5.join(hp, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("h")
+    )
+    return hits.crossJoin(F.broadcast(nq)).select(
+        F.lit("hyperplane").alias("variant"),
+        F.col("q").cast("long").alias("n_queries"),
+        F.round(
+            F.col("h").cast("double") / (F.col("q") * F.lit(float(IVF_TOP_K))),
+            6,
+        ).alias("mean_recall"),
     )
