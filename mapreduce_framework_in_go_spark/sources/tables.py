@@ -53,7 +53,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(dt, T.TimestampNTZType):
             return raw
         if isinstance(dt, T.LongType):
-            micros = "ts div 1000"
+            micros = _int64_ts_micros_expr(sf_dir)
         else:  # instant (TIMESTAMP type)
             micros = "unix_micros(ts)"
         return raw.withColumn(
@@ -64,6 +64,46 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _int64_ts_micros_expr(sf_dir: str) -> str:
+    """SQL expression turning a raw-INT64 ``ts`` into epoch micros.
+
+    TIMESTAMP(NANOS) is the layout the generator has actually shipped
+    (``ts div 1000``), but a plain un-annotated INT64 epoch column
+    would land in the same LongType branch — so infer the unit from
+    footer metadata instead of assuming. pyarrow distinguishes
+    timestamp[ns] (nanos for sure) from bare int64; for bare int64 the
+    column's footer max statistic picks the unit by magnitude (epoch
+    values in this era: seconds ~2e9, millis ~2e12, micros ~2e15,
+    nanos ~2e18 — three orders of magnitude apart, unambiguous).
+    Footer-only: no Spark jobs.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ) or [path]
+    f = pq.ParquetFile(files[0])
+    typ = f.schema_arrow.field("ts").type
+    if str(typ).startswith("timestamp[ns"):
+        return "ts div 1000"
+    idx = f.schema_arrow.get_field_index("ts")
+    stats = f.metadata.row_group(0).column(idx).statistics
+    mx = stats.max if stats is not None and stats.has_min_max else None
+    if mx is None:
+        return "ts div 1000"  # no stats: the historical nanos assumption
+    if mx < 10**11:
+        return "ts * 1000000"  # seconds
+    if mx < 10**14:
+        return "ts * 1000"  # millis
+    if mx < 10**17:
+        return "ts"  # micros
+    return "ts div 1000"  # nanos
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -131,3 +131,51 @@ def test_missing_table_raises_path_not_found(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         table(spark, str(tmp_path), "lineitem").collect()
+
+
+def test_events_ts_layout_variants_normalize_identically(spark, tmp_path):
+    """The generator has already switched events.ts layouts between
+    rounds (INT64 nanos -> micros NTZ). The probe must normalize every
+    plausible layout — logical-nanos, NTZ micros, UTC-instant micros,
+    and bare INT64 in seconds/millis/micros/nanos — to the same naive
+    wall clock, using footer metadata only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    t_us = [1_767_323_045_123_456, 1_767_323_046_000_000]
+    expected = None
+    variants = {
+        "ntz_us": pa.array(t_us, type=pa.timestamp("us")),
+        "instant_us": pa.array(t_us, type=pa.timestamp("us", tz="UTC")),
+        "logical_ns": pa.array([v * 1000 for v in t_us], type=pa.timestamp("ns")),
+        "int64_ns": pa.array([v * 1000 for v in t_us], type=pa.int64()),
+        "int64_us": pa.array(t_us, type=pa.int64()),
+        "int64_ms": pa.array([v // 1000 for v in t_us], type=pa.int64()),
+        "int64_s": pa.array([v // 1_000_000 for v in t_us], type=pa.int64()),
+    }
+    for name, arr in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1, 2], type=pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+        )
+        got = [
+            r["s"]
+            for r in table(spark, str(d), "events")
+            .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS s")
+            .orderBy("s")
+            .collect()
+        ]
+        if name in ("int64_ms", "int64_s"):
+            # coarser units lose sub-unit digits of the fixture by
+            # construction; compare at their own precision
+            trunc = 23 if name == "int64_ms" else 19
+            assert [g[:trunc] for g in got] == [e[:trunc] for e in (expected or got)]
+            continue
+        if expected is None:
+            expected = got
+        assert got == expected, name
+    assert expected is not None and "2026" == expected[0][:4]
