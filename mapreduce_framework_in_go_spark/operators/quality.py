@@ -120,10 +120,7 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Z_ROUND = 6
 
-
-@register(
-    "event_anomaly_hours",
-    oracle=f"""
+_ANOMALY_ORACLE = """
     WITH hourly AS (
       SELECT event_type,
              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -149,9 +146,51 @@ Z_ROUND = 6
                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
                             / CAST(s.n_hours AS DOUBLE))
                          / CAST(s.n_hours - 1 AS DOUBLE))
-             ELSE 0.0 END, {Z_ROUND}) AS zscore
+             ELSE 0.0 END, {Z}) AS zscore
     FROM hourly h JOIN stats s USING (event_type)
-    """,
+    """.replace("{Z}", str(Z_ROUND))
+
+
+def anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type moment sums over the hourly rollup — the static baseline
+    the streaming twin joins against: (event_type, n_hours, s1, s2)."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+
+
+def zscore_col() -> F.Column:
+    """Deterministic z from (n, n_hours, s1, s2) — identical arithmetic
+    shape on both engines (exact integer moments, IEEE sqrt)."""
+    nh = F.col("n_hours").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / nh) / (F.col("n_hours") - 1).cast("double")
+    mean = s1 / nh
+    return F.round(
+        F.when(
+            (F.col("n_hours") > 1) & (var > 0),
+            (F.col("n").cast("double") - mean) / F.sqrt(var),
+        ).otherwise(F.lit(0.0)),
+        Z_ROUND,
+    )
+
+
+@register(
+    "event_anomaly_hours",
+    oracle=_ANOMALY_ORACLE,
     doc="Per-hour event-count z-scores per event type — the drift/"
     "anomaly monitor over ingest volume. Mean and variance derive from "
     "EXACT integer moment sums (sum n, sum n^2 over hourly counts), so "
@@ -168,24 +207,9 @@ def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour"
         ),
     ).agg(F.count("*").alias("n"))
-    stats = hourly.groupBy("event_type").agg(
-        F.count("*").alias("n_hours"),
-        F.sum("n").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).alias("s2"),
-    )
+    stats = anomaly_stats(spark, sf_dir)
     j = hourly.join(F.broadcast(stats), "event_type")
-    nh = F.col("n_hours").cast("double")
-    s1 = F.col("s1").cast("double")
-    s2 = F.col("s2").cast("double")
-    var = (s2 - s1 * s1 / nh) / (F.col("n_hours") - 1).cast("double")
-    mean = s1 / nh
-    z = F.when(
-        (F.col("n_hours") > 1) & (var > 0),
-        (F.col("n").cast("double") - mean) / F.sqrt(var),
-    ).otherwise(F.lit(0.0))
-    return j.select(
-        "event_type", "hour", "n", F.round(z, Z_ROUND).alias("zscore")
-    )
+    return j.select("event_type", "hour", "n", zscore_col().alias("zscore"))
 
 
 @register(

@@ -291,3 +291,45 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         snd.base_digest_lookup(base),
     )
     return _run(out, "update", "near_dedup")
+
+
+from ..operators.quality import _ANOMALY_ORACLE, anomaly_stats, zscore_col  # noqa: E402
+
+
+@register(
+    "stream_anomaly_hours",
+    oracle=_ANOMALY_ORACLE,
+    doc="Streaming volume-anomaly monitor: hourly event counts per type "
+    "flow from the stream; the per-type baseline moments (n_hours, s1, "
+    "s2 — a tiny static table) attach via a stream-static broadcast "
+    "join BEFORE the windowed aggregation (joins after streaming "
+    "aggregations are unsupported; joining first and grouping by the "
+    "functionally-dependent stat columns keeps cardinality unchanged "
+    "and stays inside the supported plan space). z derives from exact "
+    "integer moments, so the stream's verdicts hash-match the batch "
+    "event_anomaly_hours SQL — the production shape: train the "
+    "baseline offline, score the live stream against it.",
+    tags=["streaming", "quality", "events"],
+)
+def stream_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    stats = anomaly_stats(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(F.broadcast(stats), "event_type")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            "event_type",
+            "n_hours",
+            "s1",
+            "s2",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            sw._utc_str("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            zscore_col().alias("zscore"),
+        )
+    )
+    return _run(agg, "complete", "anomaly_hours")

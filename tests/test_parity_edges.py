@@ -113,6 +113,7 @@ def test_timezone_independence(spark, duck):
             "events_retention",
             "kv_snapshot_at",
             "event_anomaly_hours",
+            "stream_anomaly_hours",
             "column_profile",
         ]:
             from .conftest import SF_DIR
