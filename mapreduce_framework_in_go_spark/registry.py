@@ -62,6 +62,7 @@ def load_all_operators() -> None:
         mapreduce,
         multimodal,
         pipeline,
+        privacy,
         quality,
         relational,
         sampling,

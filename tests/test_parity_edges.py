@@ -114,6 +114,7 @@ def test_timezone_independence(spark, duck):
             "kv_snapshot_at",
             "event_anomaly_hours",
             "stream_anomaly_hours",
+            "privacy_k_anonymity",
             "column_profile",
         ]:
             from .conftest import SF_DIR
