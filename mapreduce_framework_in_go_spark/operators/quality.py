@@ -319,3 +319,83 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
     )
+
+
+@register(
+    "reconcile_snapshots",
+    oracle="""
+    WITH b AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    fst AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v_a
+      FROM events, b WHERE epoch_us(ts) < mid GROUP BY user_id
+    ),
+    snd AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v_b
+      FROM events, b WHERE epoch_us(ts) >= mid GROUP BY user_id
+    )
+    SELECT coalesce(fst.user_id, snd.user_id) AS user_id,
+           CASE WHEN fst.user_id IS NULL THEN 'only_second'
+                WHEN snd.user_id IS NULL THEN 'only_first'
+                ELSE 'both' END AS status,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+           coalesce(n_b, 0) - coalesce(n_a, 0) AS delta_n,
+           round(coalesce(v_b, 0) - coalesce(v_a, 0), 2) AS delta_value
+    FROM fst FULL OUTER JOIN snd ON fst.user_id = snd.user_id
+    """,
+    doc="Snapshot reconciliation via FULL OUTER join: per-user activity "
+    "in the first vs second half of the time range (split at the "
+    "midpoint of the observed span — a broadcast 1-row bound, integer "
+    "epoch arithmetic), classifying users as both/only_first/"
+    "only_second with count and exact fixed-point value deltas. The "
+    "diff/audit shape for comparing two table versions; one shuffle "
+    "per side + the keyed outer join.",
+    tags=["quality", "joins", "events"],
+)
+def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import fsum
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tsm",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    bounds = ev.agg(
+        F.expr("(min(tsm) + max(tsm)) div 2").alias("mid")
+    )
+    ev = ev.crossJoin(F.broadcast(bounds))
+
+    def half(pred, n_name, v_name):
+        return (
+            ev.where(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias(n_name),
+                fsum(F.col("value"), 100).alias(v_name),
+            )
+        )
+
+    fst = half(F.col("tsm") < F.col("mid"), "n_a", "v_a")
+    snd = half(F.col("tsm") >= F.col("mid"), "n_b", "v_b").withColumnRenamed(
+        "user_id", "user_id_b"
+    )
+    j = fst.join(snd, fst["user_id"] == snd["user_id_b"], "full_outer")
+    return j.select(
+        F.coalesce(fst["user_id"], snd["user_id_b"]).alias("user_id"),
+        F.when(fst["user_id"].isNull(), "only_second")
+        .when(snd["user_id_b"].isNull(), "only_first")
+        .otherwise("both")
+        .alias("status"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        (F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0))).alias(
+            "delta_n"
+        ),
+        F.round(
+            F.coalesce("v_b", F.lit(0.0)) - F.coalesce("v_a", F.lit(0.0)), 2
+        ).alias("delta_value"),
+    )

@@ -115,6 +115,7 @@ def test_timezone_independence(spark, duck):
             "event_anomaly_hours",
             "stream_anomaly_hours",
             "privacy_k_anonymity",
+            "reconcile_snapshots",
             "column_profile",
         ]:
             from .conftest import SF_DIR
