@@ -895,6 +895,23 @@ _HP_BUCKETS_SQL = f"""ex AS (
     )"""
 
 
+def _hp_signs() -> list[list[int]]:
+    """+/-1 hyperplane coefficients, computed driver-side from the SAME
+    md5 formula the oracle's coef CTE uses (int(md5('hp{p}_{d}')[:8],
+    16) % 2) — deterministic constants, embedded as array literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for d in range(64)
+        ]
+        for p in range(HP_PLANES)
+    ]
+
+
 _HP_CHAIN_SQL = f"""{_HP_BUCKETS_SQL},
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -931,56 +948,48 @@ _HP_CHAIN_SQL = f"""{_HP_BUCKETS_SQL},
     f"banded into {HP_CHUNKS} x {HP_CHUNK_BITS}-bit chunks; candidates "
     "share a chunk, exact cosine runs on candidates only (~1/4 of the "
     "corpus per query at these parameters vs brute force). Signature "
-    "build is one O(N x planes) shuffle; candidate generation is a "
-    "bucket equi-join — never all-pairs.",
+    "build is a PURE MAP — coefficient arrays are md5-derived constants "
+    "embedded as literals, plane sums are zip_with folds over one "
+    "staged fixed-point array — so the only exchanges are the bucket "
+    "equi-join and the rank; never all-pairs.",
     tags=["similarity"],
 )
 def ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import md5_long32
-
     emb = _emb(spark, sf_dir)
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "v")
-    ).select(
+    signs = _hp_signs()
+    # Stage the fixed-point array through one Generate so the 16 plane
+    # sums bind a materialized attribute instead of re-evaluating the
+    # transform per plane (HOF lambdas are excluded from subexpression
+    # elimination — the CLAUDE.md staging trick).
+    fixed = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * HP_FP).cast("long")
+    )
+    staged = emb.select(
         "vec_id",
-        "d",
-        F.round(F.col("v").cast("double") * HP_FP).cast("long").alias("ei"),
+        F.explode(F.array(F.struct(fixed.alias("ei")))).alias("_st"),
     )
-    planes = spark.range(HP_PLANES).select(F.col("id").alias("p"))
-    dims = spark.range(64).select(F.col("id").alias("d"))
-    coef = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        F.when(
-            md5_long32(
-                F.concat(
-                    F.lit("hp"),
-                    F.col("p").cast("string"),
-                    F.lit("_"),
-                    F.col("d").cast("string"),
-                )
-            )
-            % 2
-            == 0,
-            1,
+    ei = F.col("_st.ei")
+
+    def plane_sum(p: int) -> F.Column:
+        coef = F.array(*[F.lit(s) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with(ei, coef, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        .otherwise(-1)
-        .alias("sign"),
-    )
-    sums = (
-        ex.join(F.broadcast(coef), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("sign") * F.col("ei")).alias("s"))
-    )
-    bits = sums.select(
-        "vec_id", "p", F.when(F.col("s") >= 0, 1).otherwise(0).alias("b")
-    )
-    chunks = bits.groupBy("vec_id", (F.col("p") / HP_CHUNK_BITS).cast("long").alias("c")).agg(
-        F.sum(
-            F.col("b")
-            * F.pow(F.lit(2.0), (F.col("p") % HP_CHUNK_BITS).cast("double")).cast("long")
-        ).alias("val")
-    )
+
+    chunk_structs = []
+    for c in range(HP_CHUNKS):
+        val = F.lit(0).cast("long")
+        for j in range(HP_CHUNK_BITS):
+            p = c * HP_CHUNK_BITS + j
+            val = val + (plane_sum(p) >= 0).cast("long") * (1 << j)
+        chunk_structs.append(
+            F.struct(F.lit(c).cast("long").alias("c"), val.alias("val"))
+        )
+    chunks = staged.select(
+        "vec_id", F.explode(F.array(*chunk_structs)).alias("b")
+    ).select("vec_id", F.col("b.c").alias("c"), F.col("b.val").alias("val"))
     qb = chunks.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "c", "val"
     )

@@ -43,7 +43,27 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags or [])
+
+        import functools
+
+        @functools.wraps(fn)
+        def dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Package-referencing UDFs (applyInPandas*, foreachBatch)
+            # unpickle by module import on executor workers; ship the
+            # package once per application so queries work when the
+            # driver loaded us from an arbitrary cwd (see pyship.py).
+            from .pyship import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=dispatch,
+            oracle=oracle,
+            doc=doc or fn.__doc__ or "",
+            tags=tags or [],
+        )
         return fn
 
     return deco

@@ -55,4 +55,9 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # make package-referencing UDFs importable on executor workers even
+    # when this process's cwd is not the repo (see pyship.py)
+    from .pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     return spark
