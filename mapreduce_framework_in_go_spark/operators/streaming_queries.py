@@ -333,3 +333,35 @@ def stream_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(agg, "complete", "anomaly_hours")
+
+
+@register(
+    "stream_dataset_card",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[\\p{L}]+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Streaming per-source corpus rollup (complete mode): the "
+    "continuously-updated dataset card an ingest pipeline exposes "
+    "while a crawl is still arriving. Exact-distinct columns are the "
+    "one omission vs the batch dataset_card — count(DISTINCT) is "
+    "unsupported in streaming aggregation; production uses "
+    "approx_count_distinct (HLL) there, the sketch contract "
+    "operators/sketches.py establishes.",
+    tags=["streaming", "quality"],
+)
+def stream_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+
+    docs = _docs_stream(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col("text")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return _run(agg, "complete", "dataset_card")
