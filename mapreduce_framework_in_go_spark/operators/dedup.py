@@ -606,6 +606,27 @@ def _jaccard_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_prefix(sh: DataFrame, t: float) -> DataFrame:
+    """(doc_id, s, rn, n) restricted to each doc's lossless prefix in
+    the global rarest-first (df ASC, s ASC) order: the first
+    ``n - ceil(t*n) + 1`` shingles. Shared by the symmetric Jaccard
+    candidates (_prefix_candidates) and the one-sided containment
+    candidates (dedup_containment) — the prefix-length formula and the
+    tie-break order are correctness-critical for losslessness and must
+    stay identical in both."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
+        F.count("*").over(by_doc).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+
+
 def _prefix_candidates(
     sh: DataFrame, t: float, positional: bool = True
 ) -> DataFrame:
@@ -628,17 +649,7 @@ def _prefix_candidates(
     min-rank aggregate rides the same shuffle the candidate distinct
     already paid — the filter is free, and cuts surviving candidates
     ~2x on the documents corpus (asserted in test_components)."""
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    by_doc = Window.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "s").select(
-        "doc_id",
-        "s",
-        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
-        F.count("*").over(by_doc).alias("n"),
-    )
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    )
+    prefix = _ranked_prefix(sh, t)
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s",
         F.col("rn").alias("rn_a"),
@@ -700,17 +711,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir).persist()
     _CACHE_GENERATION.append(sh)
     t = CONTAINMENT_THRESHOLD - 1e-6  # threshold applies to round(c, 6)
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    by_doc = Window.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "s").select(
-        "doc_id",
-        "s",
-        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
-        F.count("*").over(by_doc).alias("n"),
-    )
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    )
+    prefix = _ranked_prefix(sh, t)
     cand = (
         prefix.select(
             F.col("doc_id").alias("doc_sub"), F.col("n").alias("n_sub"), "s"

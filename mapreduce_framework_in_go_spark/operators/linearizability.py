@@ -160,7 +160,7 @@ _CONTRACT_ORACLE = """
     ),
     observed AS (
       SELECT key, seq, replay,
-             replay || CASE WHEN seq % 97 = 0 THEN '#' ELSE '' END AS output
+             replay || CASE WHEN seq % {CM} = 0 THEN '#' ELSE '' END AS output
       FROM replayed
     ),
     per_key_gets AS (
@@ -179,7 +179,7 @@ _CONTRACT_ORACLE = """
                     CAST(('0x' || substr(md5(''), 1, 8)) AS BIGINT)) AS gets_digest
     FROM ops o LEFT JOIN per_key_gets g USING (key)
     GROUP BY o.key
-"""
+""".replace("{CM}", str(CORRUPT_MOD))
 
 _OP_CODE = {"get": GET, "put": PUT, "append": APPEND}
 

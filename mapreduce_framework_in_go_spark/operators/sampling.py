@@ -110,7 +110,11 @@ WSYS_G_BITS = 12  # 4096 hash-range groups for the two-level cumsum
     f"of {WSYS_K} documents, weight = n_chars: rows are laid on a "
     "cumulative-weight axis in salted-hash order and one doc is picked "
     f"per 1/{WSYS_K} of total weight — inclusion probability "
-    "proportional to length, sample size exactly fixed. All integer "
+    "proportional to length; sample size is exactly K provided no "
+    "single row outweighs total/K (a heavier row absorbs several "
+    "stratum boundaries but is emitted once, standard PPS-systematic "
+    "behavior — the invariant picks<=K always holds; see "
+    "test_properties.py). All integer "
     "arithmetic (cum*K div total), so the pick set is bit-reproducible "
     "on any engine/cluster/partitioning — unlike exp/log-based weighted "
     "reservoirs (A-ES), whose transcendental keys are libm-dependent. "

@@ -39,20 +39,21 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Rebuild unconditionally (a few ms): a cached zip keyed by pid could
+    # go stale across process recycling and ship outdated code.
     zpath = os.path.join(
         tempfile.gettempdir(), f"mfgs_pkg_{os.getpid()}.zip"
     )
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(tmp, zpath)
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED.add(key)

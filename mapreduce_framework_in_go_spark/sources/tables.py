@@ -53,7 +53,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(dt, T.TimestampNTZType):
             return raw
         if isinstance(dt, T.LongType):
-            micros = _int64_ts_micros_expr(sf_dir)
+            micros = _int64_ts_micros_expr(f"{sf_dir}/{name}.parquet")
         else:  # instant (TIMESTAMP type)
             micros = "unix_micros(ts)"
         return raw.withColumn(
@@ -66,8 +66,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _int64_ts_micros_expr(sf_dir: str) -> str:
-    """SQL expression turning a raw-INT64 ``ts`` into epoch micros.
+_TS_EXPR_CACHE: dict[str, str] = {}
+
+
+def _int64_ts_micros_expr(path: str) -> str:
+    """SQL expression turning a raw-INT64 ``ts`` into epoch micros,
+    for the events parquet at ``path``.
 
     TIMESTAMP(NANOS) is the layout the generator has actually shipped
     (``ts div 1000``), but a plain un-annotated INT64 epoch column
@@ -77,33 +81,41 @@ def _int64_ts_micros_expr(sf_dir: str) -> str:
     column's footer max statistic picks the unit by magnitude (epoch
     values in this era: seconds ~2e9, millis ~2e12, micros ~2e15,
     nanos ~2e18 — three orders of magnitude apart, unambiguous).
-    Footer-only: no Spark jobs.
+    Footer-only (no Spark jobs), memoized per path — the inferred unit
+    is constant for a given file set.
     """
+    cached = _TS_EXPR_CACHE.get(path)
+    if cached is not None:
+        return cached
+
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/events.parquet"
     files = sorted(
         glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     ) or [path]
     f = pq.ParquetFile(files[0])
     typ = f.schema_arrow.field("ts").type
     if str(typ).startswith("timestamp[ns"):
-        return "ts div 1000"
-    idx = f.schema_arrow.get_field_index("ts")
-    stats = f.metadata.row_group(0).column(idx).statistics
-    mx = stats.max if stats is not None and stats.has_min_max else None
-    if mx is None:
-        return "ts div 1000"  # no stats: the historical nanos assumption
-    if mx < 10**11:
-        return "ts * 1000000"  # seconds
-    if mx < 10**14:
-        return "ts * 1000"  # millis
-    if mx < 10**17:
-        return "ts"  # micros
-    return "ts div 1000"  # nanos
+        expr = "ts div 1000"
+    else:
+        idx = f.schema_arrow.get_field_index("ts")
+        stats = f.metadata.row_group(0).column(idx).statistics
+        mx = stats.max if stats is not None and stats.has_min_max else None
+        if mx is None:
+            expr = "ts div 1000"  # no stats: the historical nanos assumption
+        elif mx < 10**11:
+            expr = "ts * 1000000"  # seconds
+        elif mx < 10**14:
+            expr = "ts * 1000"  # millis
+        elif mx < 10**17:
+            expr = "ts"  # micros
+        else:
+            expr = "ts div 1000"  # nanos
+    _TS_EXPR_CACHE[path] = expr
+    return expr
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

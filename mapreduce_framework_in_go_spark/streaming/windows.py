@@ -64,7 +64,12 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     # is session-timezone independent (the driver's session may not
     # pin UTC).
     if isinstance(ts_type, T.LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # same footer-stat unit inference as the batch loader — a bare
+        # INT64 column is not necessarily nanos (see sources/tables.py)
+        from ..sources.tables import _int64_ts_micros_expr
+
+        micros = _int64_ts_micros_expr(path.rstrip("*"))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
     if isinstance(ts_type, T.TimestampNTZType):
         return raw.withColumn(
             "ts",
