@@ -61,6 +61,9 @@ HEADLINE = [
     "sample_weighted",
     "event_anomaly_hours",
     "dataset_card",
+    "ann_hyperplane",
+    "privacy_k_anonymity",
+    "reconcile_snapshots",
 ]
 
 

@@ -960,7 +960,7 @@ def ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the fixed-point array through one Generate so the 16 plane
     # sums bind a materialized attribute instead of re-evaluating the
     # transform per plane (HOF lambdas are excluded from subexpression
-    # elimination — the CLAUDE.md staging trick).
+    # elimination — same staging trick as functions/text.py shingles).
     fixed = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * HP_FP).cast("long")
     )
