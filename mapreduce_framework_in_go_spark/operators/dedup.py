@@ -1449,3 +1449,168 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # bands x rows over 16 slots
+
+
+def _tuning_oracle() -> str:
+    cfg_ctes, cfg_rows = [], []
+    for bands, rows in BAND_CONFIGS:
+        tag = f"{bands}x{rows}"
+        parts = []
+        for b in range(bands):
+            cols = " || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            parts.append(
+                f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_sig FROM sig"
+            )
+        cfg_ctes.append(
+            f"""bands_{bands}_{rows} AS ({' UNION ALL '.join(parts)}),
+    cand_{bands}_{rows} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{bands}_{rows} a JOIN bands_{bands}_{rows} b USING (band_id, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    m_{bands}_{rows} AS (
+      SELECT (SELECT count(*) FROM cand_{bands}_{rows}) AS n_candidates,
+             (SELECT count(*) FROM cand_{bands}_{rows} c JOIN truth t USING (doc_a, doc_b)) AS n_hit
+    )"""
+        )
+        cfg_rows.append(
+            f"""SELECT CAST({bands} AS BIGINT) AS bands, CAST({rows} AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN round(n_hit * 1.0 / (SELECT count(*) FROM truth), 6) END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN round(n_hit * 1.0 / n_candidates, 6) END AS precision
+    FROM m_{bands}_{rows}"""
+        )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    {', '.join(cfg_ctes)}
+    {' UNION ALL '.join(cfg_rows)}
+    """
+
+
+@register(
+    "dedup_band_tuning",
+    oracle=_tuning_oracle(),
+    doc=f"LSH band-tuning table: candidate volume, recall and precision "
+    f"of every banding of the SAME {MINHASH_K} MinHash slots "
+    f"({', '.join(f'{b}x{r}' for b, r in BAND_CONFIGS)}) against the "
+    f"exact Jaccard>={JACCARD_THRESHOLD} ground truth — the artifact "
+    "that chooses bands x rows BEFORE committing a full corpus pass "
+    "(more bands = higher recall, more candidates to verify). "
+    "Signatures build once; each config re-bands the cached signature "
+    "frame (map-side) and pays one bucket join; ground truth comes "
+    "from the lossless prefix-filter exact path, shared shingle frame. "
+    "All counts are 1-row aggregates composed by crossJoin — nothing "
+    "collects to the driver.",
+    tags=["dedup", "metric"],
+)
+def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    _CACHE_GENERATION.append(sh)
+
+    # exact ground truth via the lossless prefix-filter path
+    t = JACCARD_THRESHOLD - 1e-6
+    pc = _prefix_candidates(sh.select("doc_id", "s"), t)
+    inter = (
+        pc.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    truth = inter.where(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b").persist()
+    _CACHE_GENERATION.append(truth)
+    n_true = truth.agg(F.count("*").alias("n_true"))
+
+    sig = _minhash_sig(sh).cache()
+    _CACHE_GENERATION.append(sig)
+
+    out = None
+    for bands, rows in BAND_CONFIGS:
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", b * rows + r + 1)
+                                        for r in range(rows)
+                                    ],
+                                )
+                            ).alias("band_sig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_sig")
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band_id", "band_sig"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        nh = cand.join(truth, ["doc_a", "doc_b"], "semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        row = (
+            nc.crossJoin(nh)
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.when(
+                    F.col("n_true") > 0,
+                    F.round(F.col("n_hit") / F.col("n_true"), 6),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.round(F.col("n_hit") / F.col("n_candidates"), 6),
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
