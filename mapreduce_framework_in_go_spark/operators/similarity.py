@@ -334,16 +334,18 @@ def _with_nearest_cell(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _ivf_search(
+    emb: DataFrame, cent: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
     """The IVF probe plan over any centroid table: assign corpus
-    vectors to their nearest cell, probe each query's NPROBE nearest
-    cells, rank only those cells' members."""
+    vectors to their nearest cell, probe each query's ``nprobe``
+    nearest cells, rank only those cells' members."""
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     probes = _nearest_cells(
         q.select(F.col("vec_id").alias("query_id"), "embedding", "vn"),
         cent,
         "query_id",
-        NPROBE,
+        nprobe,
     )
 
     members = _with_nearest_cell(emb, cent).select(
@@ -576,7 +578,9 @@ def _lloyd_ctes(n_iters: int, src: str = "embeddings") -> str:
     return ",\n    ".join(parts)
 
 
-def _ivf_search_sql(cent: str, s: str, src: str = "embeddings") -> str:
+def _ivf_search_sql(
+    cent: str, s: str, src: str = "embeddings", nprobe: int = NPROBE
+) -> str:
     """CTE chain ending at ``ivf_{s}(query_id, neighbor_id, rank,
     cosine)``: the IVF probe plan over centroid relation ``cent``
     and corpus relation ``src``."""
@@ -596,7 +600,7 @@ def _ivf_search_sql(cent: str, s: str, src: str = "embeddings") -> str:
                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce), 6) DESC,
                           c.cell_id) AS rn
         FROM {src} q, {cent} c WHERE q.vec_id % {QUERY_MOD} = 0
-      ) WHERE rn <= {NPROBE}
+      ) WHERE rn <= {nprobe}
     ),
     ivf_{s} AS (
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
@@ -1083,3 +1087,77 @@ def ann_hyperplane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_recall"),
     )
+
+
+NPROBE_CONFIGS = [1, 2, 4]
+
+
+def _nprobe_tuning_oracle() -> str:
+    chains = ",\n    ".join(
+        _ivf_search_sql(f"cent{LLOYD_ITERS}", f"p{np}", nprobe=np)
+        for np in NPROBE_CONFIGS
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe,
+           (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM exact5) AS n_queries,
+           round((SELECT count(*) FROM exact5 e JOIN ivf_p{np} i USING (query_id, neighbor_id))::DOUBLE
+                 / ((SELECT count(DISTINCT query_id) FROM exact5) * {float(IVF_TOP_K)}), 6) AS mean_recall"""
+        for np in NPROBE_CONFIGS
+    )
+    return f"""
+    WITH {_lloyd_ctes(LLOYD_ITERS)},
+    {chains},
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+                          n.vec_id) AS rank
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rank <= {IVF_TOP_K}
+    )
+    {rows}
+    """
+
+
+@register(
+    "ann_nprobe_tuning",
+    oracle=_nprobe_tuning_oracle(),
+    doc=f"IVF probe-tuning table: recall@{IVF_TOP_K} of the trained "
+    f"index at nprobe = {NPROBE_CONFIGS} against the exact brute-force "
+    "ground truth — the other half of the sketch-tuning story beside "
+    "dedup_band_tuning (more probes = higher recall, nprobe/n_cells of "
+    "the corpus scanned per query). The trained centroids build ONCE "
+    "(memoized per dataset); each config pays only its probe join.",
+    tags=["similarity", "metric"],
+)
+def ann_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_num_rows
+
+    _evict_previous_generation()
+    emb = _emb(spark, sf_dir)
+    cent = _trained_centroids(emb, cache_key=sf_dir)
+    n_rows = parquet_num_rows(sf_dir, "embeddings")
+    exact5 = _bruteforce_topk(emb, IVF_TOP_K, n_rows).select(
+        "query_id", "neighbor_id"
+    )
+    nq = exact5.agg(F.countDistinct("query_id").alias("q"))
+
+    out = None
+    for np in NPROBE_CONFIGS:
+        ivf = _ivf_search(emb, cent, nprobe=np).select("query_id", "neighbor_id")
+        hits = exact5.join(ivf, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("h")
+        )
+        row = hits.crossJoin(F.broadcast(nq)).select(
+            F.lit(np).cast("long").alias("nprobe"),
+            F.col("q").cast("long").alias("n_queries"),
+            F.round(
+                F.col("h").cast("double")
+                / (F.col("q") * F.lit(float(IVF_TOP_K))),
+                6,
+            ).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
