@@ -399,3 +399,68 @@ def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v_b", F.lit(0.0)) - F.coalesce("v_a", F.lit(0.0)), 2
         ).alias("delta_value"),
     )
+
+
+CDC_KEYS = 500  # key domain: ~20 change ops per key at sf0.01
+
+
+@register(
+    "cdc_apply",
+    oracle=f"""
+    WITH ops AS (
+      SELECT event_id % {CDC_KEYS} AS key,
+             CASE WHEN event_type IN ('signup', 'view') THEN 'upsert'
+                  WHEN event_type = 'error'            THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS val_cents,
+             event_id AS seq
+      FROM events
+    ),
+    last AS (
+      SELECT key, op, val_cents, seq,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+             count(*) OVER (PARTITION BY key) AS n_changes
+      FROM ops
+    )
+    SELECT key, CAST(val_cents AS BIGINT) AS val_cents,
+           CAST(seq AS BIGINT) AS last_seq,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM last WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="Change-data-capture apply: a change stream (upserts + deletes "
+    "keyed by sequence number) collapses to the final table state — "
+    "last-writer-wins per key, tombstones drop the row entirely, which "
+    "is the semantics the KV fold (append-concat) does not cover. One "
+    "shuffle on key; the per-key window replaces a full sort-merge "
+    "reduce. At lakehouse scale this is the MERGE-into-snapshot "
+    "compaction step (see merge_upsert_orders for the two-sided form); "
+    "values are exact fixed-point cents so the hash check is stable.",
+    tags=["quality", "kv"],
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ops = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % CDC_KEYS).alias("key"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    wc = Window.partitionBy("key")
+    last = ops.select(
+        "key",
+        "op",
+        "val_cents",
+        "seq",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_changes"),
+    )
+    return last.where((F.col("rn") == 1) & (F.col("op") != "delete")).select(
+        "key",
+        "val_cents",
+        F.col("seq").alias("last_seq"),
+        "n_changes",
+    )
