@@ -1614,3 +1614,150 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "dedup_simhash_tuning",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_simhash_sigs_cte()},
+    chunks AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> (8 * ({SIMHASH_CHUNKS - 1} - c.chunk_id))) & 255
+               AS chunk_val
+      FROM sigs, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk_id) c
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+      FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
+        WHERE a.doc_id < b.doc_id
+      )
+      WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    g AS (
+      SELECT p.hamming,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs
+      FROM pairs p LEFT JOIN truth t USING (doc_a, doc_b)
+      GROUP BY 1
+    )
+    SELECT hamming, n_pairs, n_true_pairs,
+           round(n_true_pairs * 1.0 / n_pairs, 6) AS precision,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN round(sum(n_true_pairs) OVER (ORDER BY hamming
+                             ROWS UNBOUNDED PRECEDING) * 1.0
+                           / (SELECT count(*) FROM truth), 6) END AS cum_recall
+    FROM g
+    """,
+    doc=f"SimHash hamming-threshold tuning table: for each hamming "
+    f"distance 0..{SIMHASH_HAMMING_MAX}, the candidate-pair volume, how "
+    f"many are true near-dups (exact Jaccard>={JACCARD_THRESHOLD}), "
+    "the precision at that distance, and the cumulative recall of "
+    "thresholding there — the third sketch-tuning artifact beside "
+    "dedup_band_tuning and ann_nprobe_tuning. Signatures and ground "
+    "truth each build once; the histogram is one groupBy over the "
+    "(already bounded) candidate pairs.",
+    tags=["dedup", "metric"],
+)
+def dedup_simhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    sh = _shingle_rows(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(sh)
+    sig = _simhash_sig_frame(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(sig)
+
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", 8 * (SIMHASH_CHUNKS - 1 - c))
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_id", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .where(hamming <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+    t = JACCARD_THRESHOLD - 1e-6
+    pc = _prefix_candidates(sh, t)
+    inter = (
+        pc.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    truth = inter.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    n_true = truth.agg(F.count("*").alias("total_true"))
+
+    g = (
+        pairs.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_true_pairs"),
+        )
+    )
+    wcum = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(n_true))
+        .select(
+            "hamming",
+            "n_pairs",
+            "n_true_pairs",
+            F.round(F.col("n_true_pairs") / F.col("n_pairs"), 6).alias(
+                "precision"
+            ),
+            F.when(
+                F.col("total_true") > 0,
+                F.round(
+                    F.sum("n_true_pairs").over(wcum) / F.col("total_true"), 6
+                ),
+            ).alias("cum_recall"),
+        )
+    )
