@@ -98,3 +98,73 @@ def mr_crash_shape_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return salted_sorted_agg(pairs, "key", "value")
+
+
+HOT_MOD = 10  # l_orderkey % 10 < 7 => collapsed onto ONE hot key
+
+
+@register(
+    "salted_hot_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % {HOT_MOD} < 7 THEN 0 ELSE l_orderkey END
+               AS jkey,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT jkey, CAST(count(*) AS BIGINT) AS key_rows
+      FROM fact GROUP BY jkey
+    )
+    SELECT CASE WHEN f.jkey = 0 THEN 'hot' ELSE 'tail' END AS key_class,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(min(d.key_rows) AS BIGINT) AS min_key_rows
+    FROM fact f JOIN dim d USING (jkey)
+    GROUP BY 1
+    """,
+    doc="Salted join on a pathologically hot key (70% of lineitem "
+    "collapses onto one join key): the dimension side is REPLICATED "
+    "once per salt (a 16x explode of the small side) and the fact side "
+    "computes salt = hash(row) % 16, so the hot key's rows spread over "
+    "16 join tasks instead of one — the replicate-and-salt dual of the "
+    "two-phase salted aggregation, for when the build side is small "
+    "but AQE's skew split cannot help (e.g. a shuffle hash join with "
+    "an aggregation fused downstream). Output is bit-identical to the "
+    "plain join the oracle runs — salting is pure repartitioning.",
+    tags=["skew", "joins"],
+)
+def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % HOT_MOD < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jkey"),
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS)).alias(
+            "salt"
+        ),
+    )
+    dim = fact.groupBy("jkey").agg(F.count("*").alias("key_rows"))
+    dim_salted = dim.select(
+        "jkey",
+        "key_rows",
+        F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)])).alias("salt"),
+    )
+    joined = fact.join(dim_salted, ["jkey", "salt"])
+    from .relational import fsum
+
+    return (
+        joined.groupBy(
+            F.when(F.col("jkey") == 0, "hot").otherwise("tail").alias("key_class")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            fsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+            ).alias("revenue"),
+            F.min("key_rows").alias("min_key_rows"),
+        )
+    )

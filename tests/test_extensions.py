@@ -422,3 +422,25 @@ def test_containment_flags_subsumed_doc_one_direction(spark, monkeypatch):
     assert rows.get((2, 1)) == 1.0
     assert (1, 2) not in rows  # sup side is far below the threshold
     assert not any(3 in k for k in rows)
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The hot key must enter the join under all 16 salted shuffle keys
+    (the spread that breaks the straggler), while output matches the
+    plain unsalted join bit-for-bit (oracle parity covers the values;
+    here we also pin the mechanism)."""
+    from mapreduce_framework_in_go_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % skew.HOT_MOD < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jkey"),
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(skew.N_SALTS)
+        ).alias("salt"),
+    )
+    hot_salts = (
+        fact.where(F.col("jkey") == 0).select("salt").distinct().count()
+    )
+    assert hot_salts == skew.N_SALTS
