@@ -92,6 +92,7 @@ def load_all_operators() -> None:
         streaming_queries,
         temporal,
         textops,
+        timeseries,
         tpch_extra,
         tpch_partsupp,
         training_prep,
