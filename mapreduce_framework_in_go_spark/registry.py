@@ -77,6 +77,7 @@ def load_all_operators() -> None:
         entity,
         frequency,
         graph,
+        ivm,
         kv,
         linearizability,
         mapreduce,
