@@ -289,3 +289,81 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+CHUNK_TOKENS = 32  # passage window length (sized so the corpus's
+# 10-99-token docs genuinely produce multiple overlapping windows;
+# production would use 512/384 with identical plan shape)
+CHUNK_STRIDE = 24  # window stride (8-token overlap)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - {CHUNK_TOKENS})
+                                     * 1.0 / {CHUNK_STRIDE}) AS BIGINT)
+             END AS n_chunks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_tok,
+           md5(list_aggregate(
+                 toks[i * {CHUNK_STRIDE} + 1 :
+                      i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                 'string_agg', ' ')) AS chunk_digest
+    FROM sized, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
+    doc=f"Overlapping passage chunking (RAG/context prep): each "
+    f"document's token array is sliced into {CHUNK_TOKENS}-token "
+    f"windows at stride {CHUNK_STRIDE} (overlap "
+    f"{CHUNK_TOKENS - CHUNK_STRIDE}), the final window covering the "
+    "tail. Entirely map-side — sequence() fan-out inside the row, "
+    "slice() per chunk, zero shuffles, so the plan partitions exactly "
+    "like the input at any corpus size; chunk content is carried as "
+    "its md5 digest (both engines agree bitwise on the space-joined "
+    "token text).",
+    tags=["training_prep"],
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        1 + F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("long")
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start)
+            .cast("long")
+            .alias("n_tok"),
+            F.md5(
+                F.array_join(
+                    F.slice("toks", start + 1, F.lit(CHUNK_TOKENS)), " "
+                )
+            ).alias("chunk_digest"),
+        )
+    )

@@ -444,3 +444,40 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
         fact.where(F.col("jkey") == 0).select("salt").distinct().count()
     )
     assert hot_salts == skew.N_SALTS
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each document completely: consecutive
+    starts advance by exactly the stride, the final window reaches the
+    last token, and every window except the last is full-width."""
+    from mapreduce_framework_in_go_spark.operators import training_prep as tp
+    from mapreduce_framework_in_go_spark.functions.text import tokens_col
+
+    out = tp.chunk_documents(spark, sf_dir).persist()
+    try:
+        per_doc = out.groupBy("doc_id").agg(
+            F.max("chunk_idx").alias("last_idx"),
+            F.count("*").alias("n_chunks"),
+            F.max(F.col("start_tok") + F.col("n_tok")).alias("covered"),
+            F.min("n_tok").alias("min_w"),
+        )
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.size(tokens_col("text")).alias("n"))
+            .where("n > 0")
+        )
+        j = per_doc.join(docs, "doc_id").persist()
+        # indices are dense 0..n_chunks-1
+        assert j.where("last_idx != n_chunks - 1").count() == 0
+        # the union of windows reaches the final token
+        assert j.where("covered != n").count() == 0
+        # multi-chunk docs exist in this corpus (the overlap path runs)
+        assert j.where("n_chunks > 1").count() > 0
+        # every non-final window is exactly CHUNK_TOKENS wide
+        non_final = out.join(per_doc, "doc_id").where(
+            "chunk_idx < last_idx AND n_tok != %d" % tp.CHUNK_TOKENS
+        )
+        assert non_final.count() == 0
+        j.unpersist()
+    finally:
+        out.unpersist()
