@@ -245,3 +245,38 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("payload_md5").alias("distinct_payloads"),
         )
     )
+
+
+@register(
+    "mm_dedup",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           md5(text) AS payload_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Exact media dedup: payloads grouped by (modality, md5 digest), "
+    "smallest doc_id elected representative. The digest is computed "
+    "map-side on the JVM (F.md5 over the BINARY column), so the "
+    "shuffle carries (32-byte digest, id) — never the payload bytes: "
+    "at 100 TB of media that is the difference between shuffling "
+    "kilobyte keys and shuffling the corpus. Same discipline as "
+    "dedup_exact on text, here over the binary payload column the "
+    "multimodal family shares.",
+    tags=["multimodal", "dedup"],
+)
+def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_docs(spark, sf_dir)
+    return (
+        media.select(
+            "media_type", F.md5("payload").alias("payload_md5"), "doc_id"
+        )
+        .groupBy("media_type", "payload_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )

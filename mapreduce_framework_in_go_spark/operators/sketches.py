@@ -111,3 +111,175 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.5).alias("p50_within_rank_eps"),
         within(0.95).alias("p95_within_rank_eps"),
     )
+
+
+KMV_K = 64  # bottom-k signature size; Jaccard rse ~ 1/sqrt(K) = 0.125
+KMV_SALTS = 32  # first-level fan-in for the two-level bottom-k
+KMV_ERR_BOUND = 0.35  # asserted |estimate - exact| ceiling (~3 sigma)
+
+
+@register(
+    "kmv_overlap_events",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    sig AS (
+      SELECT event_type, user_id, h FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY h, user_id) AS rn
+        FROM du
+      ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM du) a
+      JOIN (SELECT DISTINCT event_type FROM du) b
+        ON a.event_type < b.event_type
+    ),
+    merged AS (
+      SELECT p.type_a, p.type_b, s.user_id, s.h,
+             max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN sig s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3, 4
+    ),
+    bottomk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY type_a, type_b ORDER BY h, user_id) AS rn
+        FROM merged
+      ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             sum(in_a * in_b) AS n_both, count(*) AS k_used
+      FROM bottomk GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.type_a, p.type_b,
+             count(DISTINCT CASE WHEN ia.user_id IS NOT NULL
+                                  AND ib.user_id IS NOT NULL
+                             THEN du.user_id END) AS n_inter,
+             count(DISTINCT du.user_id) AS n_union
+      FROM pairs p
+      JOIN du ON du.event_type IN (p.type_a, p.type_b)
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM du) ia
+        ON ia.event_type = p.type_a AND ia.user_id = du.user_id
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM du) ib
+        ON ib.event_type = p.type_b AND ib.user_id = du.user_id
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           round(est.n_both * 1.0 / est.k_used, 6) AS est_jaccard,
+           round(e.n_inter * 1.0 / e.n_union, 6) AS exact_jaccard,
+           TRUE AS within_bound
+    FROM exact e JOIN est USING (type_a, type_b)
+    """,
+    doc=f"Cross-audience overlap via KMV (bottom-k) signatures: each "
+    f"event type keeps the {KMV_K} smallest md5-hashed distinct users "
+    "as its signature; a pair's Jaccard is estimated from the fraction "
+    "of the merged signature's bottom-k present in both — the sketch "
+    "is DETERMINISTIC (md5 order), so the oracle reproduces the "
+    "estimate bitwise, a stronger check than the HLL bound contract. "
+    f"Engine-side the bottom-k is TWO-LEVEL: per (type, h%{KMV_SALTS}) "
+    "pre-top-k, then final top-k over the 32xK survivors — the per-type "
+    "sort never sees the full audience, which is what makes per-segment "
+    "signatures computable over billions of users. Exact Jaccard rides "
+    f"along (audiences are few) and the estimate is asserted within "
+    f"{KMV_ERR_BOUND} absolute error.",
+    tags=["sketches"],
+)
+def kmv_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_long32
+
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", md5_long32(F.col("user_id").cast("string")))
+    )
+    # two-level bottom-k: local candidates per hash-salt, then final
+    w_local = Window.partitionBy("event_type", F.pmod("h", F.lit(KMV_SALTS))).orderBy(
+        "h", "user_id"
+    )
+    cand = du.withColumn("lrn", F.row_number().over(w_local)).where(
+        F.col("lrn") <= KMV_K
+    )
+    w_final = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sig = (
+        cand.withColumn("rn", F.row_number().over(w_final))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "user_id", "h")
+        .persist()
+    )
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            sig,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "user_id", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    w_pair = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id")
+    est = (
+        merged.withColumn("rn", F.row_number().over(w_pair))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+            F.count("*").alias("k_used"),
+        )
+    )
+    # exact audience overlap (few types -> tiny frames)
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").alias("n_inter"))
+    )
+    uni = (
+        pairs.join(
+            du,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").alias("n_union"))
+    )
+    ej = F.round(F.col("n_both") / F.col("k_used"), 6)
+    xj = F.round(F.col("n_inter") / F.col("n_union"), 6)
+    return (
+        est.join(inter, ["type_a", "type_b"])
+        .join(uni, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            ej.alias("est_jaccard"),
+            xj.alias("exact_jaccard"),
+            (F.abs(ej - xj) <= KMV_ERR_BOUND).alias("within_bound"),
+        )
+    )
