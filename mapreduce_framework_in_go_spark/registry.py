@@ -97,6 +97,7 @@ def load_all_operators() -> None:
         tpch_extra,
         tpch_partsupp,
         training_prep,
+        zorder,
     )
 
 

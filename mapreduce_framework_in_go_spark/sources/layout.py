@@ -57,3 +57,43 @@ def write_clustered(df: DataFrame, path: str, cluster_col: str, n_files: int) ->
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_x: str, col_y: str, n_files: int
+) -> None:
+    """Cluster output along the Morton curve of two LONG columns so
+    each file covers a tight rectangle in (x, y) — min/max footer
+    stats then prune files for predicates on EITHER dimension (the 2-D
+    counterpart of write_clustered; measured query form:
+    operators/zorder.py). Quantization bounds ride a broadcast 1-row
+    aggregate; the curve value is map-side integer arithmetic; the
+    only exchange is the range partitioning every clustered write
+    pays."""
+    from ..operators.zorder import Q_BITS, z_interleave
+
+    bounds = df.agg(
+        F.min(col_x).alias("xmin"),
+        F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"),
+        F.max(col_y).alias("ymax"),
+    )
+    scale = F.lit(1 << Q_BITS)
+    qx = (
+        (F.col(col_x) - F.col("xmin")) * scale
+        / (F.col("xmax") - F.col("xmin") + 1)
+    ).cast("long")
+    qy = (
+        (F.col(col_y) - F.col("ymin")) * scale
+        / (F.col("ymax") - F.col("ymin") + 1)
+    ).cast("long")
+    (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_z", z_interleave(qx, qy))
+        .drop("xmin", "xmax", "ymin", "ymax")
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
