@@ -83,6 +83,7 @@ def load_all_operators() -> None:
         mapreduce,
         multimodal,
         pipeline,
+        pq,
         privacy,
         quality,
         relational,
