@@ -481,3 +481,48 @@ def test_chunk_documents_covers_every_token(spark, sf_dir):
         j.unpersist()
     finally:
         out.unpersist()
+
+
+def test_compact_plan_packing_guarantees(spark, sf_dir):
+    """Greedy no-split packing invariants, forced to multi-bin with a
+    small target: nothing lost or split, bins dense, and the cumulative
+    fill rate meets the target at every bin boundary."""
+    from mapreduce_framework_in_go_spark.operators.compaction import (
+        SEG_SPAN,
+        plan_bins,
+    )
+
+    target = 2000
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    segs = docs.groupBy(
+        "source", (F.col("doc_id") / SEG_SPAN).cast("long").alias("seg")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    out = plan_bins(segs, target).persist()
+    try:
+        # conservation: every segment lands in exactly one bin
+        a = segs.agg(F.count("*"), F.sum("bytes")).collect()[0]
+        b = out.agg(F.sum("n_segments"), F.sum("bytes")).collect()[0]
+        assert (a[0], a[1]) == (b[0], b[1])
+        per_src = out.groupBy("source").agg(F.max("bin").alias("last_bin"))
+        j = out.join(per_src, "source")
+        assert j.where("bin < last_bin").count() > 0  # multi-bin plan
+        # bins are dense 0..last_bin (no segment exceeds the target here)
+        dense = out.groupBy("source").agg(
+            F.count("*").alias("n"), F.max("bin").alias("mx")
+        )
+        assert dense.where("n != mx + 1").count() == 0
+        # greedy close: bins 0..k together hold >= (k+1)*target bytes
+        # for every non-final k — the fill-rate guarantee of the packing
+        w = "(PARTITION BY source ORDER BY bin)"
+        lagging = (
+            out.selectExpr(
+                "source",
+                "bin",
+                f"sum(bytes) OVER {w} AS cum",
+            )
+            .join(per_src, "source")
+            .where(f"bin < last_bin AND cum < (bin + 1) * {target}")
+        )
+        assert lagging.count() == 0
+    finally:
+        out.unpersist()
