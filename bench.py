@@ -64,6 +64,14 @@ HEADLINE = [
     "ann_hyperplane",
     "privacy_k_anonymity",
     "reconcile_snapshots",
+    "resample_gapfill",
+    "triangle_count",
+    "incremental_agg_merge",
+    "chunk_documents",
+    "kmv_overlap_events",
+    "zorder_layout",
+    "ann_pq",
+    "compact_plan",
 ]
 
 
