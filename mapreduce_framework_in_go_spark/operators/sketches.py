@@ -283,3 +283,116 @@ def kmv_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(ej - xj) <= KMV_ERR_BOUND).alias("within_bound"),
         )
     )
+
+
+TRAIL_HOURS = 3  # trailing window width (hours)
+HLL_LGK_TRAIL = 14  # registers per hourly sketch (rse ~0.8%)
+TRAIL_ERR_BOUND = 0.1  # asserted per-window relative-error ceiling
+
+
+@register(
+    "trailing_distinct_users",
+    oracle=f"""
+    WITH hu AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, hour + INTERVAL (k) HOUR AS whour, user_id
+      FROM hu, unnest(generate_series(0, {TRAIL_HOURS - 1})) AS u(k)
+    ),
+    trail AS (
+      SELECT event_type, whour, count(DISTINCT user_id) AS exact_trailing
+      FROM expanded GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT event_type, hour FROM hu)
+    SELECT t.event_type,
+           strftime(t.whour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(t.exact_trailing AS BIGINT) AS exact_trailing,
+           TRUE AS sketch_within_bound
+    FROM trail t
+    JOIN hours h ON h.event_type = t.event_type AND h.hour = t.whour
+    """,
+    doc=f"Trailing {TRAIL_HOURS}-hour distinct users per event type for "
+    "every active hour — the sliding-DISTINCT shape COUNT(DISTINCT) "
+    "OVER cannot express. Exact path: each (hour, user) row expands to "
+    f"the {TRAIL_HOURS} windows it covers (fan-out = width/slide, the "
+    "sliding-window discipline), then one distinct count per window. "
+    "Sketch path: per-hour HLL register arrays merged across the "
+    "trailing frame with hll_union_agg as a WINDOW aggregate — state "
+    "KBs per hour regardless of audience size, the only viable form "
+    "once hourly audiences stop fitting a shuffle. The estimate is "
+    "asserted within the HLL bound of the exact count (TRUE on both "
+    "sides; windows over trailing hours that include the type's first "
+    "hours use whatever hours exist, matching the oracle's join).",
+    tags=["sketches", "timeseries"],
+)
+def trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hu = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).distinct()
+    # exact: expand each hour-user to the TRAIL_HOURS windows it covers
+    expanded = hu.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(TRAIL_HOURS - 1))
+        ).alias("k"),
+        "hour",
+        "user_id",
+    ).select(
+        "event_type",
+        (F.col("hour") + F.make_interval(hours=F.col("k"))).alias("whour"),
+        "user_id",
+    )
+    trail = expanded.groupBy("event_type", "whour").agg(
+        F.count_distinct("user_id").alias("exact_trailing")
+    )
+    # sketch: per-hour registers, window-merged across the trailing frame
+    hourly_sk = hu.groupBy("event_type", "hour").agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_LGK_TRAIL})").alias("sk")
+    ).withColumn(
+        # RANGE frame over CLOCK hours: a rows-based frame would merge
+        # the last 3 PRESENT hours and silently widen across gaps
+        "hnum",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', hour)"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hnum")
+        .rangeBetween(-(TRAIL_HOURS - 1), Window.currentRow)
+    )
+    sk_trail = hourly_sk.select(
+        "event_type",
+        "hour",
+        F.expr("hll_union_agg(sk)").over(w).alias("sk_merged"),
+    ).select(
+        "event_type",
+        "hour",
+        F.expr("hll_sketch_estimate(sk_merged)").alias("est"),
+    )
+    sk_trail = sk_trail.select(
+        F.col("event_type").alias("sk_type"),
+        F.col("hour").alias("sk_hour"),
+        "est",
+    )
+    return (
+        trail.join(
+            sk_trail,
+            (F.col("event_type") == F.col("sk_type"))
+            & (F.col("whour") == F.col("sk_hour")),
+        )
+        .select(
+            F.col("event_type"),
+            F.date_format("whour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("exact_trailing").cast("long").alias("exact_trailing"),
+            (
+                F.abs(F.col("est") - F.col("exact_trailing"))
+                <= F.lit(TRAIL_ERR_BOUND) * F.col("exact_trailing")
+            ).alias("sketch_within_bound"),
+        )
+    )

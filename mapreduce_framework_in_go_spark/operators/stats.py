@@ -1,0 +1,187 @@
+"""Planning statistics — the numbers a cost-based optimizer (or the
+engineer sizing a 100 TB job) computes BEFORE running the expensive
+plan.
+
+``join_size_estimate`` is the textbook CBO containment estimate:
+|A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) per equi-join key, computed from
+one aggregate pass over each side, then compared against the TRUE join
+cardinality so the estimate's error is part of the checked output.
+Misestimating a join by 100× is how a broadcast becomes an OOM at
+scale; this is the guardrail artifact. NDVs are exact here and swap
+for HLL sketches (`approx_distinct_users` discipline) when the key
+domain outgrows exact counting.
+
+``skew_topkeys`` is the pre-salting diagnosis: the heaviest join/group
+keys with their share of all rows and their multiple of the mean key
+load — the factor that predicts the straggler. The top-k ride a
+TakeOrdered-style rank over per-key counts (one shuffle, map-side
+combined); at 100 TB the same two-phase count is the only way to see
+skew without sorting the key domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+TOP_SKEW = 10
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH li AS (
+      SELECT count(*) AS n, count(DISTINCT l_orderkey) AS ndv FROM lineitem
+    ),
+    o AS (
+      SELECT count(*) AS n, count(DISTINCT o_orderkey) AS ndv FROM orders
+    ),
+    ev AS (
+      SELECT count(*) AS n, count(DISTINCT user_id) AS ndv FROM events
+    ),
+    c AS (
+      SELECT count(*) AS n, count(DISTINCT c_custkey) AS ndv FROM customer
+    ),
+    actual_lo AS (
+      SELECT count(*) AS n FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+    ),
+    actual_ec AS (
+      SELECT count(*) AS n FROM events
+      JOIN customer ON user_id = c_custkey
+    )
+    SELECT 'lineitem x orders ON orderkey' AS join_name,
+           CAST(li.n AS BIGINT) AS left_rows,
+           CAST(o.n AS BIGINT) AS right_rows,
+           CAST(li.ndv AS BIGINT) AS left_ndv,
+           CAST(o.ndv AS BIGINT) AS right_ndv,
+           CAST(li.n * o.n / greatest(li.ndv, o.ndv) AS BIGINT)
+             AS est_rows,
+           CAST(actual_lo.n AS BIGINT) AS actual_rows,
+           round(li.n * o.n / greatest(li.ndv, o.ndv)
+                 * 1.0 / actual_lo.n, 4) AS est_over_actual
+    FROM li, o, actual_lo
+    UNION ALL
+    SELECT 'events x customer ON custkey',
+           CAST(ev.n AS BIGINT), CAST(c.n AS BIGINT),
+           CAST(ev.ndv AS BIGINT), CAST(c.ndv AS BIGINT),
+           CAST(ev.n * c.n / greatest(ev.ndv, c.ndv) AS BIGINT),
+           CAST(actual_ec.n AS BIGINT),
+           round(ev.n * c.n / greatest(ev.ndv, c.ndv)
+                 * 1.0 / actual_ec.n, 4)
+    FROM ev, c, actual_ec
+    """,
+    doc="CBO containment estimate |A|*|B|/max(ndv) for two equi-joins, "
+    "checked against the true join cardinality (est_over_actual is the "
+    "misestimation factor). Each side's (count, NDV) is ONE aggregate "
+    "pass; the actual count is the verification baseline a production "
+    "stats job would sample instead. Exact NDV swaps for an HLL sketch "
+    "at extreme key cardinality.",
+    tags=["stats"],
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+
+    def side(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"), F.count_distinct(key).alias("ndv")
+        )
+
+    def one(
+        name: str, a: DataFrame, ak: str, b: DataFrame, bk: str
+    ) -> DataFrame:
+        sa = side(a, ak)
+        sb = side(b, bk).select(
+            F.col("n").alias("bn"), F.col("ndv").alias("bndv")
+        )
+        actual = (
+            a.select(F.col(ak).alias("k"))
+            .join(b.select(F.col(bk).alias("k")), "k")
+            .agg(F.count("*").alias("actual"))
+        )
+        est = (F.col("n") * F.col("bn") / F.greatest("ndv", "bndv")).cast(
+            "long"
+        )
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n").alias("left_rows"),
+                F.col("bn").alias("right_rows"),
+                F.col("ndv").alias("left_ndv"),
+                F.col("bndv").alias("right_ndv"),
+                est.alias("est_rows"),
+                F.col("actual").alias("actual_rows"),
+                F.round(est / F.col("actual"), 4).alias("est_over_actual"),
+            )
+        )
+
+    return one(
+        "lineitem x orders ON orderkey", li, "l_orderkey", o, "o_orderkey"
+    ).unionByName(
+        one("events x customer ON custkey", ev, "user_id", c, "c_custkey")
+    )
+
+
+@register(
+    "skew_topkeys",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n) AS total, count(*) AS n_keys, avg(n) AS mean_n
+      FROM per_key
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+           round(n * 1.0 / total, 6) AS share,
+           round(n / mean_n, 4) AS x_mean,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT p.*, t.total, t.mean_n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rank
+      FROM per_key p, tot t
+    ) WHERE rank <= {TOP_SKEW}
+    """,
+    doc=f"Skew diagnosis: the {TOP_SKEW} heaviest event keys with their "
+    "row share and multiple of the mean key load — the artifact that "
+    "decides whether a join needs salting before the 100 TB run. "
+    "Per-key counts map-side combine; only the tiny count frame "
+    "reaches the top-k rank (TakeOrdered shape over keys, never rows); "
+    "corpus totals ride a broadcast 1-row aggregate.",
+    tags=["stats", "skew"],
+)
+def skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.avg("n").alias("mean_n"),
+    )
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps + merge of k), never a single-partition sort of the key
+    # domain; the rank window then runs over the k surviving rows only.
+    top = (
+        per_key.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(TOP_SKEW)
+    )
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "user_id",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -92,6 +92,7 @@ def load_all_operators() -> None:
         similarity,
         sketches,
         skew,
+        stats,
         streaming_queries,
         temporal,
         textops,
