@@ -287,3 +287,56 @@ def test_anomaly_stats_broadcast(spark, sf_dir):
     hourly rollup."""
     plan = formatted_plan(SPECS["event_anomaly_hours"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_shuffle_free(spark, sf_dir):
+    """Passage chunking must stay a scan -> generate -> project map:
+    zero exchanges, partitioned like the input at any corpus size."""
+    plan = formatted_plan(SPECS["chunk_documents"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_skew_topkeys_takeordered(spark, sf_dir):
+    """The heavy-key rank must be TakeOrdered over per-key counts —
+    never a global sort of the key domain."""
+    plan = formatted_plan(SPECS["skew_topkeys"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_broadcasts_seeds(spark, sf_dir):
+    """PQ encoding must join the corpus against BROADCAST seed
+    subvectors (map-side assignment) — a shuffled seed join would move
+    the corpus per subspace."""
+    plan = formatted_plan(SPECS["ann_pq"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_pre_aggregates_before_window(spark, sf_dir):
+    """The ffill window must run on the hourly pre-aggregate grid, not
+    raw events: the plan's first aggregate keys (user_id, hour) so a
+    skewed user costs span-hours rows, not their raw event count."""
+    plan = formatted_plan(SPECS["resample_gapfill"].fn(spark, sf_dir))
+    assert "date_trunc" in plan
+    # partial + final hash aggregate for the hourly collapse
+    assert plan.count("HashAggregate") >= 2
+    # the per-user window exists and is keyed (never unpartitioned)
+    assert "SinglePartition" not in plan
+
+
+def test_zorder_single_scan_per_layout_no_extra_exchange(spark, sf_dir):
+    """Z-value and bucket assignment must be map-side: the only
+    exchanges are the two layout aggregations; bounds ride a broadcast
+    1-row aggregate, never a driver action."""
+    plan = formatted_plan(SPECS["zorder_layout"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_distinct_range_frame(spark, sf_dir):
+    """The sketch merge must use a RANGE frame over clock hours (a
+    rows frame would widen across gaps), and the expand side must
+    carry the width/slide fan-out through a Generate."""
+    plan = formatted_plan(SPECS["trailing_distinct_users"].fn(spark, sf_dir))
+    assert "RangeFrame, -2, currentrow" in plan
+    assert "Generate" in plan
