@@ -80,6 +80,7 @@ def load_all_operators() -> None:
         graph,
         ivm,
         kv,
+        langmodel,
         linearizability,
         mapreduce,
         multimodal,
@@ -100,6 +101,7 @@ def load_all_operators() -> None:
         tpch_extra,
         tpch_partsupp,
         training_prep,
+        udx,
         zorder,
     )
 
