@@ -26,7 +26,7 @@ add one 1-row aggregate per round, same dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -34,6 +34,11 @@ from ..sources.tables import table
 
 SCALE = 10**12
 PR_ITERS = 3
+# Bitmap triangle counting needs n/64 longs per node (n^2/8 bytes of
+# total bitmap state): 65536 nodes = 8 KiB/node, 512 MiB total — the
+# practical broadcast ceiling. Beyond it, the oriented-intersection
+# sparse path applies.
+DENSE_NODE_LIMIT = 65536
 
 _CACHE: list[DataFrame] = []
 
@@ -191,6 +196,8 @@ _TRI_ORACLE = """
     tags=["graph"],
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_num_rows
+
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -206,13 +213,113 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _CACHE.append(edges)
-    return triangles_per_node(edges).withColumnRenamed("node", "l_suppkey")
+    # Physical-strategy pick by node-domain size (parquet footer count,
+    # no Spark action): the co-occurrence graph over a dimension-sized
+    # supplier domain is DENSE (91% at sf0.1) — adjacency bitmaps beat
+    # neighborhood intersection ~3x there; past the bitmap-width budget
+    # (n^2/8 bytes of total state) the sparse oriented path takes over.
+    n_nodes = parquet_num_rows(sf_dir, "supplier")
+    impl = triangles_per_node_dense if n_nodes <= DENSE_NODE_LIMIT else triangles_per_node
+    return impl(edges).withColumnRenamed("node", "l_suppkey")
+
+
+def triangles_per_node_dense(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via fixed-width adjacency BITMAPS — the
+    dense-graph physical strategy (node domain small enough that one
+    node's neighborhood packs into an array<long> of ceil(n/64) words;
+    at 1000 nodes that is 16 longs = 128 bytes/node, 125 KB total).
+
+    For a symmetric edge set, t(x) = (1/2) * sum_{y in N(x)}
+    |N(x) ∩ N(y)| — each triangle {x,y,z} is seen from x twice (via y
+    and via z). With bitmaps the intersection size is a zip_with of
+    word-ANDs + bit_count: ~16 long ops per edge instead of a per-row
+    hash-set intersection, and NO per-triangle row ever materializes —
+    on a 91%-dense 1000-node graph that removes the Θ(#triangles) =
+    1.2e8-row stage entirely. The dense index, word count and bitmap
+    table are all dimension-sized (broadcast); the only corpus-sized
+    pass is one broadcast-join sweep over the edge list into a
+    groupBy(src). Falls over when the node domain outgrows bitmap
+    width (n^2/8 bytes of total bitmap state) — that is the sparse
+    regime where the oriented-intersection `triangles_per_node` path
+    below is the right plan; `triangle_count` picks by domain size
+    (parquet footer count, no Spark action).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree")).select(
+        F.col("src").alias("node"), "degree"
+    )
+    idx = deg.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("j"),
+    )
+    nw = idx.agg(
+        (F.floor(F.max("j") / 64) + 1).cast("int").alias("nw")
+    )
+    nbrs = (
+        edges.join(
+            F.broadcast(idx.select(F.col("node").alias("dst"), "j")), "dst"
+        )
+        .groupBy("src")
+        .agg(F.collect_list("j").alias("nbrs"))
+        .crossJoin(F.broadcast(nw))
+    )
+    bitmaps = nbrs.select(
+        F.col("src").alias("node"),
+        F.expr(
+            "aggregate(nbrs, array_repeat(CAST(0 AS BIGINT), nw), "
+            "(acc, j) -> transform(acc, (w, wi) -> "
+            "IF(wi = CAST(j DIV 64 AS INT), "
+            "w | shiftleft(CAST(1 AS BIGINT), CAST(j % 64 AS INT)), w)))"
+        ).alias("bm"),
+    )
+    common = (
+        edges.join(
+            F.broadcast(
+                bitmaps.select(F.col("node").alias("src"), F.col("bm").alias("bx"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                bitmaps.select(F.col("node").alias("dst"), F.col("bm").alias("by"))
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            F.expr(
+                "aggregate(zip_with(bx, by, (a, b) -> bit_count(a & b)), "
+                "0, (s, x) -> s + x)"
+            ).alias("c"),
+        )
+    )
+    per_node = (
+        common.groupBy(F.col("src").alias("node"))
+        .agg((F.sum("c") / 2).cast("long").alias("t"))
+    )
+    return _clustering_output(deg, per_node)
 
 
 def triangles_per_node(edges: DataFrame) -> DataFrame:
     """Degree-oriented triangle counting over a SYMMETRIC distinct edge
     frame (src, dst) — see the triangle_count doc for the cost
-    argument. Returns (node, degree, n_triangles, clustering_coef)."""
+    argument. Returns (node, degree, n_triangles, clustering_coef).
+
+    Formulation: edge-local adjacency intersection. After orienting
+    every edge (degree, id)-ascending, each triangle {a -> b, a -> c,
+    b -> c} is found exactly once at its lowest edge (a, b) as
+    c ∈ N+(a) ∩ N+(b). Per-node attribution is then algebraic for the
+    pivot (a) and middle (b) — a sum of per-edge intersection COUNTS —
+    and only the top vertex (c) needs the intersection CONTENTS,
+    exploded one row per triangle straight into a map-side-combined
+    count. Compared with the classic wedge-join (enumerate out-pairs,
+    semi-join the closing edge), this never shuffles the Θ(#wedges)
+    frame: the oriented adjacency lists (O(m) total, out-degree capped
+    at O(sqrt(m)) by the orientation) join onto the edge list — here
+    via broadcast; at billions of edges the same joins hash-partition
+    on v/w — and the intersection runs inside codegen. On the dense
+    co-occurrence graph this is ~3x faster than the wedge join; the
+    per-triangle explode is inherent to exact per-node counts (the
+    oracle's three-way join pays the same)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("degree")).select(
         F.col("src").alias("node"), "degree"
     )
@@ -228,29 +335,44 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
             (F.col("ds") < F.col("dd"))
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
         )
-        .select("src", "dst", "dd")
+        .select("src", "dst")
         .persist()
     )
     _CACHE.append(o)
-    # Wedges at the pivot u: oriented out-neighbor pairs (v, w) with v
-    # before w in the SAME orientation order, so the closing edge — if
-    # the triangle exists — appears in o as exactly (v, w).
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dd").alias("dv"))
-    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dd").alias("dw"))
-    wedges = e1.join(e2, "u").where(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    closed = (
+        o.join(
+            F.broadcast(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))),
+            F.col("src") == F.col("v"),
+        )
+        .join(
+            F.broadcast(adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nw"))),
+            F.col("dst") == F.col("w"),
+        )
+        .select("src", "dst", F.array_intersect("nv", "nw").alias("ix"))
+        .withColumn("cnt", F.size("ix"))
+        .where(F.col("cnt") > 0)
     )
-    tri = wedges.join(
-        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-        "leftsemi",
-    ).select("u", "v", "w")
+    # Pivot/middle attribution sums per-edge counts (O(m) rows); only
+    # the top vertex pays one raw-long row per triangle, folded by the
+    # map-side combine — no struct construction in the hot explode.
+    pivot_mid = closed.select(
+        F.explode(F.array("src", "dst")).alias("node"),
+        F.col("cnt").cast("long").alias("c"),
+    )
+    top = closed.select(
+        F.explode("ix").alias("node"), F.lit(1).cast("long").alias("c")
+    )
     per_node = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        pivot_mid.unionAll(top)
         .groupBy("node")
-        .agg(F.count("*").alias("t"))
+        .agg(F.sum("c").alias("t"))
     )
+    return _clustering_output(deg, per_node)
+
+
+def _clustering_output(deg: DataFrame, per_node: DataFrame) -> DataFrame:
+    """(node, degree) x (node, t) -> the shared output schema."""
     return (
         deg.join(per_node, "node", "left")
         .select(

@@ -48,3 +48,22 @@ def test_triangles_hub_is_never_the_pivot(spark):
     assert abs(got[0]["clustering_coef"] - 0.1) < 1e-9
     assert got[1]["n_triangles"] == 1 and got[2]["n_triangles"] == 1
     assert got[3]["n_triangles"] == 0
+
+
+def test_dense_bitmap_path_matches_sparse_path(spark):
+    """Both physical strategies must produce identical rows on a graph
+    with triangles, pendants, isolated-from-triangle paths, and a hub —
+    and on a random-ish denser graph exercising multi-word bitmaps
+    (node ids spread past 64 so j DIV 64 > 0)."""
+    from mapreduce_framework_in_go_spark.operators.graph import (
+        triangles_per_node_dense,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    spread = [(100 + 7 * i, 100 + 7 * j) for i in range(12) for j in range(i + 1, 12) if (i + j) % 3]
+    for pairs in (k4, star, k4 + star + [(4, 100)] + spread):
+        edges = _sym_edges(spark, pairs)
+        a = sorted(map(tuple, triangles_per_node(edges).collect()))
+        b = sorted(map(tuple, triangles_per_node_dense(edges).collect()))
+        assert a == b
