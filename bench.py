@@ -72,6 +72,10 @@ HEADLINE = [
     "zorder_layout",
     "ann_pq",
     "compact_plan",
+    "lm_kn_bigrams",
+    "doc_perplexity",
+    "event_transition_matrix",
+    "udaf_median_acctbal",
 ]
 
 

@@ -183,3 +183,79 @@ def range_join_pre_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             fsum(F.col("value"), 100).alias("total_value"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_event_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT event_type, next_event_type
+      FROM seq
+      WHERE next_event_type IS NOT NULL
+        AND next_ts - ts <= INTERVAL 30 MINUTE
+    ),
+    counts AS (
+      SELECT event_type, next_event_type, count(*) AS c
+      FROM trans GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT event_type, sum(c) AS c_ctx FROM counts GROUP BY 1
+    )
+    SELECT counts.event_type, counts.next_event_type,
+           CAST(counts.c AS BIGINT) AS c,
+           CAST(ctx.c_ctx AS BIGINT) AS c_ctx,
+           round(counts.c * 1.0 / ctx.c_ctx, 6) AS p
+    FROM counts JOIN ctx USING (event_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: consecutive (event, next-event) pairs within the same "
+    "activity burst (gap <= 30 min, the sessionization bound), "
+    "counted globally and row-normalized into transition "
+    "probabilities. ONE shuffle on user_id feeds the lead window "
+    "(shared ordering with sessionization); the count is a two-level "
+    "aggregate over the event_type x event_type domain, and the "
+    "row-normalizing context totals join back by broadcast — the "
+    "matrix is vocabulary-sized, never corpus-sized. The "
+    "probability division is a single exact IEEE op, hash-identical "
+    "to the oracle. This is the sequence-mining sibling of "
+    "lm_kn_bigrams: same count-table discipline, event streams "
+    "instead of token streams.",
+    tags=["temporal", "events"],
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_event_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = seq.where(
+        F.col("next_event_type").isNotNull()
+        & (
+            (F.col("next_ts") - F.col("ts"))
+            <= F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    counts = trans.groupBy("event_type", "next_event_type").agg(
+        F.count("*").alias("c")
+    )
+    ctx = counts.groupBy("event_type").agg(F.sum("c").alias("c_ctx"))
+    return (
+        counts.join(F.broadcast(ctx), "event_type")
+        .select(
+            "event_type",
+            "next_event_type",
+            F.col("c").cast("long").alias("c"),
+            F.col("c_ctx").cast("long").alias("c_ctx"),
+            F.round(F.col("c") * F.lit(1.0) / F.col("c_ctx"), 6).alias("p"),
+        )
+    )
