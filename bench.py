@@ -75,6 +75,8 @@ HEADLINE = [
     "lm_kn_bigrams",
     "doc_perplexity",
     "event_transition_matrix",
+    "decontaminate_semantic",
+    "dataset_split_grouped",
     "udaf_median_acctbal",
 ]
 

@@ -192,3 +192,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+GROUP_SALT = "grp"
+_GROUP_BUCKET_SQL = (
+    f"('0x' || substr(md5('{GROUP_SALT}' || source), 1, 8))"
+    f"::BIGINT % {SPLIT_BUCKETS}"
+)
+
+
+@register(
+    "dataset_split_grouped",
+    oracle=f"""
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             CASE WHEN {_GROUP_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_GROUP_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="Group-aware (leakage-safe) train/val/test split: the hash is "
+    "taken over the GROUP key (source — the provenance unit at which "
+    "mirrors, boilerplate and near-duplicates correlate), so every "
+    "document of a source lands in the same split by construction — "
+    "correlated documents can never straddle train and test, the "
+    "failure mode a per-document hash split (dataset_split) cannot "
+    "rule out. Same salted-md5 assignment, still a map-side "
+    "predicate; group-level balance is quantified by the audit "
+    "output (per-split source and doc counts). For near-dup-level "
+    "grouping, feed dedup_clusters reps as the group key — same "
+    "shape.",
+    tags=["sampling", "training_prep"],
+)
+def dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            split_col(F.col("source"), salt=GROUP_SALT).alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

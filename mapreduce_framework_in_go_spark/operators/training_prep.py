@@ -367,3 +367,97 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_digest"),
         )
     )
+
+
+SEM_TAU = 0.35  # eval-similarity flag threshold (synthetic embeddings
+# are near-orthogonal; planted structure tops out ~0.49 cross-split)
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % {EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % {EVAL_MOD} != 0
+    ),
+    pairs AS (
+      SELECT tr.doc_id, ev.eval_id,
+             round(list_cosine_similarity(tr.v, ev.e), 6) AS cos
+      FROM tr, ev
+    ),
+    best AS (
+      SELECT doc_id, eval_id, cos,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cos DESC, eval_id) AS rk
+      FROM pairs
+    )
+    SELECT doc_id, eval_id AS nearest_eval_id, cos AS max_cos,
+           cos >= {SEM_TAU} AS contaminated
+    FROM best WHERE rk = 1
+    """,
+    doc=f"Semantic decontamination — the embedding-space sibling of "
+    f"decontaminate_ngram: every training vector reports its nearest "
+    f"held-out eval vector (doc_id % {EVAL_MOD} = 0 split) by cosine, "
+    f"flagged when similarity >= {SEM_TAU}. The eval suite is small "
+    "and fixed (MBs against a TB corpus), so its vectors+norms ride "
+    "ONE broadcast array and the scan is MAP-ONLY: a per-row "
+    "higher-order fold takes the max over eval vectors — no pair "
+    "rows, no shuffle, output exactly one row per training vector. "
+    "Tie-breaks on (rounded cosine desc, eval_id asc) keep the fold "
+    "order-independent and hash-identical to the oracle's "
+    "row_number. If the eval suite ever outgrew a broadcast, the IVF "
+    "cell-probe path (dedup_embedding_ivf) is the fallback.",
+    tags=["training_prep", "similarity"],
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    ev = (
+        emb.where(F.col("vec_id") % EVAL_MOD == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            "embedding",
+            l2_norm(F.col("embedding")).alias("n"),
+        )
+    )
+    ev_arr = ev.agg(
+        F.collect_list(F.struct("eval_id", "embedding", "n")).alias("evs")
+    )
+    tr = emb.where(F.col("vec_id") % EVAL_MOD != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("tn"),
+    )
+
+    def fold_step(acc, e):
+        rc = F.round(
+            dot(F.col("embedding"), e["embedding"]) / (F.col("tn") * e["n"]),
+            6,
+        )
+        better = (rc > acc["rc"]) | ((rc == acc["rc"]) & (e["eval_id"] < acc["id"]))
+        return F.struct(
+            F.when(better, rc).otherwise(acc["rc"]).alias("rc"),
+            F.when(better, e["eval_id"]).otherwise(acc["id"]).alias("id"),
+        )
+
+    best = tr.crossJoin(F.broadcast(ev_arr)).select(
+        "doc_id",
+        F.aggregate(
+            "evs",
+            F.struct(
+                F.lit(-2.0).alias("rc"), F.lit(-1).cast("long").alias("id")
+            ),
+            fold_step,
+        ).alias("best"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("best.id").alias("nearest_eval_id"),
+        F.col("best.rc").alias("max_cos"),
+        (F.col("best.rc") >= SEM_TAU).alias("contaminated"),
+    )

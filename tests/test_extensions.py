@@ -526,3 +526,78 @@ def test_compact_plan_packing_guarantees(spark, sf_dir):
         assert lagging.count() == 0
     finally:
         out.unpersist()
+
+
+def test_semantic_decontamination_matches_bruteforce(spark, sf_dir):
+    """Per-row HOF max over the broadcast eval array must equal the
+    naive per-pair argmax, and flags must be exactly cos >= SEM_TAU."""
+    from mapreduce_framework_in_go_spark.functions.vectors import cosine_sim
+    from mapreduce_framework_in_go_spark.operators.training_prep import (
+        EVAL_MOD,
+        SEM_TAU,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r
+        for r in SPECS["decontaminate_semantic"].fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e")
+    )
+    tr = emb.where(F.col("vec_id") % EVAL_MOD != 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    pairs = (
+        tr.crossJoin(ev)
+        .select(
+            "doc_id",
+            "eval_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("e")), 6).alias("c"),
+        )
+        .collect()
+    )
+    best = {}
+    for p in pairs:
+        cur = best.get(p.doc_id)
+        if cur is None or (p.c, -p.eval_id) > (cur.c, -cur.eval_id):
+            best[p.doc_id] = p
+    assert set(got) == set(best)
+    for doc_id, want in best.items():
+        r = got[doc_id]
+        assert r.max_cos == want.c
+        assert r.nearest_eval_id == want.eval_id
+        assert r.contaminated == (want.c >= SEM_TAU)
+
+
+def test_semantic_decontamination_is_map_only(spark, sf_dir):
+    """The corpus side must never shuffle: eval vectors ride one
+    broadcast; no sort-merge join, no hash exchange of train rows."""
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    plan = formatted_plan(SPECS["decontaminate_semantic"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouped_split_never_straddles_sources(spark, sf_dir):
+    """Every source's documents must land in exactly one split (the
+    leakage-safety property), and the audit totals must add up."""
+    from mapreduce_framework_in_go_spark.operators.sampling import (
+        GROUP_SALT,
+        split_col,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = (
+        docs.select("source", split_col(F.col("source"), salt=GROUP_SALT).alias("split"))
+        .groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .collect()
+    )
+    assert per_source and all(r.k == 1 for r in per_source)
+    out = SPECS["dataset_split_grouped"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert sum(r.n_sources for r in out) == docs.select("source").distinct().count()
