@@ -365,3 +365,66 @@ def stream_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
     )
     return _run(agg, "complete", "dataset_card")
+
+
+from ..streaming import transitions as str_trans  # noqa: E402
+
+
+@register(
+    "stream_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_event_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT event_type, next_event_type
+      FROM seq
+      WHERE next_event_type IS NOT NULL
+        AND next_ts - ts <= INTERVAL 30 MINUTE
+    ),
+    counts AS (
+      SELECT event_type, next_event_type, count(*) AS c
+      FROM trans GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT event_type, sum(c) AS c_ctx FROM counts GROUP BY 1
+    )
+    SELECT counts.event_type, counts.next_event_type,
+           CAST(counts.c AS BIGINT) AS c,
+           CAST(ctx.c_ctx AS BIGINT) AS c_ctx,
+           round(counts.c * 1.0 / ctx.c_ctx, 6) AS p
+    FROM counts JOIN ctx USING (event_type)
+    """,
+    doc="Streaming twin of event_transition_matrix: transitions are "
+    "extracted INCREMENTALLY by an O(1)-state per-user fold "
+    "(applyInPandasWithState carries each user's last event across "
+    "microbatches; a batch lead() window has no streaming form), "
+    "driven to completion over the bounded events source; the "
+    "matrix normalization is a batch rollup over the emitted "
+    "transition sink. Oracle: the batch lead-window SQL — so the "
+    "stateful extraction itself is hash-checked end-to-end.",
+    tags=["streaming", "temporal", "events"],
+)
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = sw.events_stream(spark, f"{sf_dir}/events.parquet")
+    sunk = _run(str_trans.transitions_stream(ev), "append", "transition_matrix")
+    counts = sunk.groupBy("event_type", "next_event_type").agg(
+        F.count("*").alias("c")
+    )
+    # row-normalize via a per-context window over the matrix-sized
+    # frame (a self-join of the memory-sink view trips conflicting
+    # attribute resolution; the window avoids the self-reference)
+    c_ctx = F.sum("c").over(Window.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_event_type",
+        F.col("c").cast("long").alias("c"),
+        c_ctx.cast("long").alias("c_ctx"),
+        F.round(F.col("c") * F.lit(1.0) / c_ctx, 6).alias("p"),
+    )

@@ -117,6 +117,10 @@ def test_timezone_independence(spark, duck):
             "privacy_k_anonymity",
             "reconcile_snapshots",
             "column_profile",
+            # lead-window gap + stateful epoch-micros fold: TZ-free
+            "event_transition_matrix",
+            "stream_transition_matrix",
+            "resample_gapfill",
         ]:
             from .conftest import SF_DIR
 
