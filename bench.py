@@ -78,6 +78,8 @@ HEADLINE = [
     "decontaminate_semantic",
     "dataset_split_grouped",
     "udaf_median_acctbal",
+    "corr_matrix_lineitem",
+    "stream_transition_matrix",
 ]
 
 

@@ -185,3 +185,124 @@ def skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# Pearson correlation + OLS fit per column pair, from EXACT integer
+# moment sums. The four lineitem measures carry <= 2 decimal digits, so
+# x*100 is integral; sums of squares/products can pass 2^63 at bench SF,
+# so the moment accumulation runs in DECIMAL(38,0) (HUGEINT on the
+# oracle side) — still exact integer arithmetic — and only the final
+# closed-form expressions drop to IEEE doubles via the deterministic
+# integer->double cast. Both engines then evaluate the identical
+# expression tree, so corr/slope/intercept hash-match at round-6.
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+CORR_SCALE = 100
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (CORR_COLS[i], CORR_COLS[j])
+        for i in range(len(CORR_COLS))
+        for j in range(i + 1, len(CORR_COLS))
+    ]
+
+
+def _corr_oracle() -> str:
+    def mom(c):
+        return f"CAST(CAST(round({c} * {CORR_SCALE}) AS BIGINT) AS HUGEINT)"
+
+    sums = ", ".join(
+        f"sum({mom(c)}) AS s_{c}, sum({mom(c)} * {mom(c)}) AS ss_{c}"
+        for c in CORR_COLS
+    )
+    cross = ", ".join(
+        f"sum({mom(x)} * {mom(y)}) AS sp_{x}_{y}" for x, y in _corr_pairs()
+    )
+    selects = []
+    for x, y in _corr_pairs():
+        sx, sy = f"CAST(m.s_{x} AS DOUBLE)", f"CAST(m.s_{y} AS DOUBLE)"
+        sxx, syy = f"CAST(m.ss_{x} AS DOUBLE)", f"CAST(m.ss_{y} AS DOUBLE)"
+        sxy = f"CAST(m.sp_{x}_{y} AS DOUBLE)"
+        n = "CAST(m.n AS DOUBLE)"
+        cov = f"({n} * {sxy} - {sx} * {sy})"
+        vx = f"({n} * {sxx} - {sx} * {sx})"
+        vy = f"({n} * {syy} - {sy} * {sy})"
+        selects.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+               CAST(m.n AS BIGINT) AS n,
+               round({cov} / (sqrt({vx}) * sqrt({vy})), 6) AS corr,
+               round({cov} / {vx}, 6) AS slope,
+               round(({sy} - {cov} / {vx} * {sx}) / {n} / {CORR_SCALE}, 6)
+                 AS intercept
+            FROM m"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH m AS (
+      SELECT count(*) AS n, {sums}, {cross} FROM lineitem
+    )
+    {body}
+    """
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=_corr_oracle(),
+    doc="Pearson correlation matrix + per-pair OLS fit (slope, "
+    "intercept in original units) over the four lineitem measures — "
+    "the profiling pass a feature-engineering pipeline runs before "
+    "modeling. ONE aggregate scan accumulates every moment (count, "
+    "sums, squares, cross-products) as exact DECIMAL(38,0) integers "
+    "— order-free, overflow-safe past 2^63 — and the closed forms "
+    "evaluate on the single broadcast moment row. Adding a column "
+    "adds moments, never a pass. The intercept's slope subterm "
+    "repeats the slope expression verbatim so both engines' "
+    "expression trees stay identical.",
+    tags=["stats"],
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def mom(c: str):
+        return (
+            F.round(F.col(c) * CORR_SCALE)
+            .cast("long")
+            .cast("decimal(38,0)")
+        )
+
+    aggs = [F.count("*").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(mom(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(mom(c) * mom(c)).alias(f"ss_{c}"))
+    for x, y in _corr_pairs():
+        aggs.append(F.sum(mom(x) * mom(y)).alias(f"sp_{x}_{y}"))
+    m = li.agg(*aggs)
+
+    # all 6 pair rows come off the ONE moment row via explode — a
+    # unionAll of per-pair selects would plan 6 independent aggregates
+    # (6 scans of lineitem)
+    pair_structs = []
+    for x, y in _corr_pairs():
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxx, syy = F.col(f"ss_{x}").cast("double"), F.col(f"ss_{y}").cast("double")
+        sxy = F.col(f"sp_{x}_{y}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        pair_structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
+                F.round(cov / vx, 6).alias("slope"),
+                F.round(
+                    (sy - cov / vx * sx) / n / F.lit(CORR_SCALE), 6
+                ).alias("intercept"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*pair_structs)).alias("r"))
+        .select("r.*")
+    )

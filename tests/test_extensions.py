@@ -601,3 +601,24 @@ def test_grouped_split_never_straddles_sources(spark, sf_dir):
     out = SPECS["dataset_split_grouped"].fn(spark, sf_dir).collect()
     assert sum(r.n_docs for r in out) == docs.count()
     assert sum(r.n_sources for r in out) == docs.select("source").distinct().count()
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Closed-form moment arithmetic must agree with numpy's Pearson r
+    and polyfit on the raw column data (round-6)."""
+    import numpy as np
+
+    rows = SPECS["corr_matrix_lineitem"].fn(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    assert len(rows) == 6
+    for r in rows:
+        x, y = li[r.col_x].to_numpy(), li[r.col_y].to_numpy()
+        assert abs(r.corr - np.corrcoef(x, y)[0, 1]) < 1e-5
+        slope, intercept = np.polyfit(x, y, 1)
+        # slope is reported in scaled units (y*100 per x*100 => unitless
+        # ratio identical to raw slope); intercept is de-scaled
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-3
+        assert r.n == len(li)
