@@ -1,0 +1,70 @@
+"""Interchange formats beyond parquet: JSONL and CSV round-trips.
+
+The reference's source surface is whole text files + its `"key value"`
+sink (``mr/worker.go:56-82``); real corpus ingest adds line-delimited
+JSON (the de-facto crawl/LLM-corpus interchange format) and CSV. These
+helpers pin the schema contracts that make those formats safe at scale:
+
+- **JSONL**: written/read with an EXPLICIT schema — schema inference
+  reads the whole input once before the real scan (a second 100 TB
+  pass) and silently widens types on dirty data; production always
+  declares the schema. Timestamps serialize as ISO-8601 instants
+  (``timestampFormat`` below) so the round-trip is session-timezone
+  independent.
+- **CSV**: header + explicit schema + ``mode=FAILFAST``; permissive
+  mode silently nulls malformed rows — at a trillion rows that is data
+  loss with no error. Strings containing the delimiter/quotes rely on
+  quoting, exercised by the documents corpus round-trip test.
+
+Both formats split by LINE on a cluster (a single huge file still
+parallelizes), but stay row-oriented: no column pruning, no predicate
+pushdown, no encoding — the scan reads every byte every query. The
+round-trip tests (tests/test_formats.py) prove lossless conversion to
+parquet, which is the only format the engine's query surface reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+_OPTS = {
+    "timestampFormat": TS_FMT,
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").options(**_OPTS).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .options(**_OPTS, mode="FAILFAST")
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").options(header=True, **_OPTS).csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> DataFrame:
+    """``multiline=True`` is required to read back quoted fields that
+    CONTAIN newlines — but it makes each file non-splittable (one task
+    per file, no line-level parallelism), the classic CSV scale trap.
+    Corpora with embedded newlines belong in parquet/JSONL; the flag
+    exists for ingesting third-party CSVs, sized-by-file."""
+    return (
+        spark.read.schema(schema)
+        .options(header=True, mode="FAILFAST", multiLine=multiline, **_OPTS)
+        .csv(path)
+    )
