@@ -79,6 +79,7 @@ HEADLINE = [
     "dataset_split_grouped",
     "udaf_median_acctbal",
     "corr_matrix_lineitem",
+    "events_trailing_median",
     "stream_transition_matrix",
 ]
 

@@ -118,3 +118,50 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "events_trailing_median",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id,
+             list_sort(list(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             )) AS l
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(len(l) AS BIGINT) AS n_frame,
+           CAST(l[(len(l) + 1) // 2] + l[len(l) // 2 + 1] AS DOUBLE)
+             / 2 / 100 AS trailing_median
+    FROM f
+    """,
+    doc="Exact rolling MEDIAN over a trailing 1-hour time frame per "
+    "user — the holistic analytic no distributive window aggregate "
+    "expresses: the frame's values are collected (RANGE interval "
+    "frame), sorted, and the midpoint interpolated in fixed-point "
+    "cents, so engine and oracle share the identical integer-sort + "
+    "midpoint arithmetic (no reliance on either engine's internal "
+    "quantile interpolation tree). One user_id shuffle; per-row cost "
+    "is O(frame log frame) and per-row state is the frame itself — "
+    "the honest price of exactness; a wide-frame production variant "
+    "swaps in the GK sketch (approx_percentile_prices contract).",
+    tags=["timeseries", "events", "window"],
+)
+def events_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "array_sort(collect_list(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts"
+        "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) AS l",
+    ).selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(size(l) AS BIGINT) AS n_frame",
+        "CAST(element_at(l, CAST((size(l) + 1) / 2 AS INT))"
+        "   + element_at(l, CAST(size(l) / 2 AS INT) + 1) AS DOUBLE)"
+        " / 2 / 100 AS trailing_median",
+    )
