@@ -80,6 +80,7 @@ HEADLINE = [
     "udaf_median_acctbal",
     "corr_matrix_lineitem",
     "events_trailing_median",
+    "mutual_info_pairs",
     "stream_transition_matrix",
 ]
 

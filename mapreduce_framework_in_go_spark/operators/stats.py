@@ -306,3 +306,107 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(F.explode(F.array(*pair_structs)).alias("r"))
         .select("r.*")
     )
+
+
+# Categorical-dependence profiling: mutual information (bits) +
+# chi-square over two-column contingency tables. Per-cell log and
+# chi-square terms are snapped to scaled-integer grids before summing,
+# so the fold is order-free exact integer addition (log2's 1-ulp
+# engine differences vanish into the grid — the doc_perplexity
+# discipline); margins and totals derive from the contingency table
+# (category-domain-sized) and everything after the first groupBy is
+# broadcast-sized.
+MI_SCALE = 10**9
+CHI2_SCALE = 10**6
+MI_PAIRS = [
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+]
+
+
+def _mi_oracle_one(tbl: str, x: str, y: str) -> str:
+    return f"""SELECT '{tbl}.{x}' AS col_x, '{tbl}.{y}' AS col_y,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           round(CAST(mi_s AS DOUBLE) / {MI_SCALE} / n, 6) AS mi_bits,
+           round(CAST(chi_s AS DOUBLE) / {CHI2_SCALE}, 4) AS chi2
+    FROM (
+      SELECT sum(c) AS n, count(*) AS n_cells,
+             sum(c * CAST(round(log2(CAST(c * tot AS DOUBLE)
+                                     / CAST(cx * cy AS DOUBLE))
+                                * {MI_SCALE}) AS BIGINT)) AS mi_s,
+             sum(CAST(round(
+                   (c - CAST(cx * cy AS DOUBLE) / tot)
+                 * (c - CAST(cx * cy AS DOUBLE) / tot)
+                 / (CAST(cx * cy AS DOUBLE) / tot) * {CHI2_SCALE})
+               AS BIGINT)) AS chi_s
+      FROM (
+        SELECT {x} AS x, {y} AS y, count(*) AS c FROM {tbl} GROUP BY 1, 2
+      ) cells
+      JOIN (SELECT {x} AS x, count(*) AS cx FROM {tbl} GROUP BY 1) mx USING (x)
+      JOIN (SELECT {y} AS y, count(*) AS cy FROM {tbl} GROUP BY 1) my USING (y)
+      CROSS JOIN (SELECT count(*) AS tot FROM {tbl})
+    )"""
+
+
+@register(
+    "mutual_info_pairs",
+    oracle="\nUNION ALL\n".join(_mi_oracle_one(t, x, y) for t, x, y in MI_PAIRS),
+    doc="Mutual information (bits) + chi-square for two categorical "
+    "column pairs — the dependence profile for categorical features "
+    "(the sibling of corr_matrix_lineitem for numerics). One groupBy "
+    "per pair builds the contingency table; margins and totals derive "
+    "FROM that table and join back broadcast, so the corpus is "
+    "scanned once per pair. Per-cell log/chi terms snap to scaled "
+    "integer grids before summation — order-free and hash-exact "
+    "despite libm log2 differing from the JVM's by 1 ulp on some "
+    "inputs.",
+    tags=["stats"],
+)
+def mutual_info_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, x, y in MI_PAIRS:
+        t = table(spark, sf_dir, tbl)
+        cells = t.groupBy(
+            F.col(x).alias("x"), F.col(y).alias("y")
+        ).agg(F.count("*").alias("c"))
+        mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = cells.agg(F.sum("c").alias("tot"))
+        joined = (
+            cells.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        e = (F.col("cx") * F.col("cy")).cast("double") / F.col("tot")
+        mi_term = F.col("c") * F.round(
+            F.log2(
+                (F.col("c") * F.col("tot")).cast("double")
+                / (F.col("cx") * F.col("cy")).cast("double")
+            )
+            * MI_SCALE
+        ).cast("long")
+        chi_term = F.round(
+            (F.col("c") - e) * (F.col("c") - e) / e * CHI2_SCALE
+        ).cast("long")
+        agg = joined.agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_cells"),
+            F.sum(mi_term).alias("mi_s"),
+            F.sum(chi_term).alias("chi_s"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(f"{tbl}.{x}").alias("col_x"),
+                F.lit(f"{tbl}.{y}").alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                F.col("n_cells").cast("long").alias("n_cells"),
+                F.round(
+                    F.col("mi_s").cast("double") / MI_SCALE / F.col("n"), 6
+                ).alias("mi_bits"),
+                F.round(
+                    F.col("chi_s").cast("double") / CHI2_SCALE, 4
+                ).alias("chi2"),
+            )
+        )
+    return outs[0].unionAll(outs[1])
