@@ -53,6 +53,22 @@ from ..sources.tables import table
 DISCOUNT = 0.75
 LOG_SCALE = 10**9
 
+# one-generation cache (the dedup.py policy): the bigram/unigram count
+# tables are vocab-bounded but have MULTIPLE consumers (context totals,
+# continuation types, the type total; the scaled-log table) — without a
+# persist each consumer re-plans the corpus explode+count, turning one
+# scan into four (visible as scans=4 in PLANS.md). Persisting the TINY
+# count frame pins one corpus pass total.
+_CACHE_GENERATION: list[DataFrame] = []
+
+
+def _evict_previous_generation() -> None:
+    while _CACHE_GENERATION:
+        try:
+            _CACHE_GENERATION.pop().unpersist()
+        except Exception:
+            pass
+
 # Shared SQL prelude: per-document token arrays and exploded bigrams.
 _BIGRAM_SQL = """
     toks AS (
@@ -114,7 +130,9 @@ def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["langmodel", "textops"],
 )
 def lm_kn_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bc = _bigram_counts(spark, sf_dir)
+    _evict_previous_generation()
+    bc = _bigram_counts(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(bc)
     ctx = bc.groupBy("w1").agg(
         F.sum("c").alias("c_ctx"), F.count("*").alias("nf")
     )
@@ -216,7 +234,10 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens_col("text")).alias("w")
     )
-    uni = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    _evict_previous_generation()
+    # vocab-sized; persisted so tot and slog share one corpus count
+    uni = tok.groupBy("w").agg(F.count("*").alias("cw")).persist()
+    _CACHE_GENERATION.append(uni)
     tot = uni.agg(F.sum("cw").alias("t"))
     slog = (
         uni.crossJoin(F.broadcast(tot))

@@ -1,0 +1,77 @@
+"""Registry-wide physical-plan lint — the scale-discipline backstop.
+
+Per-query plan properties are pinned in test_plans.py; this lints EVERY
+registered batch query against two structural rules that catch the
+regression classes we have actually hit:
+
+1. **No CartesianProduct.** A non-broadcast cross join is quadratic
+   shuffle IO at scale; every deliberate cross in this repo is a
+   broadcast of a 1-row/dimension-sized frame (BroadcastNestedLoopJoin),
+   which is allowed.
+2. **Bounded parquet scan count.** A DataFrame referenced by several
+   consumers silently re-plans its whole subtree per consumer (the
+   lm_kn_bigrams regression: 4 corpus scans for one logical pass until
+   the count table was persisted). Queries exceeding the default budget
+   must be whitelisted with a reason.
+
+Streaming queries are excluded: invoking them drives a real stream to
+completion (their batch rollup plans are trivial; stream-specific
+shapes are covered in test_streaming.py).
+"""
+
+import re
+
+import pytest
+
+from mapreduce_framework_in_go_spark.plans import formatted_plan
+from mapreduce_framework_in_go_spark.registry import all_queries
+
+SPECS = all_queries()
+
+MAX_SCANS = 8
+
+
+def _count_scan_nodes(plan: str) -> int:
+    """Count Scan NODES the way scripts/plan_report.py does — the
+    formatted text repeats each node in the detail section, so a raw
+    substring count double-counts."""
+    nodes = re.findall(r"\(\d+\) ([A-Za-z0-9]+)", plan)
+    return sum(1 for n in nodes if n == "Scan")
+
+
+# name -> (allowed scans, why the extra passes are inherent)
+SCAN_WHITELIST = {
+    "ann_ivf_recall": (25, "compares sample vs Lloyd-trained IVF against "
+                           "the exact baseline: 3 search paths + 2 "
+                           "training iterations over one dimension-sized "
+                           "embedding table"),
+    "ann_nprobe_tuning": (28, "parameter sweep: one trained-IVF search per "
+                              "nprobe setting vs the exact baseline"),
+    "ann_ivf_recall_structured": (30, "same sweep on the label-blended "
+                                      "fixture"),
+    "dedup_clusters_lsh": (12, "iterative star-contraction: bounded "
+                               "O(log n) rounds, each referencing the "
+                               "persisted edge frame"),
+    "dedup_lsh_recall": (10, "sketch path + exact ground-truth path share "
+                             "one persisted shingle frame; the remaining "
+                             "scans are dimension-sized"),
+}
+
+BATCH = sorted(
+    name for name, s in SPECS.items() if "streaming" not in s.tags
+)
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_no_cartesian_and_bounded_scans(name, spark, sf_dir):
+    plan = formatted_plan(SPECS[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        f"{name}: non-broadcast cross join — quadratic shuffle at scale"
+    )
+    scans = _count_scan_nodes(plan)
+    cap, _why = SCAN_WHITELIST.get(name, (MAX_SCANS, ""))
+    assert scans <= cap, (
+        f"{name}: {scans} parquet scans (cap {cap}) — a subtree is being "
+        "re-planned per consumer; persist the shared frame or whitelist "
+        "with a reason"
+    )
