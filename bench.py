@@ -81,6 +81,8 @@ HEADLINE = [
     "corr_matrix_lineitem",
     "events_trailing_median",
     "mutual_info_pairs",
+    "mix_alpha_allocation",
+    "embedding_int8_quantize",
     "stream_transition_matrix",
 ]
 

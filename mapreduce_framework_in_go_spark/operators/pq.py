@@ -287,3 +287,107 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("pq_hit", F.lit(0))) / F.count("*"), 6
         ).alias("recall_at_k"),
     )
+
+
+SQ_LEVELS = 255  # int8 code range 0..255
+SQ_ERR_SCALE = 10**12  # per-element squared error snapped to this grid
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS mn,
+             list_max(embedding::DOUBLE[]) AS mx
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, mn, mx, len(v) AS dim,
+             CASE WHEN mx > mn
+                  THEN list_transform(v, x -> CAST(round(
+                         (x - mn) / ((mx - mn) / {SQ_LEVELS})) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+             END AS codes,
+             (mx - mn) / {SQ_LEVELS} AS scale
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(dim AS BIGINT) AS dim,
+           round(mn, 6) AS vmin,
+           round(mx, 6) AS vmax,
+           CAST(list_sum(codes) AS BIGINT) AS code_checksum,
+           round(list_max(list_transform(range(1, dim + 1),
+                 i -> abs(mn + codes[i] * scale - c.v[i]))), 9)
+             AS max_abs_err,
+           CAST(list_sum(list_transform(range(1, dim + 1),
+                 i -> CAST(round(
+                   (mn + codes[i] * scale - c.v[i])
+                   * (mn + codes[i] * scale - c.v[i])
+                   * {SQ_ERR_SCALE}) AS BIGINT))) AS BIGINT)
+             AS sse_scaled
+    FROM (SELECT c.*, q.v FROM c JOIN q USING (vec_id)) c
+    """,
+    doc=f"Per-vector int8 scalar quantization (min-max, {SQ_LEVELS + 1} "
+    "levels) with its reconstruction-error audit — the cheap 4x "
+    "compression tier below product quantization (ann_pq): codes are "
+    "integer-exact, max-abs and sum-of-squares reconstruction errors "
+    "are computed per vector with squared-error terms snapped to an "
+    "integer grid so every fold is order-free. Entirely map-side — "
+    "zero shuffles, partitioned like the input; the code arrays are "
+    "what a vector store would persist (4 bytes/dim -> 1 byte/dim + "
+    "two floats).",
+    tags=["similarity", "compression"],
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / SQ_LEVELS
+    codes = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            "v",
+            lambda x: F.round((x - F.col("mn")) / scale).cast("long"),
+        ),
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("long")))
+    c = q.select(
+        "vec_id",
+        "v",
+        "mn",
+        "mx",
+        F.size("v").alias("dim"),
+        codes.alias("codes"),
+        scale.alias("scale"),
+    )
+    recon_err = F.zip_with(
+        "codes",
+        "v",
+        lambda code, x: F.col("mn") + code * F.col("scale") - x,
+    )
+    return c.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_checksum"),
+        F.round(
+            F.array_max(F.transform(recon_err, lambda e: F.abs(e))), 9
+        ).alias("max_abs_err"),
+        F.aggregate(
+            F.transform(
+                recon_err,
+                lambda e: F.round(e * e * SQ_ERR_SCALE).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sse_scaled"),
+    )

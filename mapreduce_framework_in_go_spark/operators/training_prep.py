@@ -461,3 +461,100 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.rc").alias("max_cos"),
         (F.col("best.rc") >= SEM_TAU).alias("contaminated"),
     )
+
+
+ALPHA_BUDGET = 100_000  # token budget to allocate across sources
+ALPHA_SCALE = 10**6  # sqrt weights snapped to this integer grid
+
+
+@register(
+    "mix_alpha_allocation",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             SUM(CAST(len(regexp_extract_all(text, '[\\p{{L}}]+'))
+                 AS BIGINT)) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             CAST(round(sqrt(CAST(tokens AS DOUBLE)) * {ALPHA_SCALE})
+               AS BIGINT) AS wi
+      FROM t
+    ),
+    tot AS (SELECT sum(wi) AS sw, sum(tokens) AS st FROM w),
+    base AS (
+      SELECT w.source, w.tokens, w.wi, tot.sw,
+             ({ALPHA_BUDGET} * w.wi) // tot.sw AS alloc_floor,
+             ({ALPHA_BUDGET} * w.wi) % tot.sw AS rem
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             {ALPHA_BUDGET} - sum(alloc_floor) OVER () AS deficit
+      FROM base
+    )
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           CAST(wi AS BIGINT) AS weight_scaled,
+           CAST(alloc_floor + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+    doc=f"Temperature-based (alpha = 0.5) source mixing: each source's "
+    f"share of a {ALPHA_BUDGET}-token budget is proportional to "
+    "sqrt(tokens) — the standard up-weighting of small sources in "
+    "multilingual/multi-domain pretraining mixes — allocated EXACTLY "
+    "via largest-remainder apportionment (floor quotas + ranked "
+    "remainders; allocations sum to the budget bit-exactly). Weights "
+    "snap to an integer grid so every division and the remainder "
+    "ranking are pure integer arithmetic — order-free, "
+    "engine-identical; sqrt is IEEE exact-rounded on both engines. "
+    "One token-count aggregate is the only corpus pass; the "
+    "apportionment runs on the source-domain-sized table. The "
+    "hash-order greedy sibling (mix_sources_budget) picks WHICH "
+    "documents fill each quota.",
+    tags=["training_prep", "sampling"],
+)
+def mix_alpha_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col("text")).cast("long")).alias("tokens")
+    )
+    w = t.select(
+        "source",
+        "tokens",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * ALPHA_SCALE)
+        .cast("long")
+        .alias("wi"),
+    )
+    tot = w.agg(F.sum("wi").alias("sw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "wi",
+        F.expr(f"({ALPHA_BUDGET} * wi) div sw").alias("alloc_floor"),
+        F.expr(f"({ALPHA_BUDGET} * wi) % sw").alias("rem"),
+    )
+    win_rank = Window.orderBy(F.col("rem").desc(), "source")
+    win_all = Window.partitionBy()
+    ranked = base.select(
+        "source",
+        "tokens",
+        "wi",
+        "alloc_floor",
+        F.row_number().over(win_rank).alias("rk"),
+        (F.lit(ALPHA_BUDGET) - F.sum("alloc_floor").over(win_all)).alias(
+            "deficit"
+        ),
+    )
+    return ranked.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("wi").cast("long").alias("weight_scaled"),
+        (
+            F.col("alloc_floor")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
