@@ -97,3 +97,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark, in_dir: str, out_dir: str, target_bytes: int
+) -> list[dict]:
+    """Execute small-file compaction: greedy no-split bin packing of
+    ``in_dir``'s parquet files (deterministic name order — the
+    file-level twin of operators/compaction.py's segment planning),
+    then one distributed rewrite job per bin producing exactly one
+    output file.
+
+    Returns the executed plan (bin -> files, bytes) for auditing. The
+    driver-side part is only the LISTING and bin assignment (metadata,
+    the same role the Delta/Iceberg OPTIMIZE coordinator plays); each
+    bin's data moves through a distributed read -> coalesce(1) write.
+    A bin overflows the target by at most one file, matching the
+    planner's guarantee. Correctness contract (tests/test_layout.py):
+    row multiset identical, file count == bin count.
+    """
+    import os
+
+    files = sorted(
+        f for f in os.listdir(in_dir) if f.endswith(".parquet")
+    )
+    bins: list[dict] = []
+    cur: dict = {"files": [], "bytes": 0}
+    for f in files:
+        sz = os.path.getsize(os.path.join(in_dir, f))
+        cur["files"].append(os.path.join(in_dir, f))
+        cur["bytes"] += sz
+        if cur["bytes"] >= target_bytes:
+            bins.append(cur)
+            cur = {"files": [], "bytes": 0}
+    if cur["files"]:
+        bins.append(cur)
+    for i, b in enumerate(bins):
+        (
+            spark.read.parquet(*b["files"])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"bin-{i:05d}"))
+        )
+        b["bin"] = i
+    return bins

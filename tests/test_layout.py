@@ -41,3 +41,48 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_files_executes_plan(spark, sf_dir, tmp_path):
+    """Compaction must preserve the row multiset exactly, produce one
+    data file per bin, and respect the no-split overflow bound."""
+    import os
+
+    from mapreduce_framework_in_go_spark.sources import layout
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small_dir = str(tmp_path / "small")
+    # 25 deliberately undersized input files
+    src.repartition(25).write.parquet(small_dir)
+    n_small = sum(
+        1 for f in os.listdir(small_dir) if f.endswith(".parquet")
+    )
+    assert n_small == 25
+
+    out = str(tmp_path / "compacted")
+    sizes = [
+        os.path.getsize(os.path.join(small_dir, f))
+        for f in os.listdir(small_dir)
+        if f.endswith(".parquet")
+    ]
+    target = int(sum(sizes) / 5)
+    bins = layout.compact_files(spark, small_dir, out, target)
+
+    assert 1 < len(bins) < n_small
+    # one data file per bin
+    for b in bins:
+        bin_dir = os.path.join(out, f"bin-{b['bin']:05d}")
+        data_files = [
+            f for f in os.listdir(bin_dir) if f.endswith(".parquet")
+        ]
+        assert len(data_files) == 1
+    # no-split overflow bound: every bin except possibly the last is
+    # >= target only by at most its final file's size
+    max_in = max(sizes)
+    for b in bins[:-1]:
+        assert target <= b["bytes"] < target + max_in
+    # row multiset identical
+    back = spark.read.parquet(f"{out}/bin-*")
+    a = sorted(tuple(r) for r in src.collect())
+    z = sorted(tuple(r) for r in back.collect())
+    assert a == z
