@@ -310,3 +310,107 @@ def pretrain_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lev.where(F.col("level") == 4).select(
         "doc_id", "source", "n_tokens"
     )
+
+
+def _release_oracle() -> str:
+    from .sampling import _BUCKET_SQL, TRAIN_PCT, VAL_PCT
+    from .training_prep import DECON_NGRAM, EVAL_MOD, SEM_TAU
+
+    # the 5-gram CTEs are renamed (toks5/sh5): _pipeline_ctes already
+    # defines toks/sh for the pipeline's own 3-gram shingles
+    return f"""
+    WITH RECURSIVE {_pipeline_ctes()},
+    toks5 AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    sh5 AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' ') AS s
+        FROM toks5, unnest(range(1, len(toks) - {DECON_NGRAM - 2})) u(i)
+        WHERE len(toks) >= {DECON_NGRAM}
+      )
+    ),
+    ev AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % {EVAL_MOD} = 0),
+    ng_hit AS (
+      SELECT DISTINCT sh5.doc_id FROM sh5
+      JOIN ev USING (s) WHERE sh5.doc_id % {EVAL_MOD} != 0
+    ),
+    sem_hit AS (
+      SELECT tr.vec_id AS doc_id
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % {EVAL_MOD} != 0) tr
+      WHERE EXISTS (
+        SELECT 1 FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings WHERE vec_id % {EVAL_MOD} = 0) ev2
+        WHERE round(list_cosine_similarity(tr.v, ev2.e), 6) >= {SEM_TAU}
+      )
+    )
+    SELECT l.doc_id, l.source, l.n_tokens,
+           CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           ng_hit.doc_id IS NOT NULL AS flag_ngram_contaminated,
+           sem_hit.doc_id IS NOT NULL AS flag_semantic_contaminated
+    FROM (SELECT doc_id, source, n_tokens FROM lev WHERE level = 4) l
+    LEFT JOIN ng_hit USING (doc_id)
+    LEFT JOIN sem_hit USING (doc_id)
+    WHERE l.doc_id % {EVAL_MOD} != 0
+    """
+
+
+@register(
+    "corpus_release_manifest",
+    oracle=_release_oracle(),
+    doc="The release artifact a training run consumes — the capstone "
+    "composition: pipeline survivors (quality -> language -> exact "
+    "dedup -> near dedup), minus the held-out eval slice, each with "
+    "its hash-stable train/val/test split and BOTH contamination "
+    "flags (5-gram benchmark overlap; embedding-cosine similarity to "
+    "the eval set). Composed from the already-verified frames: the "
+    "survivor level computation, the broadcast eval n-gram set, the "
+    "broadcast eval vector array, and the map-side split hash — no "
+    "new shuffle beyond its parts; the flags attach by left "
+    "semi-style joins on doc_id. This is the query whose output you "
+    "would actually hand to the tokenizer.",
+    tags=["pipeline", "training_prep"],
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_col
+    from .training_prep import (
+        EVAL_MOD,
+        decontaminate_ngram,
+        decontaminate_semantic,
+    )
+
+    surv = (
+        _level_frame(table(spark, sf_dir, "documents"))
+        .where((F.col("level") == 4) & (F.col("doc_id") % EVAL_MOD != 0))
+        .select("doc_id", "source", "n_tokens")
+    )
+    ng = (
+        decontaminate_ngram(spark, sf_dir)
+        .where(F.col("n_hit_ngrams") > 0)
+        .select("doc_id", F.lit(True).alias("ngf"))
+    )
+    sem = (
+        decontaminate_semantic(spark, sf_dir)
+        .where(F.col("contaminated"))
+        .select(F.col("doc_id"), F.lit(True).alias("smf"))
+    )
+    return (
+        surv.join(F.broadcast(ng), "doc_id", "left")
+        .join(F.broadcast(sem), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            split_col(F.col("doc_id")).alias("split"),
+            F.coalesce("ngf", F.lit(False)).alias(
+                "flag_ngram_contaminated"
+            ),
+            F.coalesce("smf", F.lit(False)).alias(
+                "flag_semantic_contaminated"
+            ),
+        )
+    )
