@@ -434,30 +434,30 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("embedding")).alias("tn"),
     )
 
-    def fold_step(acc, e):
-        rc = F.round(
-            dot(F.col("embedding"), e["embedding"]) / (F.col("tn") * e["n"]),
-            6,
-        )
-        better = (rc > acc["rc"]) | ((rc == acc["rc"]) & (e["eval_id"] < acc["id"]))
-        return F.struct(
-            F.when(better, rc).otherwise(acc["rc"]).alias("rc"),
-            F.when(better, e["eval_id"]).otherwise(acc["id"]).alias("id"),
-        )
-
+    # Each eval's cosine computes EXACTLY once: a fold that references
+    # the score in its comparison and both branches re-evaluates the
+    # whole dot product 3x per eval (lambda bodies are excluded from
+    # subexpression elimination — the CLAUDE.md HOF gotcha, measured
+    # 3x slower). transform materializes (rc, -eval_id) structs once;
+    # array_max's native struct ordering then gives max rc with ties
+    # to the SMALLEST eval_id via the negated second field.
+    scored = F.transform(
+        "evs",
+        lambda e: F.struct(
+            F.round(
+                dot(F.col("embedding"), e["embedding"])
+                / (F.col("tn") * e["n"]),
+                6,
+            ).alias("rc"),
+            (-e["eval_id"]).alias("neg_id"),
+        ),
+    )
     best = tr.crossJoin(F.broadcast(ev_arr)).select(
-        "doc_id",
-        F.aggregate(
-            "evs",
-            F.struct(
-                F.lit(-2.0).alias("rc"), F.lit(-1).cast("long").alias("id")
-            ),
-            fold_step,
-        ).alias("best"),
+        "doc_id", F.array_max(scored).alias("best")
     )
     return best.select(
         "doc_id",
-        F.col("best.id").alias("nearest_eval_id"),
+        (-F.col("best.neg_id")).alias("nearest_eval_id"),
         F.col("best.rc").alias("max_cos"),
         (F.col("best.rc") >= SEM_TAU).alias("contaminated"),
     )
