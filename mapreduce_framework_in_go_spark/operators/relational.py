@@ -1327,3 +1327,81 @@ def events_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         " AS DOUBLE) / 100.0 AS trailing_1h_value",
     )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+             AS BIGINT) AS gid,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 100.0 AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with a GROUPING() set identifier — the "
+    "general form ROLLUP/CUBE desugar to, including the gid column "
+    "consumers need to tell an aggregated NULL from a data NULL. "
+    "Spark's Expand replicates rows once per set into ONE shuffle "
+    "(3x here), the same single-exchange shape as the rollup.",
+    tags=["relational", "aggregate"],
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                 AS BIGINT) AS gid,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS sum_price,
+               count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+    doc="Native UNPIVOT (wide -> long reshape): three measure columns "
+    "melt to (measure, value) rows — the inverse of "
+    "pivot_returnflag, and the long form feature stores and plotting "
+    "layers consume. Spark plans Expand (3 rows per input, map-side, "
+    "no shuffle); the filter is pushed to the scan. Bounded to a key "
+    "range to keep the checked output small.",
+    tags=["relational", "reshape"],
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("value", 2).alias("value"),
+    )
