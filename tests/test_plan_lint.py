@@ -55,6 +55,10 @@ SCAN_WHITELIST = {
     "dedup_lsh_recall": (10, "sketch path + exact ground-truth path share "
                              "one persisted shingle frame; the remaining "
                              "scans are dimension-sized"),
+    "corpus_release_manifest": (10, "capstone composition: survivor "
+                                    "pipeline + n-gram decon + semantic "
+                                    "decon each contribute their own "
+                                    "(already-persisted) subtrees"),
 }
 
 BATCH = sorted(
