@@ -52,6 +52,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dt = raw.schema["ts"].dataType
         if isinstance(dt, T.TimestampNTZType):
             return raw
+        if isinstance(dt, T.StringType):
+            # ISO naive strings: a direct NTZ cast is session-TZ free
+            # (defensive — a layout the generator could ship next)
+            return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         if isinstance(dt, T.LongType):
             micros = _int64_ts_micros_expr(f"{sf_dir}/{name}.parquet")
         else:  # instant (TIMESTAMP type)

@@ -70,13 +70,19 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
 
         micros = _int64_ts_micros_expr(path.rstrip("*"))
         return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
-    if isinstance(ts_type, T.TimestampNTZType):
+    if isinstance(ts_type, (T.TimestampNTZType, T.StringType)):
+        # string layout (defensive): NTZ cast first — TZ-free — then
+        # the same NTZ -> instant epoch re-base
+        ntz = (
+            "ts" if isinstance(ts_type, T.TimestampNTZType)
+            else "CAST(ts AS TIMESTAMP_NTZ)"
+        )
         return raw.withColumn(
             "ts",
             F.timestamp_micros(
                 F.expr(
                     "timestampdiff(MICROSECOND, "
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ntz})"
                 )
             ),
         )

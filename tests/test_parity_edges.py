@@ -144,7 +144,8 @@ def test_events_ts_layout_variants_normalize_identically(spark, tmp_path):
     """The generator has already switched events.ts layouts between
     rounds (INT64 nanos -> micros NTZ). The probe must normalize every
     plausible layout — logical-nanos, NTZ micros, UTC-instant micros,
-    and bare INT64 in seconds/millis/micros/nanos — to the same naive
+    bare INT64 in seconds/millis/micros/nanos, and ISO naive strings —
+    to the same naive
     wall clock, using footer metadata only."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -161,6 +162,10 @@ def test_events_ts_layout_variants_normalize_identically(spark, tmp_path):
         "int64_us": pa.array(t_us, type=pa.int64()),
         "int64_ms": pa.array([v // 1000 for v in t_us], type=pa.int64()),
         "int64_s": pa.array([v // 1_000_000 for v in t_us], type=pa.int64()),
+        "iso_string": pa.array(
+            ["2026-01-02 03:04:05.123456", "2026-01-02 03:04:06.000000"],
+            type=pa.string(),
+        ),
     }
     for name, arr in variants.items():
         d = tmp_path / name

@@ -769,3 +769,45 @@ def test_transition_stream_carries_state_across_batches(spark, sf_dir, tmp_path)
     assert [tuple(r) for r in spark.sql("SELECT * FROM trans_stream2").collect()] == [
         ("a", "b")
     ]
+
+
+def test_events_stream_accepts_string_ts_layout(spark, tmp_path):
+    """Defensive: if the generator ships ISO naive strings for ts, the
+    streaming probe must normalize them to the same instants as the
+    NTZ layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_in_go_spark.streaming.windows import (
+        events_stream,
+        run_to_completion,
+    )
+
+    base = {
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "event_type": pa.array(["a", "b"], type=pa.string()),
+        "value": pa.array([1.0, 2.0], type=pa.float64()),
+        "props": pa.array(["{}", "{}"], type=pa.string()),
+    }
+    t_us = [1_767_323_045_123_456, 1_767_323_046_000_000]
+    outs = {}
+    for name, ts in {
+        "ntz": pa.array(t_us, type=pa.timestamp("us")),
+        "str": pa.array(
+            ["2026-01-02 03:04:05.123456", "2026-01-02 03:04:06.000000"],
+            type=pa.string(),
+        ),
+    }.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({**base, "ts": ts}), str(d / "events.parquet"))
+        ev = events_stream(spark, str(d / "events.parquet"))
+        out = run_to_completion(
+            ev.selectExpr("event_id", "unix_micros(ts) AS us"),
+            f"ts_layout_{name}",
+            "append",
+        )
+        outs[name] = sorted(tuple(r) for r in out.collect())
+    assert outs["ntz"] == outs["str"]
+    assert outs["ntz"][0][1] == t_us[0]
