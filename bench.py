@@ -82,6 +82,7 @@ HEADLINE = [
     "events_trailing_median",
     "mutual_info_pairs",
     "mix_alpha_allocation",
+    "zipf_fit_tokens",
     "embedding_int8_quantize",
     "stream_transition_matrix",
 ]

@@ -260,3 +260,107 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("cross_entropy"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+
+
+ZIPF_SCALE = 10**9  # log(rank)/log(freq) snapped to this integer grid
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT cw, row_number() OVER (ORDER BY cw DESC, w) AS rk FROM uni
+    ),
+    logs AS (
+      SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(cw AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT) AS ly
+      FROM ranked
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(lx AS HUGEINT)) AS sx, sum(CAST(ly AS HUGEINT)) AS sy,
+             sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+             sum(CAST(ly AS HUGEINT) * ly) AS syy,
+             sum(CAST(lx AS HUGEINT) * ly) AS sxy
+      FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS total_tokens,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM m
+    """,
+    doc="Zipf's-law fit over the token frequency distribution: OLS of "
+    "ln(frequency) on ln(rank) — natural corpora fit slope ~ -1 with "
+    "high r^2; template/boilerplate corpora bend the curve, making "
+    "this a one-row corpus-health signal. Logs snap to an integer "
+    "grid (the doc_perplexity discipline) and the moment sums "
+    "accumulate in DECIMAL(38,0) (the corr_matrix discipline), so "
+    "the whole fit is order-free and hash-exact. The rank window "
+    "runs over the vocab-sized count table; at an extreme vocabulary "
+    "it would two-level like global_sort_rank.",
+    tags=["langmodel", "stats"],
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col("text")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    ranked = uni.select(
+        "cw",
+        F.row_number()
+        .over(Window.orderBy(F.col("cw").desc(), "w"))
+        .alias("rk"),
+    )
+    logs = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("cw").cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("ly"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = logs.select(
+        dec("lx").alias("lx"), dec("ly").alias("ly")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    tot = uni.agg(F.sum("cw").cast("long").alias("total_tokens"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_types"),
+            "total_tokens",
+            F.round(cov / vx, 6).alias("zipf_slope"),
+            F.round(cov * cov / (vx * vy), 6).alias("r2"),
+        )
+    )

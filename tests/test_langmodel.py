@@ -143,3 +143,29 @@ def test_udaf_median_uses_pandas_aggregate_path(spark, sf_dir):
     for nk, vals in by_nation.items():
         assert rows[nk].n_customers == len(vals)
         assert abs(rows[nk].median_acctbal - statistics.median(vals)) < 1e-6
+
+
+def test_zipf_fit_matches_duckdb_regression(spark, sf_dir, duck):
+    """The integer-grid OLS must agree with DuckDB's regr_slope/regr_r2
+    on the raw (un-gridded) logs to ~1e-6, and the synthetic word-salad
+    corpus must read as NON-Zipfian (near-uniform frequencies: shallow
+    slope, low r^2) — the health signal working as intended."""
+    row = SPECS["zipf_fit_tokens"].fn(spark, sf_dir).collect()[0]
+    want = duck.execute(
+        r"""
+        WITH tok AS (SELECT unnest(regexp_extract_all(text, '[\p{L}]+')) AS w
+                     FROM documents),
+        uni AS (SELECT w, count(*) cw FROM tok GROUP BY 1),
+        ranked AS (SELECT cw, row_number() OVER (ORDER BY cw DESC, w) rk
+                   FROM uni)
+        SELECT count(*), sum(cw), regr_slope(ln(cw), ln(rk)),
+               regr_r2(ln(cw), ln(rk))
+        FROM ranked
+        """
+    ).fetchone()
+    assert row.n_types == want[0]
+    assert row.total_tokens == want[1]
+    assert abs(row.zipf_slope - want[2]) < 1e-5
+    assert abs(row.r2 - want[3]) < 1e-5
+    assert -0.6 < row.zipf_slope < 0  # near-uniform, nothing like -1
+    assert row.r2 < 0.5
