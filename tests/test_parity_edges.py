@@ -120,6 +120,7 @@ def test_timezone_independence(spark, duck):
             # lead-window gap + stateful epoch-micros fold: TZ-free
             "event_transition_matrix",
             "stream_transition_matrix",
+            "scd2_user_history",
             "resample_gapfill",
         ]:
             from .conftest import SF_DIR
