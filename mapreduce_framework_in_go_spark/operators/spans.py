@@ -1,0 +1,196 @@
+"""Exact duplicated-substring detection — the ExactSubstr pass of
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+2022), re-expressed as relational dataflow.
+
+MinHash/SimHash (operators/dedup.py) decide WHOLE documents are
+near-duplicates; this finds the duplicated *regions* — boilerplate
+headers, quoted passages, templated spans — so a pipeline can scrub the
+span and keep the rest of the document. Lee et al. build a suffix array
+over the concatenated corpus; that is a sequential single-machine
+construction. The relational formulation below reaches the same
+fixed-window answer with two shuffles and no suffix array:
+
+1. tokenize each document (the shared letter-run contract,
+   ``functions/text.py:TOKEN_SPLIT_RE``) and emit every W-token rolling
+   window with its 1-based start position — pure map work, one row per
+   window;
+2. a window is *duplicated* iff the identical W-gram occurs in at least
+   one OTHER document (cross-document, the dedup-relevant criterion) —
+   one hash shuffle on the gram string, decided per-row as
+   ``min(doc_id) OVER (PARTITION BY g) <> max(doc_id) OVER ...`` so no
+   second corpus pass or join-back is needed;
+3. per document, maximal duplicated regions are the classic
+   gaps-and-islands merge: consecutive duplicated start positions share
+   ``pos - row_number()``; each island [p_min, p_max] covers tokens
+   [p_min, p_max + W - 1]. One doc_id shuffle, output is
+   duplicate-volume-sized.
+
+Scale (100 TB): the gram shuffle carries (doc_id, pos, g) where g is a
+W-token string — the dominant cost, and inherent (the decision is a
+global property of g). Every later step is keyed on doc_id and sized by
+the number of DUPLICATED windows, not the corpus. A pathological gram
+(the same boilerplate line in a billion docs) lands one hash partition
+with min/max window aggregates — constant state per partition stream,
+no per-pair blowup (contrast a self-join on g, which would square).
+Window length W = 5 matches Lee et al.'s spirit (50 BPE tokens there;
+scaled to this corpus's ~50-token documents).
+
+Reference parity: the reference has no substring machinery; this is
+part of the §7 training-data extension surface (task brief), sharing
+the tokenizer contract with mrapps/wc.go's letter-run scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_col, tokens_col
+from ..registry import register
+from ..sources.tables import table
+
+SPAN_W = 5  # rolling-window length in tokens
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_spans_from(table(spark, sf_dir, "documents"))
+
+
+def dup_spans_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_dup_grams):
+    maximal cross-document-duplicated token regions per document of a
+    (doc_id, text) frame."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(tokens_col("text"), SPAN_W)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    wg = Window.partitionBy("g")
+    dup_pos = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(wg).alias("mn"),
+            F.max("doc_id").over(wg).alias("mx"),
+        )
+        .where(F.col("mn") != F.col("mx"))
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "isl", F.col("pos") - F.row_number().over(wd)
+    )
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(SPAN_W - 1)).alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_dup_grams",
+    )
+
+
+def _spans_ctes() -> str:
+    w = SPAN_W
+    return f"""
+  toks AS (
+    SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(toks[i:i+{w - 1}], ' ') AS g
+    FROM toks, unnest(range(1, len(toks) - {w - 2})) u(i)
+    WHERE len(toks) >= {w}
+  ),
+  dup_pos AS (
+    SELECT doc_id, pos FROM (
+      SELECT doc_id, pos,
+             min(doc_id) OVER (PARTITION BY g) AS mn,
+             max(doc_id) OVER (PARTITION BY g) AS mx
+      FROM grams
+    ) WHERE mn <> mx
+  ),
+  islands AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM dup_pos
+  ),
+  spans AS (
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {w - 1} AS span_end,
+           max(pos) + {w - 1} - min(pos) + 1 AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM islands GROUP BY doc_id, isl
+  )
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_spans_ctes()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_tokens AS BIGINT) AS span_tokens,
+           n_dup_grams
+    FROM spans
+    """,
+    doc="ExactSubstr-style duplicated-region detection: maximal token "
+    f"spans whose every {SPAN_W}-token window also occurs in another "
+    "document. Two shuffles (gram hash, doc_id islands); output sized "
+    "by duplicate volume, not the corpus.",
+    tags=["dedup", "spans"],
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dup_spans(spark, sf_dir)
+
+
+@register(
+    "dedup_substring_stats",
+    oracle=f"""
+    WITH {_spans_ctes()},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           round(coalesce(p.dup_tokens, 0) / len(t.toks)::DOUBLE, 6)
+             AS dup_frac
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    WHERE len(t.toks) > 0
+    """,
+    doc="Per-document scrub ledger for the substring pass: token count, "
+    "tokens covered by duplicated spans (spans are disjoint after the "
+    "island merge, so the sum IS the union size), span count, and the "
+    "duplicated fraction a scrub would remove. Docs with no duplicated "
+    "span appear with zeros — the left join keeps the ledger total.",
+    tags=["dedup", "spans"],
+)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    per_doc = _dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    return n_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )

@@ -93,6 +93,7 @@ def load_all_operators() -> None:
         similarity,
         sketches,
         skew,
+        spans,
         stats,
         streaming_queries,
         temporal,

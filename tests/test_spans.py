@@ -1,0 +1,101 @@
+"""Semantics of the ExactSubstr-style duplicated-span detector on
+crafted corpora with known shared regions (oracle parity at corpus
+scale is covered by test_registry_all)."""
+
+import pyspark.sql.functions as F
+
+from mapreduce_framework_in_go_spark.operators.spans import (
+    SPAN_W,
+    dup_spans_from,
+)
+
+
+def _docs(spark, texts: dict[int, list[str]]):
+    return spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in texts.items()],
+        "doc_id long, text string",
+    )
+
+
+def _spans(spark, texts):
+    rows = dup_spans_from(_docs(spark, texts)).collect()
+    return {
+        (r.doc_id, r.span_start, r.span_end): (r.span_tokens, r.n_dup_grams)
+        for r in rows
+    }
+
+
+def test_shared_middle_region_merges_to_one_maximal_span(spark):
+    assert SPAN_W == 5  # boundary arithmetic below assumes W=5
+    shared = [f"s{i}" for i in range(10)]  # 10 shared tokens
+    texts = {
+        1: [f"a{i}" for i in range(5)] + shared + [f"z{i}" for i in range(5)],
+        2: [f"b{i}" for i in range(3)] + shared + [f"y{i}" for i in range(7)],
+    }
+    out = _spans(spark, texts)
+    # doc 1: shared tokens occupy positions 6..15; windows 6..11 (6 grams)
+    # merge into ONE island covering exactly the shared region.
+    assert out == {
+        (1, 6, 15): (10, 6),
+        (2, 4, 13): (10, 6),
+    }
+
+
+def test_two_disjoint_shared_regions_stay_two_spans(spark):
+    s1 = [f"p{i}" for i in range(SPAN_W)]  # exactly one window each
+    s2 = [f"q{i}" for i in range(SPAN_W)]
+    texts = {
+        1: [f"a{i}" for i in range(3)] + s1 + [f"m{i}" for i in range(4)] + s2,
+        2: s2 + [f"n{i}" for i in range(6)] + s1,
+    }
+    out = _spans(spark, texts)
+    assert out == {
+        (1, 4, 8): (5, 1),
+        (1, 13, 17): (5, 1),
+        (2, 1, 5): (5, 1),
+        (2, 12, 16): (5, 1),
+    }
+
+
+def test_within_document_repetition_is_not_cross_document(spark):
+    """A region repeated INSIDE one doc but absent elsewhere must not
+    flag (the criterion is min(doc_id) <> max(doc_id) per gram)."""
+    rep = [f"r{i}" for i in range(SPAN_W)]
+    texts = {
+        1: rep + ["gap"] + rep,
+        2: [f"u{i}" for i in range(12)],
+    }
+    assert _spans(spark, texts) == {}
+
+
+def test_identical_documents_flag_everything(spark):
+    toks = [f"w{i}" for i in range(8)]
+    texts = {1: toks, 2: list(toks)}
+    n = len(toks)
+    expect = (n, n - SPAN_W + 1)
+    assert _spans(spark, texts) == {
+        (1, 1, n): expect,
+        (2, 1, n): expect,
+    }
+
+
+def test_short_documents_produce_no_windows(spark):
+    texts = {
+        1: [f"w{i}" for i in range(SPAN_W - 1)],
+        2: [f"w{i}" for i in range(SPAN_W - 1)],
+    }
+    assert _spans(spark, texts) == {}
+
+
+def test_stats_ledger_counts_disjoint_span_union(spark, sf_dir):
+    """dup_tokens must equal the union of that doc's (disjoint) spans
+    and never exceed the token count."""
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    stats = all_queries()["dedup_substring_stats"].fn(spark, sf_dir)
+    bad = stats.where(
+        (F.col("dup_tokens") > F.col("n_tokens"))
+        | (F.col("dup_tokens") < 0)
+        | ((F.col("n_spans") == 0) != (F.col("dup_tokens") == 0))
+    )
+    assert bad.count() == 0
