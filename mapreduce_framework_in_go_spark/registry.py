@@ -73,6 +73,7 @@ def load_all_operators() -> None:
     """Import every operator module so its @register calls run."""
     from .operators import (  # noqa: F401
         bloom,
+        bpe,
         compaction,
         dedup,
         entity,
