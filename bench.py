@@ -85,6 +85,8 @@ HEADLINE = [
     "zipf_fit_tokens",
     "embedding_int8_quantize",
     "stream_transition_matrix",
+    "dedup_substring_spans",
+    "bpe_learn_merges",
 ]
 
 

@@ -1161,3 +1161,89 @@ def ann_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH {_lloyd_ctes(LLOYD_ITERS)},
+    {_ivf_search_sql(f"cent{LLOYD_ITERS}", "la")},
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    j AS (
+      SELECT t.query_id, ql.label AS qlabel, nl.label AS nlabel
+      FROM ivf_la t
+      JOIN lab ql ON ql.vec_id = t.query_id
+      JOIN lab nl ON nl.vec_id = t.neighbor_id
+    ),
+    c AS (
+      SELECT query_id, qlabel, nlabel, CAST(count(*) AS BIGINT) AS c
+      FROM j GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, nlabel) AS rn,
+             CAST(sum(c) OVER (PARTITION BY query_id) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT query_id, qlabel AS label,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN c ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           round(sum(CASE WHEN nlabel = qlabel THEN c ELSE 0 END)::DOUBLE
+                 / max(k), 6) AS agreement,
+           max(CASE WHEN rn = 1 THEN nlabel END) AS majority_label
+    FROM m GROUP BY query_id, qlabel
+    """,
+    doc="Label-noise audit: for every query vector, the fraction of its "
+    f"trained-IVF top-{IVF_TOP_K} neighbors sharing its label, plus the "
+    "neighborhood's majority label (ties by smallest label) — the "
+    "audit that surfaces mislabeled rows before a classifier ever "
+    "trains on them. Rides the production ANN index (candidates from "
+    "probed cells, cost bounded by cell occupancy, index memoized), "
+    "never an all-pairs scan; label joins are keyed equi-joins on the "
+    "|queries|*k result. Denominator is the retrieved-neighbor count, "
+    "honest when a probed cell holds fewer than k candidates.",
+    tags=["similarity", "quality"],
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    topk = _ivf_search(emb, _trained_centroids(emb, cache_key=sf_dir))
+    lab = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    j = topk.join(
+        lab.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+        ),
+        "neighbor_id",
+    ).join(
+        lab.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        ),
+        "query_id",
+    )
+    c = j.groupBy("query_id", "qlabel", "nlabel").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "nlabel")
+    wq = Window.partitionBy("query_id")
+    m = c.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "k", F.sum("c").over(wq)
+    )
+    agree = F.sum(
+        F.when(F.col("nlabel") == F.col("qlabel"), F.col("c")).otherwise(
+            F.lit(0)
+        )
+    )
+    return m.groupBy("query_id", "qlabel").agg(
+        agree.alias("n_agree"),
+        F.round(agree.cast("double") / F.max("k"), 6).alias("agreement"),
+        F.max(F.when(F.col("rn") == 1, F.col("nlabel"))).alias(
+            "majority_label"
+        ),
+    ).select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        "n_agree",
+        "agreement",
+        "majority_label",
+    )

@@ -49,6 +49,12 @@ SCAN_WHITELIST = {
                               "nprobe setting vs the exact baseline"),
     "ann_ivf_recall_structured": (30, "same sweep on the label-blended "
                                       "fixture"),
+    "knn_label_agreement": (12, "trained-IVF search (assignment + probe "
+                                "+ verify passes over the embedding "
+                                "table, cold-cache Lloyd chain included) "
+                                "plus two column-pruned (vec_id, label) "
+                                "scans for the query/neighbor label "
+                                "joins"),
     "dedup_clusters_lsh": (12, "iterative star-contraction: bounded "
                                "O(log n) rounds, each referencing the "
                                "persisted edge frame"),

@@ -340,3 +340,41 @@ def test_trailing_distinct_range_frame(spark, sf_dir):
     plan = formatted_plan(SPECS["trailing_distinct_users"].fn(spark, sf_dir))
     assert "RangeFrame, -2, currentrow" in plan
     assert "Generate" in plan
+
+
+def test_substring_spans_two_shuffles_no_join(spark, sf_dir):
+    """The ExactSubstr pass must decide duplicated grams INSIDE the
+    gram-partitioned window (min/max doc_id) — never a self-join or a
+    join-back on the gram — and the island aggregation must reuse the
+    doc_id window's partitioning: exactly two exchanges end to end."""
+    import re
+
+    plan = formatted_plan(SPECS["dedup_substring_spans"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_bpe_iterations_ride_broadcast_argmax(spark, sf_dir):
+    """Every merge rank's argmax must reach the word table as a 1-row
+    broadcast (BroadcastNestedLoopJoin), the corpus must be scanned
+    once (the persisted word table feeds all ranks), and the argmax
+    must be a TakeOrdered, never a global sort."""
+    import re
+
+    from mapreduce_framework_in_go_spark.operators.bpe import BPE_MERGES
+
+    plan = formatted_plan(SPECS["bpe_learn_merges"].fn(spark, sf_dir))
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    # ONE corpus scan total (inside the persisted word table's detail)
+    assert sum(1 for n in nodes if n == "Scan") == 1
+    assert "InMemoryTableScan" in plan
+    # per-rank argmax is a TakeOrdered, never a global sort
+    assert sum(1 for n in nodes if n == "TakeOrderedAndProject") == BPE_MERGES
+    # merge application is a 1-row broadcast (rank N's application is
+    # not in the merge table's lineage, hence N-1 here)
+    assert (
+        sum(1 for n in nodes if n == "BroadcastNestedLoopJoin")
+        == BPE_MERGES - 1
+    )
+    assert "CartesianProduct" not in plan
