@@ -56,10 +56,13 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans_from(table(spark, sf_dir, "documents"))
 
 
-def dup_spans_from(docs: DataFrame) -> DataFrame:
+def dup_spans_from(docs: DataFrame, keep_earliest: bool = False) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens, n_dup_grams):
     maximal cross-document-duplicated token regions per document of a
-    (doc_id, text) frame."""
+    (doc_id, text) frame. With ``keep_earliest`` only LATER copies
+    flag (the gram's min-doc_id occurrence is canonical and kept) —
+    the scrub rule; default flags every sharing document (the audit
+    rule)."""
     grams = docs.select(
         "doc_id",
         F.posexplode(shingles_col(tokens_col("text"), SPAN_W)).alias("pos0", "g"),
@@ -72,7 +75,11 @@ def dup_spans_from(docs: DataFrame) -> DataFrame:
             F.min("doc_id").over(wg).alias("mn"),
             F.max("doc_id").over(wg).alias("mx"),
         )
-        .where(F.col("mn") != F.col("mx"))
+        .where(
+            F.col("doc_id") > F.col("mn")
+            if keep_earliest
+            else F.col("mn") != F.col("mx")
+        )
         .select("doc_id", "pos")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -92,7 +99,11 @@ def dup_spans_from(docs: DataFrame) -> DataFrame:
     )
 
 
-def _spans_ctes() -> str:
+def _spans_ctes(dup_pred: str = "mn <> mx") -> str:
+    """CTE chain ending at ``spans``; ``dup_pred`` selects which
+    windows count as duplicated: the symmetric audit flags every doc
+    that shares the gram (``mn <> mx``), the scrub keeps the earliest
+    copy and flags only later ones (``doc_id > mn``)."""
     w = SPAN_W
     return f"""
   toks AS (
@@ -111,7 +122,7 @@ def _spans_ctes() -> str:
              min(doc_id) OVER (PARTITION BY g) AS mn,
              max(doc_id) OVER (PARTITION BY g) AS mx
       FROM grams
-    ) WHERE mn <> mx
+    ) WHERE {dup_pred}
   ),
   islands AS (
     SELECT doc_id, pos,
@@ -193,4 +204,87 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_frac"),
+    )
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=f"""
+    WITH {_spans_ctes(dup_pred="doc_id > mn")},
+    ranges AS (
+      SELECT doc_id,
+             list(struct_pack(s := span_start, e := span_end)) AS rs
+      FROM spans GROUP BY doc_id
+    ),
+    scrubbed AS (
+      SELECT t.doc_id,
+             len(t.toks) AS n_tokens,
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                 p -> len(list_filter(coalesce(r.rs, []),
+                          x -> p BETWEEN x.s AND x.e)) = 0),
+               p -> t.toks[p]) AS kept
+      FROM toks t LEFT JOIN ranges r ON r.doc_id = t.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+    FROM scrubbed
+    """,
+    doc="The ExactSubstr scrub itself (Lee et al. keep ONE occurrence): "
+    "spans flag only where an EARLIER document (smaller doc_id) holds "
+    "the same window, so each duplicated region survives exactly in "
+    "its canonical first document; later copies are cut out of the "
+    "token stream and the kept remainder is emitted as count + digest "
+    "(the digest, not the text, keeps hash-checked output bounded). "
+    "Per-row reassembly is O(n_tokens * n_ranges) with ranges per doc "
+    "tiny by construction (disjoint maximal spans).",
+    tags=["dedup", "spans"],
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ranges = (
+        dup_spans_from(docs, keep_earliest=True)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("rs")
+        )
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    rs = F.coalesce(
+        "rs", F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.transform(
+        F.filter(
+            F.sequence(F.lit(1).cast("long"), F.size("toks").cast("long")),
+            lambda p: ~F.exists(
+                rs, lambda x: p.between(x["s"], x["e"])
+            ),
+        ),
+        lambda p: F.try_element_at("toks", p.cast("int")),
+    )
+    return (
+        toks.join(ranges, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.md5(F.array_join("kept", " ")).alias("kept_md5"),
+        )
     )

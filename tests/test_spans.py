@@ -99,3 +99,36 @@ def test_stats_ledger_counts_disjoint_span_union(spark, sf_dir):
         | ((F.col("n_spans") == 0) != (F.col("dup_tokens") == 0))
     )
     assert bad.count() == 0
+
+
+def test_scrub_keeps_exactly_the_earliest_copy(spark):
+    """Identical docs: the smallest doc_id survives untouched, every
+    later copy scrubs to empty — one occurrence remains corpus-wide."""
+    from mapreduce_framework_in_go_spark.operators.spans import (
+        dup_spans_from,
+    )
+
+    toks = [f"w{i}" for i in range(8)]
+    docs = _docs(spark, {3: toks, 7: list(toks), 9: list(toks)})
+    spans = dup_spans_from(docs, keep_earliest=True).collect()
+    flagged = {r.doc_id for r in spans}
+    assert flagged == {7, 9}  # doc 3 (the min) never flags
+    assert all(
+        (r.span_start, r.span_end) == (1, len(toks)) for r in spans
+    )
+
+
+def test_scrub_cuts_only_the_shared_region_of_the_later_doc(spark):
+    from mapreduce_framework_in_go_spark.operators.spans import (
+        dup_spans_from,
+    )
+
+    shared = [f"s{i}" for i in range(10)]
+    texts = {
+        1: [f"a{i}" for i in range(5)] + shared,
+        2: shared + [f"b{i}" for i in range(5)],
+    }
+    spans = dup_spans_from(_docs(spark, texts), keep_earliest=True).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
+        (2, 1, 10)
+    ]
