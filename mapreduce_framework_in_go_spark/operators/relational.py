@@ -1077,6 +1077,50 @@ def _evict_previous_rank() -> None:
             pass
 
 
+def two_level_global_rank(df: DataFrame, order_cols: list) -> DataFrame:
+    """``df`` + an exact 1-based global ``pos`` under the total order
+    ``order_cols`` — the terasort shape shared by ``global_sort_rank``
+    and the training-shuffle: RangePartitioning via orderBy (sampled
+    split points, mutually ordered partitions), per-partition
+    row_number, and a broadcast prefix-sum of per-partition counts.
+    Never a single-partition window over the data; the ranked frame is
+    persisted (one-generation) so the data branch and the offsets
+    branch share ONE materialized range partitioning — independently
+    planned exchanges could sample different split points."""
+    ranked = (
+        df.orderBy(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("pid").orderBy(*order_cols)),
+        )
+    )
+    _evict_previous_rank()
+    ranked = ranked.persist()
+    _RANK_CACHE.append(ranked)
+    offsets = (
+        ranked.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "pid")
+        .withColumn("pos", (F.col("offset") + F.col("rn")).cast("long"))
+        .drop("pid", "rn", "offset")
+    )
+
+
 @register(
     "global_sort_rank",
     oracle="""
@@ -1099,49 +1143,13 @@ def _evict_previous_rank() -> None:
 )
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    # RangePartitioning + in-partition sort: partition i holds keys
-    # strictly before partition i+1 in (acctbal DESC, custkey) order.
-    ranked = (
-        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("pid").orderBy(
-                    F.col("c_acctbal").desc(), "c_custkey"
-                )
-            ),
-        )
-    )
-    _evict_previous_rank()
-    ranked = ranked.persist()
-    _RANK_CACHE.append(ranked)
-    # Per-partition counts are one tiny row per range partition; the
-    # cumulative offset window runs on that frame only (never the data).
-    offsets = (
-        ranked.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("n").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), "pid")
-        .select(
-            "c_custkey",
-            "c_name",
-            F.round("c_acctbal", 2).alias("acctbal"),
-            (F.col("offset") + F.col("rn")).cast("long").alias("pos"),
-        )
+    return two_level_global_rank(
+        c, [F.col("c_acctbal").desc(), "c_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "pos",
     )
 
 

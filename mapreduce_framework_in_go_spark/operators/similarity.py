@@ -1247,3 +1247,60 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agreement",
         "majority_label",
     )
+
+
+@register(
+    "source_topic_profile",
+    oracle=f"""
+    WITH {_lloyd_ctes(LLOYD_ITERS)},
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM embeddings v, cent{LLOYD_ITERS} c
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT d.source, CAST(a.cell_id AS BIGINT) AS cell_id,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source, cell_id, n_docs,
+           round(n_docs::DOUBLE
+                 / sum(n_docs) OVER (PARTITION BY source), 6) AS share
+    FROM c
+    """,
+    doc="Data-mixture diagnostic: each source's occupancy over the "
+    "trained-IVF topic cells (documents join their embeddings 1:1 on "
+    "doc_id = vec_id, the corpus embedding contract) — which semantic "
+    "regions a source contributes and in what proportion, the table a "
+    "mixture-weight decision reads. Assignment is the map-only "
+    "broadcast-centroid fold (no N*k shuffle); output is "
+    "|sources| * |cells| bounded, so the share window is tiny.",
+    tags=["similarity", "quality"],
+)
+def source_topic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    asg = _with_nearest_cell(
+        emb, _trained_centroids(emb, cache_key=sf_dir)
+    ).select("vec_id", "cell_id")
+    src = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    c = (
+        src.join(asg, "vec_id")
+        .groupBy("source", "cell_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    ws = Window.partitionBy("source")
+    return c.select(
+        "source",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(ws), 6
+        ).alias("share"),
+    )

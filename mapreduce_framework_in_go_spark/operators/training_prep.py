@@ -558,3 +558,53 @@ def mix_alpha_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+SHUFFLE_SEED = 1  # epoch seed: vary per epoch for a fresh permutation
+SHUFFLE_SHARDS = 8  # output shard count (data-loader worker files)
+
+
+@register(
+    "training_shuffle_order",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+             AS shuffle_pos,
+           CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents
+    )
+    """,
+    doc="The global training-data shuffle: a deterministic pseudo-random "
+    "permutation of the corpus (seeded doc_id hash as the sort key — "
+    "epoch seed changes give a fresh permutation) with an exact global "
+    "position and a round-robin shard assignment for data-loader "
+    "workers. Runs as the terasort two-level rank "
+    "(relational.two_level_global_rank): RangePartitioning on the hash "
+    "+ per-partition row_number + broadcast prefix offsets — a 100 TB "
+    "corpus shuffles without any single-partition window; round-robin "
+    "sharding balances shards to within one row by construction.",
+    tags=["training_prep", "sort"],
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import two_level_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_long32(
+            F.concat(
+                F.lit(f"shuffle:{SHUFFLE_SEED}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    return two_level_global_rank(docs, ["h", "doc_id"]).select(
+        "doc_id",
+        F.col("pos").alias("shuffle_pos"),
+        ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+    )
