@@ -74,3 +74,68 @@ def test_vocab_usage_rides_final_symbol_table(spark, sf_dir):
     # multi-char symbols in the usage table are exactly learned merges
     assert {s for s in syms if len(s) > 1} <= merges
     assert all(r.n_occurrences > 0 and r.n_words > 0 for r in rows)
+
+
+def test_merges_match_independent_python_model(spark):
+    """Property check against a textbook BPE trainer (independent of
+    both the dataflow and its mirrored SQL oracle)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus_strategy = st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    def model(docs):
+        words = Counter(w for toks in docs for w in toks)
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(BPE_MERGES):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += words[w]
+            if not pc:
+                merges.append(None)
+                vocab = {}  # the documented degenerate rule
+                continue
+            (left, right), freq = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((left, right, freq))
+            nv = {}
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):  # left-to-right, non-overlapping
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[w] = out
+            vocab = nv
+        return merges
+
+    @given(corpus_strategy)
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(docs):
+        got, _w = _merges(spark, [" ".join(toks) for toks in docs])
+        assert got == model(docs)
+
+    check()

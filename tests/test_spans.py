@@ -132,3 +132,53 @@ def test_scrub_cuts_only_the_shared_region_of_the_later_doc(spark):
     assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
         (2, 1, 10)
     ]
+
+
+def test_spans_match_independent_python_model(spark):
+    """Property check against a brute-force model (the oracle SQL
+    mirrors the dataflow, so an INDEPENDENT implementation is the real
+    cross-check): tiny vocab forces cross-doc gram collisions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=5,
+    )
+
+    def model(texts):
+        grams = {}
+        for d, toks in texts.items():
+            for p in range(len(toks) - SPAN_W + 1):
+                grams.setdefault(tuple(toks[p:p + SPAN_W]), set()).add(d)
+        out = {}
+        for d, toks in texts.items():
+            flagged = [
+                p + 1
+                for p in range(len(toks) - SPAN_W + 1)
+                if len(grams[tuple(toks[p:p + SPAN_W])]) > 1
+            ]
+            spans = []
+            for p in flagged:
+                if spans and p == spans[-1][1] + 1:
+                    spans[-1] = (spans[-1][0], p)
+                else:
+                    spans.append((p, p))
+            for s, e in spans:
+                out[(d, s, e + SPAN_W - 1)] = (
+                    e + SPAN_W - 1 - s + 1,
+                    e - s + 1,
+                )
+        return out
+
+    @given(corpus_strategy)
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(docs):
+        texts = dict(enumerate(docs))
+        assert _spans(spark, texts) == model(texts)
+
+    check()
