@@ -72,6 +72,39 @@ def _write_app_output(df: DataFrame, out: str, key: str, value: str,
     write_kv_text(df, out, key=key, value=value, canonical=not sharded)
 
 
+def run_mr_plugin(
+    spark: SparkSession, plugin_path: str, input_glob: str
+) -> DataFrame:
+    """The ``mrworker wc.so`` analogue: load a user Python file defining
+    ``Map(doc, contents) -> iterable[(k, v)]`` and
+    ``Reduce(key, sorted_values) -> value`` (the reference plugin
+    contract, ``mr/worker.go:38``) and run it over whole-file splits.
+
+    The plugin file is shipped to executors via ``addPyFile`` so the
+    Map/Reduce closures unpickle there regardless of how the driver
+    loaded them."""
+    import importlib.util
+    import os
+
+    from .operators.mapreduce import mr_run
+    from .sources.tables import scan_text_corpus
+
+    modname = os.path.splitext(os.path.basename(plugin_path))[0]
+    spec = importlib.util.spec_from_file_location(modname, plugin_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    try:
+        map_fn, reduce_fn = mod.Map, mod.Reduce
+    except AttributeError as e:
+        raise SystemExit(
+            f"{plugin_path}: a plugin must define Map(doc, contents) "
+            "and Reduce(key, values)"
+        ) from e
+    spark.sparkContext.addPyFile(plugin_path)
+    docs = scan_text_corpus(spark, input_glob)
+    return mr_run(docs, map_fn, reduce_fn, doc_col="doc", content_col="content")
+
+
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     from .registry import all_queries
 
@@ -119,6 +152,14 @@ def main(argv: list[str] | None = None) -> int:
             help="per-task mr-out-Y files instead of one sorted mr-out-0",
         )
 
+    mp = sub.add_parser(
+        "mrrun", help="run a user Map/Reduce plugin file (the wc.so path)"
+    )
+    mp.add_argument("plugin", help="python file defining Map and Reduce")
+    mp.add_argument("input_glob")
+    mp.add_argument("out")
+    mp.add_argument("--sharded", action="store_true")
+
     lp = sub.add_parser("list", help="list registered queries")
     lp.add_argument("--tag", default=None)
 
@@ -149,6 +190,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "indexer":
         df = app_indexer(spark, args.input_glob)
         _write_app_output(df, args.out, "word", "index_line", args.sharded)
+    elif args.cmd == "mrrun":
+        df = run_mr_plugin(spark, args.plugin, args.input_glob)
+        _write_app_output(df, args.out, "key", "value", args.sharded)
     elif args.cmd == "run":
         _sink(run_query(spark, args.name, args.sf_dir), args.out,
               args.format, args.show)

@@ -68,3 +68,34 @@ def test_cli_list_needs_no_spark_session():
     assert out.returncode == 0
     assert "mr_wordcount" in out.stdout
     assert "SparkSession" not in out.stderr  # listing must not start a JVM
+
+
+def test_mrrun_plugin_contract(spark, corpus, tmp_path):
+    """A user file defining Map/Reduce runs end to end — the reference's
+    wc.so plugin path, with values sorted before Reduce."""
+    from mapreduce_framework_in_go_spark.__main__ import run_mr_plugin
+
+    plugin = tmp_path / "capp.py"
+    plugin.write_text(
+        "def Map(doc, contents):\n"
+        "    for tok in contents.split():\n"
+        "        yield tok, doc\n"
+        "def Reduce(key, values):\n"
+        "    assert values == sorted(values)  # the mr_run ordering contract\n"
+        "    return ','.join(dict.fromkeys(values))\n"
+    )
+    got = {
+        r.key: r.value
+        for r in run_mr_plugin(spark, str(plugin), corpus).collect()
+    }
+    assert got["the"] == "a.txt,b.txt"
+    assert got["barks"] == "b.txt"
+
+
+def test_mrrun_rejects_plugin_without_contract(spark, corpus, tmp_path):
+    from mapreduce_framework_in_go_spark.__main__ import run_mr_plugin
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("def mapper(d, c): return []\n")
+    with pytest.raises(SystemExit, match="must define Map"):
+        run_mr_plugin(spark, str(bad), corpus)
