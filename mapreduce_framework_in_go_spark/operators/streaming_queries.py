@@ -428,3 +428,83 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_ctx.cast("long").alias("c_ctx"),
         F.round(F.col("c") * F.lit(1.0) / c_ctx, 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming substring probe: crawl-delta duplicated-region ledger
+# ---------------------------------------------------------------------------
+
+from ..operators.spans import SPAN_W as _W  # noqa: E402
+from ..streaming import substring_probe as ssp  # noqa: E402
+
+_SSP_ORACLE = f"""
+    WITH dtoks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents WHERE doc_id % {snd.DELTA_MOD} = {snd.DELTA_REM}
+    ),
+    btoks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents WHERE doc_id % {snd.DELTA_MOD} <> {snd.DELTA_REM}
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+{_W - 1}], ' ') AS g
+      FROM btoks, unnest(range(1, len(toks) - {_W - 2})) u(i)
+      WHERE len(toks) >= {_W}
+    ),
+    dg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i:i+{_W - 1}], ' ') AS g
+      FROM dtoks, unnest(range(1, len(toks) - {_W - 2})) u(i)
+      WHERE len(toks) >= {_W}
+    ),
+    dup_pos AS (SELECT doc_id, pos FROM dg WHERE g IN (SELECT g FROM bg)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM dup_pos
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_W - 1} AS e,
+             CAST(count(*) AS BIGINT) AS c
+      FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           round(coalesce(p.dup_tokens, 0) / len(t.toks)::DOUBLE, 6)
+             AS dup_frac
+    FROM dtoks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    WHERE len(t.toks) > 0
+"""
+
+
+@register(
+    "stream_substring_probe",
+    oracle=_SSP_ORACLE,
+    doc="Streaming duplicated-substring ingest probe: each arriving "
+    "delta document's token windows are membership-checked against the "
+    "standing base corpus's distinct gram set (stream-static join), "
+    "flagged positions merge into maximal islands inside one "
+    "applyInPandasWithState fold per doc, and a scrub ledger row "
+    "(n/dup tokens, span count, fraction) emits. Oracle: the identical "
+    "ledger computed in batch over the delta/base split — the stream "
+    "provably converges to the batch answer. Completes the crawl-delta "
+    "story for region-level dedup the way stream_near_dedup does for "
+    "document-level.",
+    tags=["streaming", "dedup", "spans"],
+)
+def stream_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table
+
+    delta = snd.delta_filter(_docs_stream(spark, sf_dir))
+    base = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % snd.DELTA_MOD != snd.DELTA_REM
+    )
+    out = ssp.substring_probe_stream(delta, ssp.base_gram_set(base))
+    return _run(out, "update", "substring_probe")
