@@ -417,3 +417,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rolling_hash"),
     )
+
+
+WINNOW_W = 4  # winnowing window: guarantees detection of matches
+#               spanning >= WINNOW_W + 3 - 1 + 2 tokens (w + k-gram span)
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> ('0x' || substr(md5(
+                        array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT)
+             ELSE [] END AS hs
+      FROM t
+    ),
+    wins AS (
+      SELECT doc_id, i, hs[i:i+{WINNOW_W - 1}] AS win
+      FROM h, unnest(range(1, len(hs) - {WINNOW_W - 2})) u(i)
+      WHERE len(hs) >= {WINNOW_W}
+    )
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i - 1 + list_position(win, list_min(win)) AS BIGINT)
+             AS fp_pos,
+           CAST(list_min(win) AS BIGINT) AS fp_hash
+    FROM wins
+    """,
+    doc="Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, "
+    "MOSS): from each document's 3-gram hash sequence, every "
+    f"{WINNOW_W}-hash window contributes its minimum (leftmost on "
+    "ties — a consistent tie-break keeps the per-window guarantee: any "
+    "shared run long enough to span a full window shares a selected "
+    "fingerprint), distinct (position, hash) pairs kept. The standard "
+    "robust alternative to fixed-stride sampling for copy detection: "
+    "~2/(w+1) density with a detection GUARANTEE, entirely shuffle-free "
+    "map work (the selection is per-row array arithmetic; only the "
+    "output rows leave the scan).",
+    tags=["textops", "dedup"],
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # stage shingles then their hash array through Generates so the
+    # per-window lambda binds an attribute (no per-element re-eval)
+    staged = docs.select(
+        "doc_id",
+        F.explode(F.array(shingles_col(tokens_col("text"), 3))).alias("sh"),
+    ).select(
+        "doc_id",
+        F.explode(F.array(F.transform("sh", md5_long32))).alias("hs"),
+    )
+    nw = F.size("hs") - (WINNOW_W - 1)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.struct(
+                (
+                    i
+                    - 1
+                    + F.array_position(
+                        F.slice("hs", i, WINNOW_W),
+                        F.array_min(F.slice("hs", i, WINNOW_W)),
+                    )
+                )
+                .cast("long")
+                .alias("fp_pos"),
+                F.array_min(F.slice("hs", i, WINNOW_W)).alias("fp_hash"),
+            ),
+        )
+    )
+    return (
+        staged.where(nw >= 1)
+        .select("doc_id", F.explode(sel).alias("fp"))
+        .select("doc_id", F.col("fp.fp_pos"), F.col("fp.fp_hash"))
+        .distinct()
+    )

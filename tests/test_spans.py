@@ -182,3 +182,40 @@ def test_spans_match_independent_python_model(spark):
         assert _spans(spark, texts) == model(texts)
 
     check()
+
+
+def test_winnowing_guarantee_on_shared_run(spark):
+    """The MOSS guarantee: two docs sharing a token run long enough to
+    span a full window of 3-gram hashes (w + 2 + 2 tokens) must share
+    at least one selected fingerprint HASH; and selection density stays
+    well below 1 (the point of winnowing vs keep-everything)."""
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        WINNOW_W,
+        text_winnowing,
+    )
+
+    run_len = WINNOW_W + 2 + 2  # w windows of 3-gram hashes
+    shared = [f"s{i}" for i in range(run_len)]
+    a = [f"a{i}" for i in range(6)] + shared + [f"z{i}" for i in range(6)]
+    b = shared + [f"y{i}" for i in range(9)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("winnow_fixture")
+
+    import mapreduce_framework_in_go_spark.operators.textops as tx
+    from mapreduce_framework_in_go_spark.sources import tables
+
+    orig = tables.table
+    try:
+        tables_patch = lambda spark_, sf, name: docs  # noqa: E731
+        tx.table = tables_patch
+        rows = text_winnowing(spark, "ignored").collect()
+    finally:
+        tx.table = orig
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[1] & fps[2], "shared run must share a fingerprint"
+    n_grams_a = len(a) - 2
+    assert len(fps[1]) < n_grams_a / 2  # density: strictly sampling
