@@ -11,9 +11,14 @@ Per iteration:
 
 1. adjacent symbol pairs per word, weighted by word frequency — a
    vocab-sized explode;
-2. the argmax pair by (total frequency DESC, pair ASC) — a 1-row frame,
-   broadcast (BroadcastNestedLoopJoin, never a shuffle);
-3. apply the merge to every word's symbol string.
+2. the argmax pair by (total frequency DESC, pair ASC) — ONE
+   vocab-bounded row, TakeOrdered then collected as the round's scalar
+   probe (the dedup_clusters convergence-count precedent: per-round
+   driver probes are inherent to sequentially-dependent iterations and
+   bounded by the rank count);
+3. apply the merge to every word's symbol string as string literals —
+   keeping every plan LINEAR in the rank (a join-based application
+   embeds each round's subtree twice in the next, 2^N plan blowup).
 
 Step 3 is where naive formulations go quadratic or nondeterministic.
 BPE replaces NON-OVERLAPPING occurrences left-to-right ("a a a" with
@@ -73,21 +78,91 @@ def _syms_col():
     return F.filter(F.split("s", " +"), lambda t: t != F.lit(""))
 
 
-def _merge_chain(
-    spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame]:
-    return merge_chain_from(table(spark, sf_dir, "documents"))
+# The merge table is an INDEX — a build-once tokenizer artifact (on a
+# cluster it ships with the training run and is reused until the corpus
+# changes) — so, like the trained IVF centroids
+# (similarity._TRAINED_CACHE), the final frames are memoized per
+# (applicationId, sf_dir) OUTSIDE the one-generation cache. The win is
+# driver-side as much as executor-side: the N-iteration lineage costs
+# seconds of Catalyst analysis per rebuild, which the memo pays once.
+# Eviction: only entries whose session is dead (their persisted blocks
+# died with the context) — never other sf_dirs of the live session.
+_ARTIFACT_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def merge_chain_from(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
-    """([best_1..best_N], w_N): the learned merges (1-row frames of
-    l, r, pair_freq) and the final per-word symbol table.
+def _artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(merges, w_final): the learned merge table (merge_rank, l, r,
+    merged, pair_freq) and the final per-word symbol table, memoized."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    learned, w = merge_chain_from(table(spark, sf_dir, "documents"))
+    merges = spark.createDataFrame(
+        [
+            (i, left, right, left + right, freq)
+            for i, (left, right, freq) in (
+                (i, m) for i, m in enumerate(learned, start=1) if m
+            )
+        ],
+        "merge_rank long, l string, r string, merged string, pair_freq long",
+    )
+    w = w.persist()  # final artifact: outside generation eviction
+    for old_key in [k for k in _ARTIFACT_CACHE if k[0] != key[0]]:
+        for df in _ARTIFACT_CACHE.pop(old_key):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _ARTIFACT_CACHE[key] = (merges, w)
+    return merges, w
 
-    A corpus that runs out of distinct pairs before rank N yields EMPTY
-    argmax frames from that rank on (the merge table simply has fewer
-    rows) — and the cross join makes the symbol table empty too; real
-    corpora never get close (rank N needs only N distinct adjacent
-    pairs), and the oracle's CTE chain reproduces the same behavior.
+
+def pair_argmax_frame(w: DataFrame) -> DataFrame:
+    """The 1-row (l, r, pair_freq) frequency argmax over the adjacent
+    symbol pairs of word table ``w`` — a TakeOrdered over a vocab-sized
+    explode, never a global sort."""
+    syms = _syms_col()
+    m = F.size(syms) - 1
+    pairs = F.when(
+        m > 0,
+        F.zip_with(
+            F.slice(syms, 1, F.greatest(m, F.lit(0))),
+            F.slice(syms, 2, F.greatest(m, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        w.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "l", "r")
+        .limit(1)
+    )
+
+
+def merge_chain_from(
+    docs: DataFrame,
+) -> tuple[list[tuple[str, str, int] | None], DataFrame]:
+    """([merge_1..merge_N], w_N): the learned merges as (l, r,
+    pair_freq) tuples (None once pairs are exhausted) and the final
+    per-word symbol table.
+
+    Each rank's argmax is ONE vocab-bounded row, collected to the
+    driver and applied to the symbol strings as string LITERALS — the
+    per-round scalar probe that iterative operators in this repo
+    already use (dedup_clusters' convergence counts): inherent to the
+    sequential dependency, bounded by the rank count, and it keeps
+    every plan LINEAR. The earlier broadcast-join formulation embedded
+    each iteration's subtree twice in the next plan — 2^N copies of
+    the base subtree by rank N, which cost the driver seconds of plan
+    bookkeeping per action even when every frame was cached.
+
+    A corpus that runs out of distinct pairs before rank N yields None
+    from that rank on and EMPTIES the word table (mirroring the
+    oracle's cross join with an empty m_i CTE — its w_i CTEs are empty
+    from that rank too); real corpora never get close (rank N needs
+    only N distinct adjacent pairs).
     """
     _evict_previous_generation()
     w = _persist(
@@ -100,38 +175,25 @@ def merge_chain_from(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             F.regexp_replace("word", "(.)", " $1 ").alias("s"),
         )
     )
-    bests: list[DataFrame] = []
+    merges: list[tuple[str, str, int] | None] = []
     for _ in range(BPE_MERGES):
-        syms = _syms_col()
-        m = F.size(syms) - 1
-        pairs = F.when(
-            m > 0,
-            F.zip_with(
-                F.slice(syms, 1, F.greatest(m, F.lit(0))),
-                F.slice(syms, 2, F.greatest(m, F.lit(0))),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        best = _persist(
-            w.select("freq", F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "l", "r")
-            .limit(1)
+        got = pair_argmax_frame(w).collect()
+        if not got:
+            merges.append(None)
+            w = w.limit(0)
+            continue
+        left, right, freq = got[0].l, got[0].r, int(got[0].pair_freq)
+        merges.append((left, right, freq))
+        w = w.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("s"),
         )
-        bests.append(best)
-        w = _persist(
-            w.crossJoin(F.broadcast(best.select("l", "r"))).select(
-                "word",
-                "freq",
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")),
-                    F.concat(F.lit(" "), "l", "r", F.lit(" ")),
-                ).alias("s"),
-            )
-        )
-    return bests, w
+    return merges, w
 
 
 def _w0_cte() -> str:
@@ -191,23 +253,14 @@ def _merges_union_sql(n: int) -> str:
     doc=f"The learned BPE merge table ({BPE_MERGES} ranks): at each rank "
     "the corpus-frequency-argmax adjacent symbol pair (ties by pair "
     "order) and its frequency. Corpus cost is one token count; every "
-    "iteration rides the vocab-sized word table with a 1-row broadcast "
-    "argmax — the lm_kn_bigrams scale shape.",
+    "iteration rides the vocab-sized word table with a 1-row collected "
+    "argmax probe — the lm_kn_bigrams scale shape with the "
+    "dedup_clusters per-round-probe pattern.",
     tags=["training_prep", "bpe"],
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bests, _w = _merge_chain(spark, sf_dir)
-    out = None
-    for i, b in enumerate(bests, start=1):
-        row = b.select(
-            F.lit(i).cast("long").alias("merge_rank"),
-            "l",
-            "r",
-            F.concat("l", "r").alias("merged"),
-            "pair_freq",
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    merges, _w = _artifacts(spark, sf_dir)
+    return merges
 
 
 @register(
@@ -234,7 +287,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["training_prep", "bpe"],
 )
 def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _bests, w = _merge_chain(spark, sf_dir)
+    _merges, w = _artifacts(spark, sf_dir)
     return (
         w.select("word", "freq", F.explode(_syms_col()).alias("symbol"))
         .groupBy("symbol")

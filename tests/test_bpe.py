@@ -16,13 +16,7 @@ def _docs(spark, texts: list[str]):
 
 
 def _merges(spark, texts):
-    bests, w = merge_chain_from(_docs(spark, texts))
-    rows = []
-    for b in bests:
-        got = b.collect()
-        assert len(got) <= 1
-        rows.append((got[0].l, got[0].r, got[0].pair_freq) if got else None)
-    return rows, w
+    return merge_chain_from(_docs(spark, texts))
 
 
 def test_nonoverlapping_left_to_right_application(spark):

@@ -355,26 +355,26 @@ def test_substring_spans_two_shuffles_no_join(spark, sf_dir):
     assert plan.count("Window") >= 2
 
 
-def test_bpe_iterations_ride_broadcast_argmax(spark, sf_dir):
-    """Every merge rank's argmax must reach the word table as a 1-row
-    broadcast (BroadcastNestedLoopJoin), the corpus must be scanned
-    once (the persisted word table feeds all ranks), and the argmax
-    must be a TakeOrdered, never a global sort."""
+def test_bpe_argmax_is_takeordered_and_plans_stay_linear(spark, sf_dir):
+    """Each rank's argmax must plan a TakeOrdered over the persisted
+    word table (never a global sort, never a fresh corpus scan), the
+    rank-N word table's plan must stay LINEAR in the rank (the
+    join-based application embedded each round's subtree twice — 2^N
+    plan blowup), and the learned-merge artifact itself must read
+    driver-resident (no corpus rescan to consume the table)."""
     import re
 
-    from mapreduce_framework_in_go_spark.operators.bpe import BPE_MERGES
+    from mapreduce_framework_in_go_spark.operators import bpe
+    from mapreduce_framework_in_go_spark.sources.tables import table
 
-    plan = formatted_plan(SPECS["bpe_learn_merges"].fn(spark, sf_dir))
-    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
-    # ONE corpus scan total (inside the persisted word table's detail)
-    assert sum(1 for n in nodes if n == "Scan") == 1
-    assert "InMemoryTableScan" in plan
-    # per-rank argmax is a TakeOrdered, never a global sort
-    assert sum(1 for n in nodes if n == "TakeOrderedAndProject") == BPE_MERGES
-    # merge application is a 1-row broadcast (rank N's application is
-    # not in the merge table's lineage, hence N-1 here)
-    assert (
-        sum(1 for n in nodes if n == "BroadcastNestedLoopJoin")
-        == BPE_MERGES - 1
-    )
-    assert "CartesianProduct" not in plan
+    _learned, w_final = bpe.merge_chain_from(table(spark, sf_dir, "documents"))
+    probe = formatted_plan(bpe.pair_argmax_frame(w_final))
+    assert "TakeOrderedAndProject" in probe
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", probe)
+    assert sum(1 for n in nodes if n == "Scan") <= 1
+    final_plan = formatted_plan(w_final)
+    # linear growth: the whole rank-N lineage is a few dozen nodes, not 2^N
+    assert len(re.findall(r"\(\d+\) ", final_plan)) < 40
+    merges = formatted_plan(SPECS["bpe_learn_merges"].fn(spark, sf_dir))
+    assert "ExistingRDD" in merges or "LocalTableScan" in merges
+    assert "Scan parquet" not in merges
