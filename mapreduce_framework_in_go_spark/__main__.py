@@ -139,7 +139,12 @@ def _get_spark(args) -> SparkSession:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m mapreduce_framework_in_go_spark")
-    p.add_argument("--cpus", type=int, default=8, help="local cores")
+    p.add_argument(
+        "--cpus",
+        type=int,
+        default=None,  # None lets get_spark honor $SPARK_GRAFT_CPUS
+        help="local cores (default: $SPARK_GRAFT_CPUS, else 8)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     for app in ("wc", "indexer"):

@@ -1066,18 +1066,21 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rangepartitioning exchanges could in principle disagree on partition
 # boundaries, silently corrupting global positions. Persisting pins one
 # materialization that both branches read.
-_RANK_CACHE: list[DataFrame] = []
+_RANK_CACHE: dict[str, DataFrame] = {}
 
 
-def _evict_previous_rank() -> None:
-    while _RANK_CACHE:
+def _evict_previous_rank(slot: str) -> None:
+    prev = _RANK_CACHE.pop(slot, None)
+    if prev is not None:
         try:
-            _RANK_CACHE.pop().unpersist()
+            prev.unpersist()
         except Exception:
             pass
 
 
-def two_level_global_rank(df: DataFrame, order_cols: list) -> DataFrame:
+def two_level_global_rank(
+    df: DataFrame, order_cols: list, slot: str = "default"
+) -> DataFrame:
     """``df`` + an exact 1-based global ``pos`` under the total order
     ``order_cols`` — the terasort shape shared by ``global_sort_rank``
     and the training-shuffle: RangePartitioning via orderBy (sampled
@@ -1086,7 +1089,12 @@ def two_level_global_rank(df: DataFrame, order_cols: list) -> DataFrame:
     Never a single-partition window over the data; the ranked frame is
     persisted (one-generation) so the data branch and the offsets
     branch share ONE materialized range partitioning — independently
-    planned exchanges could sample different split points."""
+    planned exchanges could sample different split points. The cache is
+    one generation PER ``slot`` (callers pass their query name): a
+    shared single slot would let one consumer's build unpersist
+    another's still-unexecuted ranked frame, reintroducing the
+    split-point hazard for drivers that build several frames before
+    collecting any."""
     ranked = (
         df.orderBy(*order_cols)
         .withColumn("pid", F.spark_partition_id())
@@ -1095,9 +1103,9 @@ def two_level_global_rank(df: DataFrame, order_cols: list) -> DataFrame:
             F.row_number().over(Window.partitionBy("pid").orderBy(*order_cols)),
         )
     )
-    _evict_previous_rank()
+    _evict_previous_rank(slot)
     ranked = ranked.persist()
-    _RANK_CACHE.append(ranked)
+    _RANK_CACHE[slot] = ranked
     offsets = (
         ranked.groupBy("pid")
         .agg(F.count("*").alias("n"))
@@ -1144,7 +1152,7 @@ def two_level_global_rank(df: DataFrame, order_cols: list) -> DataFrame:
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     return two_level_global_rank(
-        c, [F.col("c_acctbal").desc(), "c_custkey"]
+        c, [F.col("c_acctbal").desc(), "c_custkey"], slot="global_sort_rank"
     ).select(
         "c_custkey",
         "c_name",

@@ -1206,6 +1206,7 @@ def ann_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["similarity", "quality"],
 )
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
     emb = _emb(spark, sf_dir)
     topk = _ivf_search(emb, _trained_centroids(emb, cache_key=sf_dir))
     lab = table(spark, sf_dir, "embeddings").select(
@@ -1283,6 +1284,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["similarity", "quality"],
 )
 def source_topic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
     emb = _emb(spark, sf_dir)
     asg = _with_nearest_cell(
         emb, _trained_centroids(emb, cache_key=sf_dir)

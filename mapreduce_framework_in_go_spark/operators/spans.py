@@ -19,11 +19,14 @@ fixed-window answer with two shuffles and no suffix array:
    one hash shuffle on the gram string, decided per-row as
    ``min(doc_id) OVER (PARTITION BY g) <> max(doc_id) OVER ...`` so no
    second corpus pass or join-back is needed;
-3. per document, maximal duplicated regions are the classic
-   gaps-and-islands merge: consecutive duplicated start positions share
-   ``pos - row_number()``; each island [p_min, p_max] covers tokens
-   [p_min, p_max + W - 1]. One doc_id shuffle, output is
-   duplicate-volume-sized.
+3. per document, maximal duplicated regions are a gaps-and-islands
+   merge over flagged start positions, where an island extends while
+   successive positions' W-token windows still overlap or touch
+   (``gap <= W - 1`` — merging only consecutive positions would emit
+   overlapping spans that double-count the union); each island
+   [p_min, p_max] covers exactly the contiguous token union
+   [p_min, p_max + W - 1], and distinct islands are DISJOINT by
+   construction. One doc_id shuffle, output is duplicate-volume-sized.
 
 Scale (100 TB): the gram shuffle carries (doc_id, pos, g) where g is a
 W-token string — the dominant cost, and inherent (the decision is a
@@ -82,9 +85,25 @@ def dup_spans_from(docs: DataFrame, keep_earliest: bool = False) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
+    # Islands merge flagged positions while their W-token windows still
+    # OVERLAP or touch (gap <= W-1) — merging only consecutive
+    # positions would emit overlapping spans whose token sum
+    # double-counts the union (and dup_frac could exceed 1).
     wd = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_pos.withColumn(
-        "isl", F.col("pos") - F.row_number().over(wd)
+        "brk",
+        F.when(
+            F.coalesce(
+                F.col("pos") - F.lag("pos").over(wd), F.lit(SPAN_W)
+            )
+            > SPAN_W - 1,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
     return islands.groupBy("doc_id", "isl").agg(
         F.min("pos").alias("span_start"),
@@ -126,8 +145,16 @@ def _spans_ctes(dup_pred: str = "mn <> mx") -> str:
   ),
   islands AS (
     SELECT doc_id, pos,
-           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-    FROM dup_pos
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+    FROM (
+      SELECT doc_id, pos,
+             CASE WHEN coalesce(pos - lag(pos) OVER (
+                          PARTITION BY doc_id ORDER BY pos), {w})
+                       > {w - 1}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup_pos
+    )
   ),
   spans AS (
     SELECT doc_id,
@@ -225,6 +252,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           x -> p BETWEEN x.s AND x.e)) = 0),
                p -> t.toks[p]) AS kept
       FROM toks t LEFT JOIN ranges r ON r.doc_id = t.doc_id
+      WHERE len(t.toks) > 0
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,

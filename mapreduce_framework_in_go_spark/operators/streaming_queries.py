@@ -460,8 +460,16 @@ _SSP_ORACLE = f"""
     dup_pos AS (SELECT doc_id, pos FROM dg WHERE g IN (SELECT g FROM bg)),
     islands AS (
       SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-      FROM dup_pos
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (
+        SELECT doc_id, pos,
+               CASE WHEN coalesce(pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos), {_W})
+                         > {_W - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup_pos
+      )
     ),
     spans AS (
       SELECT doc_id, min(pos) AS s, max(pos) + {_W - 1} AS e,

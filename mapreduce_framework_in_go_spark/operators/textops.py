@@ -474,24 +474,30 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.transform("sh", md5_long32))).alias("hs"),
     )
     nw = F.size("hs") - (WINNOW_W - 1)
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), nw),
-            lambda i: F.struct(
-                (
-                    i
-                    - 1
-                    + F.array_position(
-                        F.slice("hs", i, WINNOW_W),
-                        F.array_min(F.slice("hs", i, WINNOW_W)),
-                    )
+
+    # Lambda bodies get no subexpression elimination, so bind the
+    # window slice (and then its min) ONCE each via single-element
+    # transform hops instead of re-evaluating them per use.
+    def _fp(i):
+        def over_slice(win):
+            def over_min(mn):
+                return F.struct(
+                    (i - 1 + F.array_position(win, mn))
+                    .cast("long")
+                    .alias("fp_pos"),
+                    mn.alias("fp_hash"),
                 )
-                .cast("long")
-                .alias("fp_pos"),
-                F.array_min(F.slice("hs", i, WINNOW_W)).alias("fp_hash"),
-            ),
+
+            return F.try_element_at(
+                F.transform(F.array(F.array_min(win)), over_min), F.lit(1)
+            )
+
+        return F.try_element_at(
+            F.transform(F.array(F.slice("hs", i, WINNOW_W)), over_slice),
+            F.lit(1),
         )
-    )
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), nw), _fp))
     return (
         staged.where(nw >= 1)
         .select("doc_id", F.explode(sel).alias("fp"))

@@ -603,7 +603,9 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    return two_level_global_rank(docs, ["h", "doc_id"]).select(
+    return two_level_global_rank(
+        docs, ["h", "doc_id"], slot="training_shuffle_order"
+    ).select(
         "doc_id",
         F.col("pos").alias("shuffle_pos"),
         ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),

@@ -75,7 +75,9 @@ def _ledger(
     )
     spans = []
     for p in flagged:
-        if spans and p == spans[-1][1] + 1:
+        # extend while windows still overlap or touch (gap <= W-1),
+        # matching the batch island rule — spans stay disjoint
+        if spans and p - spans[-1][1] <= SPAN_W - 1:
             spans[-1][1] = p
         else:
             spans.append([p, p])

@@ -161,15 +161,14 @@ def test_spans_match_independent_python_model(spark):
             ]
             spans = []
             for p in flagged:
-                if spans and p == spans[-1][1] + 1:
-                    spans[-1] = (spans[-1][0], p)
+                # merge while windows overlap or touch (gap <= W-1)
+                if spans and p - spans[-1][1] <= SPAN_W - 1:
+                    spans[-1][1] = p
+                    spans[-1][2] += 1
                 else:
-                    spans.append((p, p))
-            for s, e in spans:
-                out[(d, s, e + SPAN_W - 1)] = (
-                    e + SPAN_W - 1 - s + 1,
-                    e - s + 1,
-                )
+                    spans.append([p, p, 1])
+            for s, e, n in spans:
+                out[(d, s, e + SPAN_W - 1)] = (e + SPAN_W - 1 - s + 1, n)
         return out
 
     @given(corpus_strategy)
@@ -219,3 +218,23 @@ def test_winnowing_guarantee_on_shared_run(spark):
     assert fps[1] & fps[2], "shared run must share a fingerprint"
     n_grams_a = len(a) - 2
     assert len(fps[1]) < n_grams_a / 2  # density: strictly sampling
+
+
+def test_overlapping_windows_merge_into_one_disjoint_span(spark):
+    """Flagged positions 2..W-1 apart have OVERLAPPING token windows:
+    they must merge into one span (review finding: consecutive-only
+    islanding emitted overlapping spans whose sum double-counted the
+    union, letting dup_frac exceed 1)."""
+    # letter-only tokens: the letter-run tokenizer strips digits
+    base = [f"t{c}" for c in "abcdefghi"]  # 9 distinct tokens
+    junk1 = [f"j{c}" for c in "abcdef"]
+    junk2 = [f"k{c}" for c in "abcdef"]
+    texts = {
+        1: base,
+        # B carries t1..t5, t3..t7, t5..t9 separated by junk: A's
+        # flagged positions are 1, 3, 5 (gaps of 2 < W)
+        2: base[0:5] + junk1 + base[2:7] + junk2 + base[4:9],
+    }
+    out = _spans(spark, texts)
+    doc1 = {k: v for k, v in out.items() if k[0] == 1}
+    assert doc1 == {(1, 1, 9): (9, 3)}  # ONE span, union 9 tokens, 3 grams
