@@ -423,32 +423,42 @@ WINNOW_W = 4  # winnowing window: guarantees detection of matches
 #               spanning >= WINNOW_W + 3 - 1 + 2 tokens (w + k-gram span)
 
 
-@register(
-    "text_winnowing",
-    oracle=f"""
-    WITH t AS (
+def _winnow_sel_ctes() -> str:
+    """CTE chain ending at ``wsel(doc_id, fp_pos, fp_hash)`` — the
+    winnowed fingerprint set, shared by text_winnowing and
+    dedup_winnow_pairs."""
+    return f"""wt AS (
       SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
       FROM documents
     ),
-    h AS (
+    wh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN
                list_transform(range(1, len(toks) - 1),
                  i -> ('0x' || substr(md5(
                         array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT)
              ELSE [] END AS hs
-      FROM t
+      FROM wt
     ),
     wins AS (
       SELECT doc_id, i, hs[i:i+{WINNOW_W - 1}] AS win
-      FROM h, unnest(range(1, len(hs) - {WINNOW_W - 2})) u(i)
+      FROM wh, unnest(range(1, len(hs) - {WINNOW_W - 2})) u(i)
       WHERE len(hs) >= {WINNOW_W}
-    )
-    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(i - 1 + list_position(win, list_min(win)) AS BIGINT)
-             AS fp_pos,
-           CAST(list_min(win) AS BIGINT) AS fp_hash
-    FROM wins
+    ),
+    wsel AS (
+      SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(i - 1 + list_position(win, list_min(win)) AS BIGINT)
+               AS fp_pos,
+             CAST(list_min(win) AS BIGINT) AS fp_hash
+      FROM wins
+    )"""
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    WITH {_winnow_sel_ctes()}
+    SELECT doc_id, fp_pos, fp_hash FROM wsel
     """,
     doc="Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, "
     "MOSS): from each document's 3-gram hash sequence, every "
@@ -463,7 +473,12 @@ WINNOW_W = 4  # winnowing window: guarantees detection of matches
     tags=["textops", "dedup"],
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_pos, fp_hash): the winnowed fingerprint set of a
+    (doc_id, text) frame — see text_winnowing."""
     # stage shingles then their hash array through Generates so the
     # per-window lambda binds an attribute (no per-element re-eval)
     staged = docs.select(
@@ -503,4 +518,100 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(sel).alias("fp"))
         .select("doc_id", F.col("fp.fp_pos"), F.col("fp.fp_hash"))
         .distinct()
+    )
+
+
+MIN_SHARED_FP = 2  # candidate gate: fingerprints shared by a pair
+
+
+def _winnow_pairs_oracle() -> str:
+    from .dedup import _SHINGLES_CTE
+
+    return f"""
+    WITH {_winnow_sel_ctes()},
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS n_shared_fp
+      FROM wsel a JOIN wsel b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.fp_hash) >= {MIN_SHARED_FP}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_fp,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, n_shared_fp, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_winnow_pairs_oracle(),
+    doc="Winnowing as a CANDIDATE GENERATOR — the fourth sketch family "
+    "next to MinHash bands, SimHash chunks, and PPJoin prefixes: pairs "
+    f"sharing >= {MIN_SHARED_FP} winnowed fingerprints (an equi-join "
+    "on the ~2/(w+1)-density fingerprint index, so the bucket join "
+    "touches a fraction of what full posting lists would) are verified "
+    "with the exact 3-gram Jaccard RESTRICTED to candidates. The MOSS "
+    "guarantee shapes recall: any pair sharing a run spanning a full "
+    "window shares a fingerprint. Output keeps every candidate with "
+    "its verified overlap, so precision/recall against the exact pair "
+    "core is measurable downstream.",
+    tags=["dedup", "textops"],
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _CACHE_GENERATION as _DEDUP_GEN
+    from .dedup import _shingle_rows
+
+    docs = table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    cand = (
+        fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp_hash"), "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("fp_hash").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= MIN_SHARED_FP)
+    )
+    sh = _shingle_rows(spark, sf_dir).persist()
+    _DEDUP_GEN.append(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_shared_fp")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_fp",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
