@@ -87,6 +87,13 @@ HEADLINE = [
     "stream_transition_matrix",
     "dedup_substring_spans",
     "bpe_learn_merges",
+    "dedup_substring_scrub",
+    "text_winnowing",
+    "dedup_winnow_pairs",
+    "training_shuffle_order",
+    "source_topic_profile",
+    "knn_label_agreement",
+    "stream_substring_probe",
 ]
 
 

@@ -524,11 +524,13 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 MIN_SHARED_FP = 2  # candidate gate: fingerprints shared by a pair
 
 
-def _winnow_pairs_oracle() -> str:
+def _winnow_pair_ctes() -> str:
+    """CTE chain ending at ``cand`` / ``inter`` (plus ``sh``/``sizes``)
+    — winnow candidates with exact intersections, shared by the pair
+    query and the recall metric."""
     from .dedup import _SHINGLES_CTE
 
-    return f"""
-    WITH {_winnow_sel_ctes()},
+    return f"""{_winnow_sel_ctes()},
     {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
               FROM sh GROUP BY doc_id),
@@ -547,7 +549,12 @@ def _winnow_pairs_oracle() -> str:
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
       GROUP BY 1, 2, 3
-    )
+    )"""
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+    WITH {_winnow_pair_ctes()}
     SELECT doc_a, doc_b, n_shared_fp, n_common,
            round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
     FROM inter
@@ -613,5 +620,100 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def _winnow_recall_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD
+
+    return f"""
+    WITH {_winnow_pair_ctes()},
+    wverified AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+      ) WHERE j >= {JACCARD_THRESHOLD}
+    ),
+    exact_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    true_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM exact_inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM wverified) AS BIGINT) AS n_verified,
+           CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
+           round((SELECT count(*) FROM wverified) * 1.0 /
+                 greatest((SELECT count(*) FROM true_pairs), 1), 6)
+             AS recall,
+           round((SELECT count(*) FROM wverified) * 1.0 /
+                 greatest((SELECT count(*) FROM cand), 1), 6)
+             AS precision
+    """
+
+
+@register(
+    "dedup_winnow_recall",
+    oracle=_winnow_recall_oracle(),
+    doc="Sketch-quality metric for the winnowing family (the "
+    "dedup_lsh_recall / band-tuning pattern): candidate volume, "
+    "candidates surviving exact-Jaccard verification at the shared "
+    "threshold, the exact ground-truth pair count, and recall/"
+    "precision — the tune-w-before-the-full-pass artifact. Verified "
+    "pairs are a subset of true pairs by construction (the verifier IS "
+    "the exact Jaccard), so recall = |verified| / |true|. The exact "
+    "side reuses the lossless prefix-filter pair core; the shingle "
+    "frame persists one generation and feeds every path once.",
+    tags=["dedup", "metric"],
+)
+def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import JACCARD_THRESHOLD, _jaccard_inter_frame
+
+    wp = dedup_winnow_pairs(spark, sf_dir)
+    n_cand = wp.agg(F.count("*").alias("n_candidates"))
+    n_ver = wp.where(F.col("jaccard") >= JACCARD_THRESHOLD).agg(
+        F.count("*").alias("n_verified")
+    )
+    # NOTE: _jaccard_inter_frame evicts the dedup generation, which
+    # includes the shingle frame dedup_winnow_pairs persisted — build
+    # it AFTER wp's aggregates are defined (plans bind eagerly) but it
+    # re-persists its own frame, so both paths stay one-generation.
+    exact = _jaccard_inter_frame(spark, sf_dir)
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    n_true = exact.where(jac >= JACCARD_THRESHOLD).agg(
+        F.count("*").alias("n_true")
+    )
+    return (
+        n_cand.crossJoin(F.broadcast(n_ver))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_candidates",
+            "n_verified",
+            "n_true",
+            F.round(
+                F.col("n_verified")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_verified")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
         )
     )
