@@ -143,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         "--cpus",
         type=int,
         default=None,  # None lets get_spark honor $SPARK_GRAFT_CPUS
-        help="local cores (default: $SPARK_GRAFT_CPUS, else 8)",
+        help="local cores (default: $SPARK_GRAFT_CPUS, else 32)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -21,12 +21,15 @@ fixed-window answer with two shuffles and no suffix array:
    second corpus pass or join-back is needed;
 3. per document, maximal duplicated regions are a gaps-and-islands
    merge over flagged start positions, where an island extends while
-   successive positions' W-token windows still overlap or touch
-   (``gap <= W - 1`` — merging only consecutive positions would emit
-   overlapping spans that double-count the union); each island
+   successive positions' W-token coverage stays contiguous —
+   overlapping or touching end-to-start (``gap <= W``; a break fires
+   only at a coverage hole, ``gap > W``). Merging only consecutive
+   positions would emit overlapping spans that double-count the
+   union; splitting at a touch would break maximality. Each island
    [p_min, p_max] covers exactly the contiguous token union
-   [p_min, p_max + W - 1], and distinct islands are DISJOINT by
-   construction. One doc_id shuffle, output is duplicate-volume-sized.
+   [p_min, p_max + W - 1], and distinct islands are DISJOINT with a
+   genuine hole between them. One doc_id shuffle, output is
+   duplicate-volume-sized.
 
 Scale (100 TB): the gram shuffle carries (doc_id, pos, g) where g is a
 W-token string — the dominant cost, and inherent (the decision is a
@@ -85,18 +88,21 @@ def dup_spans_from(docs: DataFrame, keep_earliest: bool = False) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    # Islands merge flagged positions while their W-token windows still
-    # OVERLAP or touch (gap <= W-1) — merging only consecutive
-    # positions would emit overlapping spans whose token sum
-    # double-counts the union (and dup_frac could exceed 1).
+    # Islands merge flagged positions while their W-token coverage
+    # stays CONTIGUOUS — overlapping (gap <= W-1) or touching
+    # end-to-start (gap == W). Merging only consecutive positions
+    # would emit overlapping spans whose token sum double-counts the
+    # union (dup_frac could exceed 1); splitting at gap == W would
+    # split one contiguous duplicated region into two, breaking
+    # maximality. A break therefore fires only when gap > W (a hole).
     wd = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_pos.withColumn(
         "brk",
         F.when(
             F.coalesce(
-                F.col("pos") - F.lag("pos").over(wd), F.lit(SPAN_W)
+                F.col("pos") - F.lag("pos").over(wd), F.lit(SPAN_W + 1)
             )
-            > SPAN_W - 1,
+            > SPAN_W,
             1,
         ).otherwise(0),
     ).withColumn(
@@ -143,15 +149,26 @@ def _spans_ctes(dup_pred: str = "mn <> mx") -> str:
       FROM grams
     ) WHERE {dup_pred}
   ),
-  islands AS (
+  {islands_spans_ctes()}
+"""
+
+
+def islands_spans_ctes() -> str:
+    """CTE fragment ``islands`` + ``spans`` over a preceding
+    ``dup_pos(doc_id, pos)`` relation — ONE definition of the
+    island-merge rule (break iff gap > W: coverage hole), shared by
+    the batch span queries and the streaming probe's oracle so the
+    rule can never drift between them."""
+    w = SPAN_W
+    return f"""islands AS (
     SELECT doc_id, pos,
            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS UNBOUNDED PRECEDING) AS isl
     FROM (
       SELECT doc_id, pos,
              CASE WHEN coalesce(pos - lag(pos) OVER (
-                          PARTITION BY doc_id ORDER BY pos), {w})
-                       > {w - 1}
+                          PARTITION BY doc_id ORDER BY pos), {w + 1})
+                       > {w}
                   THEN 1 ELSE 0 END AS brk
       FROM dup_pos
     )
@@ -163,8 +180,7 @@ def _spans_ctes(dup_pred: str = "mn <> mx") -> str:
            max(pos) + {w - 1} - min(pos) + 1 AS span_tokens,
            CAST(count(*) AS BIGINT) AS n_dup_grams
     FROM islands GROUP BY doc_id, isl
-  )
-"""
+  )"""
 
 
 @register(

@@ -435,6 +435,7 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ..operators.spans import SPAN_W as _W  # noqa: E402
+from ..operators.spans import islands_spans_ctes as _islands_spans_ctes  # noqa: E402
 from ..streaming import substring_probe as ssp  # noqa: E402
 
 _SSP_ORACLE = f"""
@@ -458,26 +459,9 @@ _SSP_ORACLE = f"""
       WHERE len(toks) >= {_W}
     ),
     dup_pos AS (SELECT doc_id, pos FROM dg WHERE g IN (SELECT g FROM bg)),
-    islands AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS UNBOUNDED PRECEDING) AS isl
-      FROM (
-        SELECT doc_id, pos,
-               CASE WHEN coalesce(pos - lag(pos) OVER (
-                            PARTITION BY doc_id ORDER BY pos), {_W})
-                         > {_W - 1}
-                    THEN 1 ELSE 0 END AS brk
-        FROM dup_pos
-      )
-    ),
-    spans AS (
-      SELECT doc_id, min(pos) AS s, max(pos) + {_W - 1} AS e,
-             CAST(count(*) AS BIGINT) AS c
-      FROM islands GROUP BY doc_id, isl
-    ),
+    {_islands_spans_ctes()},
     per_doc AS (
-      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+      SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
              CAST(count(*) AS BIGINT) AS n_spans
       FROM spans GROUP BY doc_id
     )

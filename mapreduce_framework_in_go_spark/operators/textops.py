@@ -579,8 +579,20 @@ def _winnow_pairs_oracle() -> str:
     tags=["dedup", "textops"],
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cand, pairs, _sh = _winnow_pair_frames(spark, sf_dir)
+    return pairs
+
+
+def _winnow_pair_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cand, pairs, sh): the pre-verify candidate set, the verified
+    pair frame, and the persisted shingle frame they ride — ONE
+    generation (evicting the module's previous one first, like every
+    other _CACHE_GENERATION site), shared by the pair query and the
+    recall metric so the exact path reuses the same shingles."""
     from .dedup import _CACHE_GENERATION as _DEDUP_GEN
-    from .dedup import _shingle_rows
+    from .dedup import _evict_previous_generation, _shingle_rows
 
     docs = table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs)
@@ -592,6 +604,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("fp_hash").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= MIN_SHARED_FP)
     )
+    _evict_previous_generation()
     sh = _shingle_rows(spark, sf_dir).persist()
     _DEDUP_GEN.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -601,7 +614,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "n_shared_fp")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    pairs = (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
             "doc_a",
@@ -622,6 +635,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    return cand, pairs, sh
 
 
 def _winnow_recall_oracle() -> str:
@@ -679,23 +693,32 @@ def _winnow_recall_oracle() -> str:
     tags=["dedup", "metric"],
 )
 def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import JACCARD_THRESHOLD, _jaccard_inter_frame
+    from .dedup import JACCARD_THRESHOLD, _prefix_candidates
 
-    wp = dedup_winnow_pairs(spark, sf_dir)
-    n_cand = wp.agg(F.count("*").alias("n_candidates"))
-    n_ver = wp.where(F.col("jaccard") >= JACCARD_THRESHOLD).agg(
+    cand, pairs, sh = _winnow_pair_frames(spark, sf_dir)
+    # candidate volume counts the PRE-verify candidate set (matching
+    # the oracle's cand CTE — the verified frame would silently drop a
+    # hash-collision pair with zero common shingles)
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_ver = pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD).agg(
         F.count("*").alias("n_verified")
     )
-    # NOTE: _jaccard_inter_frame evicts the dedup generation, which
-    # includes the shingle frame dedup_winnow_pairs persisted — build
-    # it AFTER wp's aggregates are defined (plans bind eagerly) but it
-    # re-persists its own frame, so both paths stay one-generation.
-    exact = _jaccard_inter_frame(spark, sf_dir)
+    # exact ground truth over the SAME persisted shingle frame (no
+    # second eviction/persist cycle): lossless prefix-filter candidates
+    # + candidate-restricted intersection, the _jaccard_inter_frame
+    # computation inlined against our sh
+    ex = (
+        _prefix_candidates(sh, JACCARD_THRESHOLD - 1e-6)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     jac = F.round(
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         6,
     )
-    n_true = exact.where(jac >= JACCARD_THRESHOLD).agg(
+    n_true = ex.where(jac >= JACCARD_THRESHOLD).agg(
         F.count("*").alias("n_true")
     )
     return (

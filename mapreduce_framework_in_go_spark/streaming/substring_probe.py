@@ -47,7 +47,6 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("n_tokens", T.LongType()),
         T.StructField("dup_tokens", T.LongType()),
         T.StructField("n_spans", T.LongType()),
-        T.StructField("dup_frac", T.DoubleType()),
     ]
 )
 
@@ -75,20 +74,22 @@ def _ledger(
     )
     spans = []
     for p in flagged:
-        # extend while windows still overlap or touch (gap <= W-1),
-        # matching the batch island rule — spans stay disjoint
-        if spans and p - spans[-1][1] <= SPAN_W - 1:
+        # extend while coverage stays contiguous (gap <= W: overlap or
+        # touch), matching the batch island rule — break only at a hole
+        if spans and p - spans[-1][1] <= SPAN_W:
             spans[-1][1] = p
         else:
             spans.append([p, p])
     dup_tokens = sum(e + SPAN_W - 1 - s + 1 for s, e in spans)
+    # dup_frac is NOT computed here: Python round() is half-to-even
+    # while the oracle (and Spark F.round) round half away from zero —
+    # the caller derives it JVM-side from the emitted integers.
     yield pd.DataFrame(
         {
             "doc_id": [key[0]],
             "n_tokens": [n_tokens],
             "dup_tokens": [dup_tokens],
             "n_spans": [len(spans)],
-            "dup_frac": [round(dup_tokens / n_tokens, 6)],
         }
     )
 
@@ -111,10 +112,15 @@ def substring_probe_stream(
     probed = grams.join(
         base_grams.withColumn("hit", F.lit(1)), "g", "left"
     ).select("doc_id", "n_tokens", "pos0", "hit")
-    return probed.groupBy("doc_id").applyInPandasWithState(
+    folded = probed.groupBy("doc_id").applyInPandasWithState(
         _ledger,
         outputStructType=LEDGER_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+    # JVM-side rounding (stateless projection on the stream): F.round
+    # matches the oracle's half-away-from-zero ties, Python's doesn't
+    return folded.withColumn(
+        "dup_frac", F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
     )

@@ -161,8 +161,8 @@ def test_spans_match_independent_python_model(spark):
             ]
             spans = []
             for p in flagged:
-                # merge while windows overlap or touch (gap <= W-1)
-                if spans and p - spans[-1][1] <= SPAN_W - 1:
+                # merge while coverage stays contiguous (gap <= W)
+                if spans and p - spans[-1][1] <= SPAN_W:
                     spans[-1][1] = p
                     spans[-1][2] += 1
                 else:
