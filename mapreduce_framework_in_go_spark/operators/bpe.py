@@ -302,3 +302,60 @@ def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
         )
     )
+
+
+@register(
+    "bpe_doc_compression",
+    oracle=f"""
+    WITH {_w0_cte()}, {_iter_ctes(BPE_MERGES)},
+    vocab AS (
+      SELECT word,
+             CAST(len(list_filter(string_split_regex(s, ' +'),
+                                  x -> x <> '')) AS BIGINT) AS n_syms,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM w{BPE_MERGES}
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS word
+      FROM documents
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.n_syms) AS BIGINT) AS n_symbols,
+           CAST(sum(v.n_chars) AS BIGINT) AS n_letter_chars,
+           round(sum(v.n_syms) * 1.0 / sum(v.n_chars), 6)
+             AS compression
+    FROM dtok d JOIN vocab v USING (word)
+    GROUP BY d.doc_id
+    """,
+    doc="Per-document BPE encoding cost under the learned merge table: "
+    "symbols emitted per letter character (1.0 = character-level, "
+    "lower = merges paying off) plus token/symbol/char counts — the "
+    "artifact that tells a tokenizer build whether its merges help on "
+    "each corpus slice. The vocab's per-word symbol counts ride the "
+    "memoized artifact table and reach the corpus as a broadcast join; "
+    "corpus-side work is one explode + one groupBy(doc).",
+    tags=["training_prep", "bpe"],
+)
+def bpe_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, w = _artifacts(spark, sf_dir)
+    vocab = w.select(
+        "word",
+        F.size(_syms_col()).cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    dtok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    return (
+        dtok.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum("n_chars").alias("n_letter_chars"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.sum("n_chars"), 6
+            ).alias("compression"),
+        )
+    )
