@@ -238,3 +238,24 @@ def test_overlapping_windows_merge_into_one_disjoint_span(spark):
     out = _spans(spark, texts)
     doc1 = {k: v for k, v in out.items() if k[0] == 1}
     assert doc1 == {(1, 1, 9): (9, 3)}  # ONE span, union 9 tokens, 3 grams
+
+
+def test_training_shuffle_is_balanced_permutation(spark, sf_dir):
+    """shuffle_pos must be a dense 1..N permutation and round-robin
+    sharding must balance shards to within one row."""
+    from mapreduce_framework_in_go_spark.operators.training_prep import (
+        SHUFFLE_SHARDS,
+    )
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    rows = all_queries()["training_shuffle_order"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n  # one position per doc
+    per_shard = {}
+    for r in rows:
+        assert r.shard == (r.shuffle_pos - 1) % SHUFFLE_SHARDS
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+    assert max(per_shard.values()) - min(per_shard.values()) <= 1
+    # and it is not the identity order (the hash actually permutes)
+    assert any(r.shuffle_pos != r.doc_id + 1 for r in rows)
