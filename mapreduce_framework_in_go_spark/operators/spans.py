@@ -332,3 +332,134 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("kept", " ")).alias("kept_md5"),
         )
     )
+
+
+# Boilerplate guard for the pairwise join: a gram occurring in K docs
+# yields K^2 occurrence pairs, so ultra-common grams (true boilerplate)
+# are excluded from PAIR ATTRIBUTION (the per-doc span queries above
+# still count them). 64 bounds the blowup at 64^2 rows per gram while
+# keeping every genuinely shared passage — the same move Lee et al.
+# make by ignoring ultra-frequent spans. The oracle applies the
+# identical cap, so parity is exact.
+LCS_DF_CAP = 64
+
+
+@register(
+    "dedup_span_lcs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS g
+      FROM toks, unnest(range(1, len(toks) - {SPAN_W - 2})) u(i)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    bounded AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g,
+               count(DISTINCT doc_id) OVER (PARTITION BY g) AS df
+        FROM grams
+      ) WHERE df BETWEEN 2 AND {LCS_DF_CAP}
+    ),
+    occ AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag, a.g
+      FROM bounded a JOIN bounded b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             sum(brk) OVER (PARTITION BY doc_a, doc_b, diag
+                            ORDER BY pos_a ROWS UNBOUNDED PRECEDING)
+               AS run_id, pos_a
+      FROM (
+        SELECT doc_a, doc_b, diag, pos_a,
+               CASE WHEN coalesce(pos_a - lag(pos_a) OVER (
+                            PARTITION BY doc_a, doc_b, diag
+                            ORDER BY pos_a), 2) > 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM (SELECT DISTINCT doc_a, doc_b, diag, pos_a FROM occ)
+      )
+    ),
+    run_lens AS (
+      SELECT doc_a, doc_b, CAST(count(*) + {SPAN_W - 1} AS BIGINT)
+               AS run_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id
+    )
+    SELECT o.doc_a, o.doc_b,
+           CAST(count(DISTINCT o.g) AS BIGINT) AS n_shared_grams,
+           max(r.lcs_tokens) AS lcs_tokens
+    FROM occ o
+    JOIN (SELECT doc_a, doc_b, max(run_tokens) AS lcs_tokens
+          FROM run_lens GROUP BY doc_a, doc_b) r
+      USING (doc_a, doc_b)
+    GROUP BY o.doc_a, o.doc_b
+    """,
+    doc="Pairwise longest common passage: for every document pair "
+    f"sharing a (non-boilerplate, df <= {LCS_DF_CAP}) {SPAN_W}-gram, "
+    "the length in tokens of their longest shared contiguous run — "
+    "computed relationally as diagonal islands (matching occurrences "
+    "with equal pos_a - pos_b merge while consecutive), never an "
+    "actual LCS dynamic program. The per-pair evidence a scrub "
+    "reviewer reads: n_shared_grams says how MUCH is shared, "
+    "lcs_tokens says how LONG the biggest block is. Pair fan-out is "
+    "bounded by duplicate volume with the df cap guarding the "
+    "boilerplate square.",
+    tags=["dedup", "spans"],
+)
+def dedup_span_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(tokens_col("text"), SPAN_W)).alias(
+            "pos0", "g"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    wg = Window.partitionBy("g")
+    bounded = grams.withColumn(
+        "df", F.size(F.collect_set("doc_id").over(wg))
+    ).where(F.col("df").between(2, LCS_DF_CAP))
+    a = bounded.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = bounded.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    occ = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"), "g",
+        )
+    )
+    dpos = occ.select("doc_a", "doc_b", "diag", "pos_a").distinct()
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = dpos.withColumn(
+        "brk",
+        F.when(
+            F.coalesce(F.col("pos_a") - F.lag("pos_a").over(wd), F.lit(2))
+            > 1,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    run_lens = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        (F.count("*") + F.lit(SPAN_W - 1)).cast("long").alias("run_tokens")
+    )
+    lcs = run_lens.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").alias("lcs_tokens")
+    )
+    shared = occ.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("g").alias("n_shared_grams")
+    )
+    return shared.join(lcs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_shared_grams", "lcs_tokens"
+    )

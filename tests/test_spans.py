@@ -259,3 +259,37 @@ def test_training_shuffle_is_balanced_permutation(spark, sf_dir):
     assert max(per_shard.values()) - min(per_shard.values()) <= 1
     # and it is not the identity order (the hash actually permutes)
     assert any(r.shuffle_pos != r.doc_id + 1 for r in rows)
+
+
+def test_span_lcs_finds_longest_shared_run(spark):
+    """The diagonal-island LCS must report the longest contiguous
+    shared token run per pair, not the total shared volume."""
+    from mapreduce_framework_in_go_spark.operators.spans import (
+        dedup_span_lcs,
+    )
+    from mapreduce_framework_in_go_spark.operators import spans as sp
+    from mapreduce_framework_in_go_spark.sources import tables
+
+    long_run = [f"l{c}" for c in "abcdefgh"]   # 8 tokens -> 4 grams
+    short_run = [f"s{c}" for c in "abcde"]     # 5 tokens -> 1 gram
+    texts = {
+        1: long_run + [f"x{c}" for c in "abcdef"] + short_run,
+        2: short_run + [f"y{c}" for c in "abcdef"] + long_run,
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()],
+        "doc_id long, text string",
+    )
+    orig = tables.table
+    try:
+        sp.table = lambda s_, sf, name: docs
+        rows = dedup_span_lcs(spark, "ignored").collect()
+    finally:
+        sp.table = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # shared grams: 4 from the long run + 1 from the short run
+    assert r.n_shared_grams == 5
+    # the LONGEST block is the 8-token run, not 8+5 total
+    assert r.lcs_tokens == len(long_run)
