@@ -418,10 +418,17 @@ def dedup_span_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos0", "g"
         ),
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
-    wg = Window.partitionBy("g")
-    bounded = grams.withColumn(
-        "df", F.size(F.collect_set("doc_id").over(wg))
-    ).where(F.col("df").between(2, LCS_DF_CAP))
+    # df per gram via two-phase aggregation (bounded-memory partial agg),
+    # never a window collect_set: a boilerplate gram occurring in millions
+    # of documents would otherwise materialize a multi-million-element set
+    # per occurrence row in the window buffer. Same pattern as text_tfidf.
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df").between(2, LCS_DF_CAP))
+        .select("g")
+    )
+    bounded = grams.join(df_ok, "g")
     a = bounded.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
     )

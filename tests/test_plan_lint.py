@@ -71,6 +71,24 @@ BATCH = sorted(
     name for name, s in SPECS.items() if "streaming" not in s.tags
 )
 
+# 3. **No set-state window aggregates** (collect_set / collect_list over
+#    a Window). A window buffer holding a per-row growing collection is
+#    unbounded state on a hot partition key (the dedup_span_lcs df
+#    regression: collect_set over PARTITION BY gram materialized a
+#    df-sized set per occurrence row; a billion-occurrence boilerplate
+#    gram = OOM). df-style counts belong in a two-phase
+#    groupBy().agg(count_distinct) + join-back. Whitelisted uses must
+#    have a bounded frame or a bounded partition by construction.
+WINDOW_COLLECT_RE = re.compile(r"collect_(?:set|list)\(.*windowspecdefinition")
+WINDOW_COLLECT_WHITELIST = {
+    "events_trailing_median": "RANGE 1h trailing frame — buffer bounded "
+                              "by a user's events per hour",
+    "kv_linearizability": "fixture constructor: prefix replay over a "
+                          "bounded synthetic per-key op log, not the "
+                          "checking dataflow",
+    "kv_linearizability_contract": "same fixture constructor",
+}
+
 
 @pytest.mark.parametrize("name", BATCH)
 def test_no_cartesian_and_bounded_scans(name, spark, sf_dir):
@@ -78,6 +96,12 @@ def test_no_cartesian_and_bounded_scans(name, spark, sf_dir):
     assert "CartesianProduct" not in plan, (
         f"{name}: non-broadcast cross join — quadratic shuffle at scale"
     )
+    if name not in WINDOW_COLLECT_WHITELIST:
+        assert not WINDOW_COLLECT_RE.search(plan), (
+            f"{name}: collect_set/collect_list over a Window — unbounded "
+            "window-buffer state on a hot key; aggregate two-phase "
+            "(groupBy + join back) or whitelist with a bounded-frame reason"
+        )
     scans = _count_scan_nodes(plan)
     cap, _why = SCAN_WHITELIST.get(name, (MAX_SCANS, ""))
     assert scans <= cap, (
