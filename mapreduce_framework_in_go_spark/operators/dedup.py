@@ -882,7 +882,6 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    n_e = e.count()
     for _ in range(max_rounds):
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -915,13 +914,31 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        # set equality via counts: |new| == |old| == |new U old|
-        n_small = small.count()
-        converged = (
-            n_small == n_e
-            and e.union(small).distinct().count() == n_e
+        # set equality in ONE action per round: tag-union both (distinct)
+        # edge sets, group by pair, and fold the three counts the check
+        # needs (|union|, |old|, |new|) in a single scalar probe. Equal
+        # sets <=> all three coincide. (Previously two corpus-scale
+        # actions: small.count() + e.union(small).distinct().count().)
+        tagged = e.select(
+            "u", "v", F.lit(1).alias("o"), F.lit(0).alias("n")
+        ).union(
+            small.select("u", "v", F.lit(0).alias("o"), F.lit(1).alias("n"))
         )
-        e, n_e = small, n_small
+        probe = (
+            tagged.groupBy("u", "v")
+            .agg(F.max("o").alias("o"), F.max("n").alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n_union"),
+                # coalesce: sum over an EMPTY edge set is NULL, and an
+                # empty set equals an empty set (the all-identical-docs
+                # corpus collapses to one rep with zero pair edges)
+                F.coalesce(F.sum("o"), F.lit(0)).alias("n_old"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_new"),
+            )
+            .first()
+        )
+        converged = probe.n_union == probe.n_old == probe.n_new
+        e = small
         if converged:
             break
     else:
