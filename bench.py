@@ -132,18 +132,43 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver captures only the TAIL of stdout (~2 KB): a full
+    # 75-query line overflows it and arrives head-truncated (unparseable,
+    # the BENCH_r04 parsed:null artifact). Persist the full record to
+    # BENCH_LOCAL.json, and keep the one stdout JSON line within the
+    # capture budget — full record if it fits, else a compact record
+    # carrying the totals + the slowest queries and a pointer to the file.
+    line = json.dumps(record)
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
+    TAIL_BUDGET = 1600
+    if len(line) > TAIL_BUDGET:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
         )
-    )
+        compact = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "slowest_queries": slowest,
+            "queries_file": "BENCH_LOCAL.json",
+            "runs_per_query": RUNS,
+            "sf": record["sf"],
+        }
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,84 @@
+"""Bench regression gate (VERDICT r4 ask #6).
+
+The plan lint (`test_plan_lint.py`) catches *shape* regressions; this
+gate catches *timing* regressions mechanically: every headline query's
+latest sf0.1 bench timing must stay within 2x its recorded minimum in
+`tests/bench_budget.json`. Intentional plan changes (or a new headline
+query) update the table in the same commit.
+
+The gate reads the newest `BENCH_LOCAL.json` artifact written by
+`bench.py` rather than re-running the bench inside pytest (the full
+suite is ~100 s at sf0.1 and the driver runs it per-round anyway). If
+the artifact is missing or was produced at a different SF, the timing
+check skips — the coverage checks below still run unconditionally so
+the table can never silently drift from `bench.HEADLINE`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET_PATH = os.path.join(REPO_ROOT, "tests", "bench_budget.json")
+LOCAL_PATH = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
+
+SLACK = 2.0  # a query regressing past 2x its recorded min fails the gate
+# Sub-second queries are dominated by fixed per-action overhead (job
+# scheduling, shuffle-file setup), where 2x is noise, not a plan change.
+ABS_FLOOR_SEC = 1.0
+
+
+def _budget() -> dict:
+    with open(BUDGET_PATH) as f:
+        return json.load(f)
+
+
+def test_budget_table_covers_headline_set() -> None:
+    """Every bench.HEADLINE query has a budget row, and vice versa."""
+    import bench
+
+    minima = _budget()["minima"]
+    headline = set(bench.HEADLINE)
+    assert set(minima) == headline, (
+        "bench_budget.json out of sync with bench.HEADLINE: "
+        f"missing={sorted(headline - set(minima))} "
+        f"stale={sorted(set(minima) - headline)} "
+        "— update tests/bench_budget.json in the same commit that "
+        "changes the headline set."
+    )
+
+
+def test_budget_minima_are_positive_numbers() -> None:
+    budget = _budget()
+    assert budget["sf"] == 0.1
+    for name, sec in budget["minima"].items():
+        assert isinstance(sec, (int, float)) and sec > 0, name
+
+
+def test_latest_bench_run_within_budget() -> None:
+    if not os.path.exists(LOCAL_PATH):
+        pytest.skip("no BENCH_LOCAL.json artifact (bench not run here)")
+    with open(LOCAL_PATH) as f:
+        latest = json.load(f)
+    budget = _budget()
+    if latest.get("sf") != budget["sf"]:
+        pytest.skip(
+            f"latest bench ran at sf{latest.get('sf')}, budgets are sf{budget['sf']}"
+        )
+    minima = budget["minima"]
+    over = {}
+    for name, sec in latest["queries"].items():
+        if name not in minima:
+            continue  # new query: covered by the sync test after table update
+        cap = max(SLACK * minima[name], ABS_FLOOR_SEC)
+        if sec > cap:
+            over[name] = (sec, round(cap, 3))
+    assert not over, (
+        f"headline queries regressed past {SLACK}x their recorded sf0.1 "
+        f"minima (query: (latest_sec, cap_sec)): {over} — if the plan "
+        "change is intentional, refresh tests/bench_budget.json in the "
+        "same commit."
+    )
