@@ -71,6 +71,7 @@ HEADLINE = [
     "kmv_overlap_events",
     "zorder_layout",
     "ann_pq",
+    "ann_ivfpq",
     "compact_plan",
     "lm_kn_bigrams",
     "doc_perplexity",

@@ -1,0 +1,467 @@
+"""IVFADC: trained IVF cells over PQ-encoded residuals — the composed
+index the two existing halves imply (VERDICT r4 ask #4).
+
+operators/similarity.py prunes WHICH vectors a query scores (trained
+Lloyd cells, nprobe probing); operators/pq.py shrinks WHAT is stored
+per vector (subspace codes + ADC lookup tables). IVFADC composes them
+the way Jegou et al.'s original PQ paper does: each vector is stored as
+(cell_id, residual codes) where the residual r = v - centroid(cell) is
+what gets quantized — residuals are much smaller in magnitude than raw
+vectors, so the same code budget quantizes them far more accurately —
+and a query scores only the members of its nprobe probed cells:
+
+    q . v  ~=  q . c(cell)  +  sum_m  dp(q_m, codeword(code_m))
+
+The q.c term is one integer dot product per (query, probed cell); the
+residual term is the standard ADC table lookup. The stored corpus is
+never touched at query time.
+
+Everything is EXACT INTEGER dataflow (the pq.py discipline): vectors
+and trained centroids are fixed-pointed once (round(x * 1e6) BIGINT),
+residuals are BIGINT differences, code assignment minimizes integer
+squared L2 with (dist, seed_id) tie-breaks, and scores are integer
+sums at one shared scale (1e12) — no float fold order anywhere, so the
+DuckDB oracle replays encoding, probing, and ranking bitwise.
+
+Scale shape (the 100 TB story): the trained-centroid table (~sqrt(N)
+rows, memoized per dataset — the same build-once index ann_ivf_trained
+searches) and the residual codebook (~sqrt(N) x M subvectors) are
+broadcasts; cell assignment and residual encoding are map-side against
+them; the scoring join is candidate-restricted (probed cells only,
+~nprobe/sqrt(N) of the corpus) and shuffles (query, candidate, m)
+integer partials, never vectors. Index memory per vector is M codes +
+one cell id (~8 B at M=4) versus 256 B of floats — the compression
+that lets a billion-vector index fit executor memory, now with cell
+pruning on top so query cost is also sublinear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+from .pq import PQ_M, PQ_TOP_K, _codes, _explode_subs, _fixed, _isum
+from .similarity import (
+    LLOYD_ITERS,
+    QUERY_MOD,
+    _STRUCTURED_SQL,
+    _emb,
+    _lloyd_ctes,
+    _nearest_cells,
+    _structured_emb,
+    _trained_centroids,
+    _with_nearest_cell,
+)
+
+IVFPQ_NPROBE = 4  # probed cells per query (recall_structured tunes this)
+
+# Per-module one-generation cache (per-slot rule, CLAUDE.md): this
+# module persists its own intermediates here and NEVER evicts
+# similarity.py's generation — a driver interleaving ann_ivf_trained
+# and ann_ivfpq frame builds must not have one unpersist the other's
+# in-flight training intermediates.
+_IVFPQ_GENERATION: list[DataFrame] = []
+
+
+def _evict_previous_generation() -> None:
+    while _IVFPQ_GENERATION:
+        try:
+            _IVFPQ_GENERATION.pop().unpersist()
+        except Exception:
+            pass
+
+
+_S = 1_000_000  # fixed-point scale (pq.PQ_SCALE; spelled out for SQL)
+_CMOD = "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+
+def _cmod_frame(emb: DataFrame) -> DataFrame:
+    return emb.agg(
+        F.greatest(F.lit(1), F.floor(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("cmod")
+    )
+
+
+def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id, rank, score_scaled): IVFADC top-k over an
+    (vec_id, embedding, vn) corpus frame.
+
+    ``cache_key`` keys the memoized trained-centroid index (shared with
+    ann_ivf_trained / ann_ivf_recall_structured for the same corpus, so
+    one Lloyd run serves both index families in a session).
+    """
+    cent = _trained_centroids(emb, cache_key=cache_key)
+    # integer centroids at the vector fixed-point scale: residuals and
+    # the q.c term stay in one shared integer domain
+    centi = cent.select("cell_id", "ce", "cn", _fixed(F.col("ce")).alias("ci"))
+
+    # cell assignment (map-only HOF argmax) + integer residuals r = v - ci
+    asg = _with_nearest_cell(emb, cent)
+    resid = (
+        asg.join(F.broadcast(centi.select("cell_id", "ci")), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with(
+                _fixed(F.col("embedding")), F.col("ci"), lambda a, b: a - b
+            ).alias("v"),
+        )
+        .persist()
+    )
+    _IVFPQ_GENERATION.append(resid)
+
+    # residual codebook: the deterministic ~sqrt(N) seed sample's
+    # residual subvectors — same codeword count as ann_pq (equal code
+    # budget), but codewords live in the (small-magnitude) residual
+    # domain, which is what makes IVFADC more accurate per bit.
+    # cmod sizes off the persisted residual frame (same row count as
+    # the corpus) so the modulus costs no extra corpus scan.
+    cb = _explode_subs(
+        resid.crossJoin(F.broadcast(_cmod_frame(resid)))
+        .where(F.col("vec_id") % F.col("cmod") == 0)
+        .select(F.col("vec_id").alias("seed_id"), "v"),
+        "seed_id",
+        "v",
+    ).withColumnRenamed("sub", "ssub")
+
+    codes = _codes(resid.select("vec_id", "v"), cb)
+
+    # query side: probes, ADC lookup table, and the q.c cell offsets —
+    # all derived from ONE persisted query slice (N/QUERY_MOD rows) so
+    # the corpus parquet is not re-scanned per consumer
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).persist()
+    _IVFPQ_GENERATION.append(q)
+    probes = _nearest_cells(
+        q.select(F.col("vec_id").alias("query_id"), "embedding", "vn"),
+        cent,
+        "query_id",
+        nprobe,
+    )
+    qfixed = q.select(
+        F.col("vec_id").alias("query_id"), _fixed(F.col("embedding")).alias("v")
+    )
+    q_sub = _explode_subs(qfixed.withColumnRenamed("v", "_qv"), "query_id", "_qv")
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("seed_id").alias("code"),
+        _isum(F.zip_with(F.col("sub"), F.col("ssub"), lambda a, b: a * b)).alias(
+            "dp"
+        ),
+    )
+    qc = (
+        probes.join(F.broadcast(centi.select("cell_id", "ci")), "cell_id")
+        .join(F.broadcast(qfixed), "query_id")
+        .select(
+            "query_id",
+            "cell_id",
+            _isum(F.zip_with(F.col("v"), F.col("ci"), lambda a, b: a * b)).alias(
+                "qcdp"
+            ),
+        )
+    )
+
+    # candidate-restricted ADC scoring: probed cells' members only;
+    # qcdp is constant per (query, candidate) — max() is its exact,
+    # order-free extraction
+    members = resid.select("vec_id", "cell_id")
+    scored = (
+        qc.join(members, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.max("qcdp") + F.sum("dp")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("score").cast("long").alias("score_scaled"),
+        )
+    )
+
+
+def _ivfpq_sql(src: str, nprobe: int) -> str:
+    """CTE chain ending at ``ivfpq_top(query_id, neighbor_id, rank,
+    score_scaled)`` over corpus relation ``src``; expects the Lloyd
+    chain cent{LLOYD_ITERS} already defined."""
+    return f"""centi AS (
+      SELECT cell_id, ce,
+             list_transform(ce, x -> CAST(round(x * {_S}) AS BIGINT)) AS ci
+      FROM cent{LLOYD_ITERS}
+    ),
+    fixedv AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_S}) AS BIGINT)) AS v,
+             len(embedding) AS dim
+      FROM {src}
+    ),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM {src} v, centi c
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT f.vec_id, f.dim, a.cell_id,
+             list_transform(list_zip(f.v, c.ci), p -> p[1] - p[2]) AS r
+      FROM fixedv f JOIN asg a USING (vec_id) JOIN centi c USING (cell_id)
+    ),
+    rsubs AS (
+      SELECT vec_id, m,
+             r[m * (dim // {PQ_M}) + 1 : (m + 1) * (dim // {PQ_M})] AS sub
+      FROM resid, unnest(generate_series(0, {PQ_M} - 1)) AS u(m)
+    ),
+    cb AS (
+      SELECT vec_id AS seed_id, m, sub AS csub FROM rsubs
+      WHERE vec_id % {_CMOD} = 0
+    ),
+    rcodes AS (
+      SELECT vec_id, m, seed_id AS code FROM (
+        SELECT r.vec_id, r.m, c.seed_id,
+               row_number() OVER (PARTITION BY r.vec_id, r.m
+                 ORDER BY list_sum(list_transform(list_zip(r.sub, c.csub),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.seed_id) AS rn
+        FROM rsubs r JOIN cb c USING (m)
+      ) WHERE rn = 1
+    ),
+    prb AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM {src} q, centi c WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rn <= {nprobe}
+    ),
+    qsubs AS (
+      SELECT vec_id AS query_id, m,
+             v[m * (dim // {PQ_M}) + 1 : (m + 1) * (dim // {PQ_M})] AS qsub
+      FROM fixedv, unnest(generate_series(0, {PQ_M} - 1)) AS u(m)
+      WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    rlut AS (
+      SELECT q.query_id, q.m, c.seed_id,
+             list_sum(list_transform(list_zip(q.qsub, c.csub),
+                      p -> p[1] * p[2])) AS dp
+      FROM qsubs q JOIN cb c USING (m)
+    ),
+    qcell AS (
+      SELECT p.query_id, p.cell_id,
+             list_sum(list_transform(list_zip(f.v, c.ci),
+                      p2 -> p2[1] * p2[2])) AS qcdp
+      FROM prb p
+      JOIN centi c USING (cell_id)
+      JOIN fixedv f ON f.vec_id = p.query_id
+    ),
+    ivfpq_top AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+               AS BIGINT) AS rank,
+             CAST(score AS BIGINT) AS score_scaled
+      FROM (
+        SELECT qc.query_id, cd.vec_id AS neighbor_id,
+               max(qc.qcdp) + sum(l.dp) AS score
+        FROM qcell qc
+        JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.query_id
+        JOIN rcodes cd ON cd.vec_id = a.vec_id
+        JOIN rlut l ON l.query_id = qc.query_id AND l.m = cd.m
+                   AND l.seed_id = cd.code
+        GROUP BY 1, 2
+      ) QUALIFY rank <= {PQ_TOP_K}
+    )"""
+
+
+@register(
+    "ann_ivfpq",
+    oracle=f"""
+    WITH {_lloyd_ctes(LLOYD_ITERS)},
+    {_ivfpq_sql("embeddings", IVFPQ_NPROBE)}
+    SELECT query_id, neighbor_id, rank, score_scaled FROM ivfpq_top
+    """,
+    doc=f"IVFADC approximate top-{PQ_TOP_K} by inner product: "
+    f"{LLOYD_ITERS}-round Lloyd-trained IVF cells, per-vector residual "
+    f"(v - centroid) encoded as {PQ_M} nearest-codeword codes, queries "
+    f"scored over their {IVFPQ_NPROBE} probed cells only as q.c + the "
+    "ADC residual lookup — all-integer dataflow at one shared scale, "
+    "oracle replays training, encoding, probing, and ranking bitwise. "
+    "See module doc for the 100 TB memory + sublinear-query story.",
+    tags=["similarity", "pq"],
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    return _ivfpq_topk(_emb(spark, sf_dir), cache_key=sf_dir, nprobe=IVFPQ_NPROBE)
+
+
+@register(
+    "ann_ivfpq_recall",
+    oracle=f"""
+    WITH {_STRUCTURED_SQL},
+    {_lloyd_ctes(LLOYD_ITERS, src="structured")},
+    {_ivfpq_sql("structured", IVFPQ_NPROBE)},
+    subs AS (
+      SELECT vec_id, m,
+             v[m * (dim // {PQ_M}) + 1 : (m + 1) * (dim // {PQ_M})] AS sub
+      FROM fixedv, unnest(generate_series(0, {PQ_M} - 1)) AS u(m)
+    ),
+    pseeds AS (
+      SELECT vec_id AS seed_id, m, sub AS ssub FROM subs
+      WHERE vec_id % {_CMOD} = 0
+    ),
+    pcodes AS (
+      SELECT vec_id, m, seed_id AS code FROM (
+        SELECT s.vec_id, s.m, d.seed_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(list_zip(s.sub, d.ssub),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))), d.seed_id) AS rn
+        FROM subs s JOIN pseeds d USING (m)
+      ) WHERE rn = 1
+    ),
+    plut AS (
+      SELECT q.vec_id AS query_id, q.m, d.seed_id,
+             list_sum(list_transform(list_zip(q.sub, d.ssub),
+                      p -> p[1] * p[2])) AS dp
+      FROM subs q JOIN pseeds d USING (m)
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    pq_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY l.query_id
+                 ORDER BY sum(l.dp) DESC, c.vec_id) AS rank
+        FROM pcodes c JOIN plut l ON l.m = c.m AND l.seed_id = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+      ) WHERE rank <= {PQ_TOP_K}
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(q.v, n.v),
+                                   p -> p[1] * p[2])) DESC, n.vec_id) AS rank
+        FROM fixedv q JOIN fixedv n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rank <= {PQ_TOP_K}
+    ),
+    nq AS (SELECT count(*) AS total FROM exact_top),
+    hp AS (SELECT count(*) AS h FROM exact_top JOIN pq_top USING (query_id, neighbor_id)),
+    hi AS (SELECT count(*) AS h FROM exact_top
+           JOIN (SELECT query_id, neighbor_id FROM ivfpq_top) i
+           USING (query_id, neighbor_id))
+    SELECT 'pq' AS variant, CAST({PQ_TOP_K} AS BIGINT) AS k,
+           round(h::DOUBLE / total, 6) AS recall_at_k
+    FROM hp, nq
+    UNION ALL
+    SELECT 'ivfpq' AS variant, CAST({PQ_TOP_K} AS BIGINT) AS k,
+           round(h::DOUBLE / total, 6) AS recall_at_k
+    FROM hi, nq
+    """,
+    doc=f"Recall@{PQ_TOP_K} of flat PQ vs IVFADC at EQUAL code budget "
+    f"({PQ_M} codes/vector, ~sqrt(N) codewords) against the exact "
+    "integer-inner-product top-k, on the label-blended structured "
+    "corpus — the fixture with genuine cluster structure where index "
+    "quality differences are measurable (the raw near-orthogonal "
+    "synthetic corpus scrambles any cell assignment; precedent: "
+    "ann_ivf_recall_structured). Residual quantization is strictly "
+    "more accurate per bit, so ivfpq >= pq here (asserted in "
+    "tests/test_components.py). Hits are integer join counts; both "
+    "numbers reproduce bitwise in the oracle.",
+    tags=["similarity", "pq"],
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    emb = _structured_emb(spark, sf_dir).persist()
+    _IVFPQ_GENERATION.append(emb)
+    fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
+    _IVFPQ_GENERATION.append(fixed)
+
+    ivfpq_top = _ivfpq_topk(
+        emb, cache_key=f"structured:{sf_dir}", nprobe=IVFPQ_NPROBE
+    ).select("query_id", "neighbor_id")
+
+    # flat-PQ baseline over the SAME corpus (pq.py's chain via its own
+    # helpers — raw vectors, same seed rule, same code budget)
+    cb = _explode_subs(
+        fixed.crossJoin(F.broadcast(_cmod_frame(emb)))
+        .where(F.col("vec_id") % F.col("cmod") == 0)
+        .select(F.col("vec_id").alias("seed_id"), "v"),
+        "seed_id",
+        "v",
+    ).withColumnRenamed("sub", "ssub")
+    pcodes = _codes(fixed, cb)
+    q_sub = _explode_subs(
+        fixed.where(F.col("vec_id") % QUERY_MOD == 0).withColumnRenamed(
+            "vec_id", "query_id"
+        ),
+        "query_id",
+        "v",
+    )
+    plut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("seed_id").alias("code"),
+        _isum(F.zip_with(F.col("sub"), F.col("ssub"), lambda a, b: a * b)).alias(
+            "dp"
+        ),
+    )
+    wpq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    pq_top = (
+        pcodes.join(F.broadcast(plut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dp").alias("score"))
+        .withColumn("rank", F.row_number().over(wpq))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact integer-inner-product ground truth (broadcast query side —
+    # the ann_pq_recall precedent; |Q| = N/QUERY_MOD stays bounded)
+    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
+    wex = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), "neighbor_id")
+    exact_top = (
+        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp"))
+        .withColumn("rank", F.row_number().over(wex))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    _IVFPQ_GENERATION.append(exact_top)
+
+    nq = exact_top.agg(F.count("*").alias("total"))
+
+    def recall_row(variant: str, top: DataFrame) -> DataFrame:
+        hits = exact_top.join(
+            top, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").alias("h"))
+        return hits.crossJoin(F.broadcast(nq)).select(
+            F.lit(variant).alias("variant"),
+            F.lit(PQ_TOP_K).cast("long").alias("k"),
+            F.round(F.col("h").cast("double") / F.col("total"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+
+    return recall_row("pq", pq_top).union(recall_row("ivfpq", ivfpq_top))

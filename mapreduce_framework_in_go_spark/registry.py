@@ -79,6 +79,7 @@ def load_all_operators() -> None:
         entity,
         frequency,
         graph,
+        ivfpq,
         ivm,
         kv,
         langmodel,

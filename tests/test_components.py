@@ -261,6 +261,26 @@ def test_trained_ivf_strictly_beats_sample_on_structured_corpus(spark):
     assert rows["sample"] > 0.3  # the index is usable even untrained
 
 
+def test_ivfpq_beats_flat_pq_at_equal_code_budget(spark):
+    """IVFADC composes trained cells with residual PQ codes; at EQUAL
+    code budget (same M, same codeword count) residual quantization
+    must be more accurate than flat PQ on the structured corpus —
+    measured at sf0.01: 0.48 vs 0.38. The production top-k must also be
+    a dense per-query rank prefix."""
+    rows = {
+        r.variant: r.recall_at_k
+        for r in SPECS["ann_ivfpq_recall"].fn(spark, SF_DIR_T2).collect()
+    }
+    assert rows["ivfpq"] >= rows["pq"], rows
+    assert rows["ivfpq"] > 0.4, rows  # the composed index is usable
+    per_q: dict[int, list[int]] = {}
+    for r in SPECS["ann_ivfpq"].fn(spark, SF_DIR_T2).collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert per_q
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
 def test_positional_filter_lossless_and_pruning(spark):
     """PPJoin positional filter: must change NOTHING about which pairs
     verify (lossless), while strictly shrinking the candidate set that
