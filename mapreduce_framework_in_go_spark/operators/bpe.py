@@ -108,6 +108,11 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         "merge_rank long, l string, r string, merged string, pair_freq long",
     )
     w = w.persist()  # final artifact: outside generation eviction
+    # Materialize NOW: w's lineage roots at w0 inside the evictable
+    # generation cache — a later merge_chain_from call (another sf_dir,
+    # or a direct call) evicts w0, and an unmaterialized memo would then
+    # recompute the whole corpus chain on its next consumer action.
+    w.count()
     for old_key in [k for k in _ARTIFACT_CACHE if k[0] != key[0]]:
         for df in _ARTIFACT_CACHE.pop(old_key):
             try:

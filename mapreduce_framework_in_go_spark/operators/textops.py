@@ -49,6 +49,22 @@ RK_BASE = 1_000_003
 RK_MOD = 2_147_483_647
 
 
+# One-generation cache for the winnow pair family's shingle frame —
+# its OWN slot (not dedup._CACHE_GENERATION): a driver may build a
+# dedup frame and a winnow frame before collecting either, and a shared
+# slot would let each build unpersist the other's in-flight frame
+# (per-slot rule, see relational._RANK_CACHE).
+_WINNOW_GENERATION: list[DataFrame] = []
+
+
+def _evict_winnow_generation() -> None:
+    while _WINNOW_GENERATION:
+        try:
+            _WINNOW_GENERATION.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _stop_hits(tokens: Column, words: list[str]) -> Column:
     """Number of tokens (with multiplicity) in a stopword list."""
     arr = F.array(*[F.lit(w) for w in words])
@@ -588,11 +604,12 @@ def _winnow_pair_frames(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(cand, pairs, sh): the pre-verify candidate set, the verified
     pair frame, and the persisted shingle frame they ride — ONE
-    generation (evicting the module's previous one first, like every
-    other _CACHE_GENERATION site), shared by the pair query and the
-    recall metric so the exact path reuses the same shingles."""
-    from .dedup import _CACHE_GENERATION as _DEDUP_GEN
-    from .dedup import _evict_previous_generation, _shingle_rows
+    generation in the winnow family's OWN slot (per-slot cache rule:
+    sharing dedup's slot would let a driver that builds a dedup frame
+    and a winnow frame before collecting either unpersist the other's
+    in-flight shingle frame), shared by the pair query and the recall
+    metric so the exact path reuses the same shingles."""
+    from .dedup import _shingle_rows
 
     docs = table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs)
@@ -604,9 +621,9 @@ def _winnow_pair_frames(
         .agg(F.count_distinct("fp_hash").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= MIN_SHARED_FP)
     )
-    _evict_previous_generation()
+    _evict_winnow_generation()
     sh = _shingle_rows(spark, sf_dir).persist()
-    _DEDUP_GEN.append(sh)
+    _WINNOW_GENERATION.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")

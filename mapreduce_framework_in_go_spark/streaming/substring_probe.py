@@ -66,6 +66,19 @@ def base_gram_set(base_docs: DataFrame) -> DataFrame:
 def _ledger(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state
 ) -> Iterator[pd.DataFrame]:
+    # Contract: a delta doc's gram rows arrive in exactly ONE microbatch
+    # (they all derive from one input row via explode). The ledger fold
+    # below is only correct under that assumption — a doc split across
+    # microbatches would silently emit two partial ledgers in update
+    # mode — so assert it: mark the group done and fail loudly if the
+    # same doc ever fires twice.
+    if state.exists:
+        raise RuntimeError(
+            f"substring_probe: doc {key[0]!r} arrived in a second "
+            "microbatch; the single-batch-per-doc source contract is "
+            "violated and the ledger would be partial"
+        )
+    state.update((1,))
     chunks = list(pdf_iter)
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
     n_tokens = int(pdf["n_tokens"].iloc[0])

@@ -11,6 +11,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute scale-stress tests (deselect with -m 'not slow')",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from mapreduce_framework_in_go_spark.session import get_spark

@@ -1,0 +1,191 @@
+"""Scale-stress: flagship dedup paths on a ~11x salted sf0.1 corpus.
+
+SCALE.md's 100x claims ride three properties: exact-collapse caps
+identical-text skew BEFORE any sketch; candidate generation is bucketed
+(LSH bands, gram partitions) so no stage touches the quadratic pair
+space; and per-partition state stays constant even when one gram/digest
+is mega-hot. This module is the first empirical datapoint beyond
+sf0.1: a 55,500-doc corpus — 10 exact salted copies of every sf0.1
+document (a 10-wide identical-text crowd per doc, the skew adversary)
+plus a planted near-dup variant for every 10th — and asserts each
+flagship path completes inside a wall-clock budget AND preserves its
+semantic invariants:
+
+- dedup_clusters_lsh: every copy crowd lands in ONE cluster (expansion
+  through exact-collapse), planted variants join their base's cluster
+  through the MinHash bands (recall >= 95%).
+- dedup_substring_scrub: every later copy is scrubbed to zero kept
+  tokens (its every window occurs in the earlier original).
+- dedup_span_lcs: identical (base, copy) pairs report the full
+  document as their longest shared run.
+
+Marked ``slow`` (~2-4 min on local[8]); skipped when sf0.1 testdata is
+absent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_in_go_spark.functions.text import tokens_col
+from mapreduce_framework_in_go_spark.operators.dedup import dedup_clusters_lsh
+from mapreduce_framework_in_go_spark.operators.spans import (
+    SPAN_W,
+    dedup_span_lcs,
+    dedup_substring_scrub,
+)
+
+pytestmark = pytest.mark.slow
+
+SF01 = "/root/testdata/sf0.1"
+COPIES = 10
+COPY_STRIDE = 10_000_000  # copy k of doc d gets doc_id d + k*STRIDE
+VARIANT_BASE = 100_000_000  # near-dup variant of doc d: d + VARIANT_BASE
+# Per-path wall budget: generous on a loaded CI box, still a hard stop
+# for the quadratic blowups this suite exists to catch.
+WALL_BUDGET_S = 240.0
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, tmp_path_factory):
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 testdata not present")
+    out = str(tmp_path_factory.mktemp("scale") / "big")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    cols = ["lang", "source", "n_chars"]
+    frames = [
+        docs.select(
+            (F.col("doc_id") + k * COPY_STRIDE).alias("doc_id"), "text", *cols
+        )
+        for k in range(COPIES)
+    ]
+    # One unseen trailing token: 3-gram shingle Jaccard ~ (n-2)/(n-1)
+    # ~= 0.98 against the base doc — above the 0.7 verify threshold and
+    # detected by a 4x4 band scheme with p ~ 1 - (1 - 0.98^4)^4 > 0.9999.
+    frames.append(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + VARIANT_BASE).alias("doc_id"),
+            F.concat("text", F.lit(" zqxv")).alias("text"),
+            *cols,
+        )
+    )
+    corpus = frames[0]
+    for fr in frames[1:]:
+        corpus = corpus.unionByName(fr)
+    corpus.repartition(8).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def _timed(frame_builder):
+    t0 = time.monotonic()
+    result = frame_builder()
+    elapsed = time.monotonic() - t0
+    assert elapsed < WALL_BUDGET_S, f"blew the wall budget: {elapsed:.0f}s"
+    return result
+
+
+def test_clusters_lsh_copies_coclustered(spark, big_dir):
+    rows = dedup_clusters_lsh(spark, big_dir).persist()
+    try:
+        agg = _timed(
+            lambda: rows.agg(
+                F.sum((F.col("doc_id") < VARIANT_BASE).cast("long")).alias(
+                    "n_copies"
+                ),
+                F.min("cluster_size").alias("min_size"),
+            ).first()
+        )
+        # Every one of the 50k exact-copy docs is clustered (its crowd
+        # is >= 10 wide), and no cluster is smaller than one crowd.
+        assert agg["n_copies"] == COPIES * 5000
+        assert agg["min_size"] >= COPIES
+        # Exact copies of one base doc NEVER split across clusters —
+        # the expand-through-digest join, under 10x skew.
+        split = (
+            rows.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("base"))
+            .agg(F.count_distinct("cluster_rep").alias("n_labels"))
+            .where(F.col("n_labels") > 1)
+            .count()
+        )
+        assert split == 0
+        # Planted variants reach their base's cluster through the bands.
+        base_label = rows.where(F.col("doc_id") < COPY_STRIDE).select(
+            F.col("doc_id").alias("base"),
+            F.col("cluster_rep").alias("base_rep"),
+        )
+        n_variants = 500
+        n_joined = (
+            rows.where(F.col("doc_id") >= VARIANT_BASE)
+            .select((F.col("doc_id") - VARIANT_BASE).alias("base"), "cluster_rep")
+            .join(base_label, "base")
+            .where(F.col("cluster_rep") == F.col("base_rep"))
+            .count()
+        )
+        assert n_joined >= 0.95 * n_variants
+    finally:
+        rows.unpersist()
+
+
+def test_substring_scrub_copies_fully_scrubbed(spark, big_dir):
+    res = dedup_substring_scrub(spark, big_dir).persist()
+    try:
+        agg = _timed(
+            lambda: res.where(
+                F.col("doc_id").between(COPY_STRIDE, VARIANT_BASE - 1)
+                & (F.col("n_tokens") >= SPAN_W)
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("kept_tokens") != 0).cast("long")).alias("n_kept"),
+            ).first()
+        )
+        # Every window of a later copy occurs in the earlier original,
+        # so keep-earliest scrubs the copy to nothing.
+        assert agg["n"] >= 9 * 4500
+        assert agg["n_kept"] == 0
+        # Global ledger arithmetic holds for every doc.
+        bad = res.where(
+            F.col("kept_tokens") + F.col("removed_tokens") != F.col("n_tokens")
+        ).count()
+        assert bad == 0
+    finally:
+        res.unpersist()
+
+
+def test_span_lcs_identical_pairs_full_run(spark, big_dir):
+    res = dedup_span_lcs(spark, big_dir).persist()
+    try:
+        ntok = (
+            spark.read.parquet(f"{big_dir}/documents.parquet")
+            .where(F.col("doc_id") < COPY_STRIDE)
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+            )
+        )
+        pairs = res.where(
+            (F.col("doc_a") < COPY_STRIDE)
+            & (F.col("doc_b") == F.col("doc_a") + COPY_STRIDE)
+        ).join(ntok, "doc_a")
+        agg = _timed(
+            lambda: pairs.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("lcs_tokens") == F.col("n_tokens")).cast("long")
+                ).alias("n_full"),
+                F.min("lcs_tokens").alias("min_lcs"),
+            ).first()
+        )
+        # An identical (base, copy) pair is one unbroken diagonal run
+        # spanning the whole document; a handful of docs may lose a
+        # gram to the df cap when they collide with a planted-near-dup
+        # family, hence >= 99% rather than all.
+        assert agg["n"] >= 4500
+        assert agg["n_full"] >= 0.99 * agg["n"]
+        assert agg["min_lcs"] >= SPAN_W
+    finally:
+        res.unpersist()
