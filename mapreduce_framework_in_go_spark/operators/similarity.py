@@ -525,6 +525,12 @@ def _trained_centroids(emb: DataFrame, cache_key: str | None = None) -> DataFram
         # with the context) — one live entry per (session, dataset), so
         # alternating between datasets never retrains
         _CACHE_GENERATION.remove(cent)
+        # materialize NOW: cent's lineage roots at the per-round cents
+        # still inside the evictable generation — a later invocation
+        # would evict them before an unmaterialized memo ever ran,
+        # forcing a full retrain on its next consumer action (the
+        # bpe._artifacts lesson)
+        cent.count()
         for old_key in list(_TRAINED_CACHE):
             if old_key[0] != key[0]:
                 try:
