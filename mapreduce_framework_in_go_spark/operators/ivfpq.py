@@ -225,10 +225,12 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
     )
 
 
-def _ivfpq_sql(src: str, nprobe: int) -> str:
-    """CTE chain ending at ``ivfpq_top(query_id, neighbor_id, rank,
-    score_scaled)`` over corpus relation ``src``; expects the Lloyd
-    chain cent{LLOYD_ITERS} already defined."""
+def _ivfpq_index_sql(src: str) -> str:
+    """The stored-index CTE chain — centi, fixedv, asg, resid, rsubs,
+    cb, rcodes, qsubs, rlut — over corpus relation ``src``; expects the
+    Lloyd chain cent{LLOYD_ITERS} already defined. Search chains
+    (``_ivfpq_search_sql``) compose on top, so a probe sweep shares ONE
+    index build exactly like the Spark side's memoized artifacts."""
     return f"""centi AS (
       SELECT cell_id, ce,
              list_transform(ce, x -> CAST(round(x * {_S}) AS BIGINT)) AS ci
@@ -273,15 +275,6 @@ def _ivfpq_sql(src: str, nprobe: int) -> str:
         FROM rsubs r JOIN cb c USING (m)
       ) WHERE rn = 1
     ),
-    prb AS (
-      SELECT query_id, cell_id FROM (
-        SELECT q.vec_id AS query_id, c.cell_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce), 6) DESC,
-                          c.cell_id) AS rn
-        FROM {src} q, centi c WHERE q.vec_id % {QUERY_MOD} = 0
-      ) WHERE rn <= {nprobe}
-    ),
     qsubs AS (
       SELECT vec_id AS query_id, m,
              v[m * (dim // {PQ_M}) + 1 : (m + 1) * (dim // {PQ_M})] AS qsub
@@ -293,16 +286,31 @@ def _ivfpq_sql(src: str, nprobe: int) -> str:
              list_sum(list_transform(list_zip(q.qsub, c.csub),
                       p -> p[1] * p[2])) AS dp
       FROM qsubs q JOIN cb c USING (m)
+    )"""
+
+
+def _ivfpq_search_sql(src: str, nprobe: int, tag: str = "") -> str:
+    """A probe-and-score chain — prb{tag}, qcell{tag}, ivfpq_top{tag} —
+    over the index CTEs of ``_ivfpq_index_sql``. ``tag`` suffixes the
+    CTE names so a sweep can lay several searches side by side."""
+    return f"""prb{tag} AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM {src} q, centi c WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rn <= {nprobe}
     ),
-    qcell AS (
+    qcell{tag} AS (
       SELECT p.query_id, p.cell_id,
              list_sum(list_transform(list_zip(f.v, c.ci),
                       p2 -> p2[1] * p2[2])) AS qcdp
-      FROM prb p
+      FROM prb{tag} p
       JOIN centi c USING (cell_id)
       JOIN fixedv f ON f.vec_id = p.query_id
     ),
-    ivfpq_top AS (
+    ivfpq_top{tag} AS (
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY score DESC, neighbor_id)
@@ -311,7 +319,7 @@ def _ivfpq_sql(src: str, nprobe: int) -> str:
       FROM (
         SELECT qc.query_id, cd.vec_id AS neighbor_id,
                max(qc.qcdp) + sum(l.dp) AS score
-        FROM qcell qc
+        FROM qcell{tag} qc
         JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> qc.query_id
         JOIN rcodes cd ON cd.vec_id = a.vec_id
         JOIN rlut l ON l.query_id = qc.query_id AND l.m = cd.m
@@ -319,6 +327,13 @@ def _ivfpq_sql(src: str, nprobe: int) -> str:
         GROUP BY 1, 2
       ) QUALIFY rank <= {PQ_TOP_K}
     )"""
+
+
+def _ivfpq_sql(src: str, nprobe: int) -> str:
+    """CTE chain ending at ``ivfpq_top(query_id, neighbor_id, rank,
+    score_scaled)`` over corpus relation ``src``; expects the Lloyd
+    chain cent{LLOYD_ITERS} already defined."""
+    return f"{_ivfpq_index_sql(src)},\n    {_ivfpq_search_sql(src, nprobe)}"
 
 
 @register(
@@ -499,3 +514,122 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall_row("pq", pq_top).union(recall_row("ivfpq", ivfpq_top))
+
+
+NPROBE_SWEEP = [1, 2, 4]
+
+
+def _ivfpq_tuning_oracle() -> str:
+    searches = ",\n    ".join(
+        _ivfpq_search_sql("structured", np, tag=f"_p{np}") for np in NPROBE_SWEEP
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe,
+           CAST({PQ_TOP_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM prb_p{np} p JOIN asg a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id)
+             AS n_candidates,
+           round((SELECT count(*) FROM exact_top e
+                  JOIN ivfpq_top_p{np} i USING (query_id, neighbor_id))::DOUBLE
+                 / (SELECT count(*) FROM exact_top), 6) AS recall_at_k"""
+        for np in NPROBE_SWEEP
+    )
+    return f"""
+    WITH {_STRUCTURED_SQL},
+    {_lloyd_ctes(LLOYD_ITERS, src="structured")},
+    {_ivfpq_index_sql("structured")},
+    {searches},
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(q.v, n.v),
+                                   p -> p[1] * p[2])) DESC, n.vec_id) AS rank
+        FROM fixedv q JOIN fixedv n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rank <= {PQ_TOP_K}
+    )
+    {rows}
+    """
+
+
+@register(
+    "ann_ivfpq_nprobe_tuning",
+    oracle=_ivfpq_tuning_oracle(),
+    doc=f"IVFADC probe-tuning table: candidate volume and "
+    f"recall@{PQ_TOP_K} of the composed index at nprobe = "
+    f"{NPROBE_SWEEP} against the exact integer-inner-product top-k, on "
+    "the label-blended structured corpus (precedent: "
+    "ann_ivf_recall_structured). The cost-recall curve that sizes the "
+    "probe budget BEFORE a full corpus pass — n_candidates is the "
+    "scored-pair volume a setting pays (~nprobe/sqrt(N) of the corpus "
+    "per query), recall is what it buys. The stored index — centroids, "
+    "residuals, codebook, codes — builds ONCE (memoized per dataset, "
+    "shared with ann_ivfpq_recall); each setting pays only its probe "
+    "join and ADC re-score, exactly the sweep shape of "
+    "ann_nprobe_tuning and dedup_band_tuning.",
+    tags=["similarity", "pq", "metric"],
+)
+def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    emb = _structured_emb(spark, sf_dir).persist()
+    _IVFPQ_GENERATION.append(emb)
+    fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
+    _IVFPQ_GENERATION.append(fixed)
+    ck = f"structured:{sf_dir}"
+    centi, resid, _cb, _codes = _index_artifacts(emb, ck)
+
+    # exact integer-inner-product ground truth (the ann_ivfpq_recall
+    # baseline: broadcast query side, |Q| = N/QUERY_MOD bounded)
+    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
+    wex = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), "neighbor_id")
+    exact_top = (
+        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp"))
+        .withColumn("rank", F.row_number().over(wex))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    _IVFPQ_GENERATION.append(exact_top)
+    nq = exact_top.agg(F.count("*").alias("total"))
+
+    out = None
+    for np_ in NPROBE_SWEEP:
+        top = _ivfpq_topk(emb, cache_key=ck, nprobe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        probes = _nearest_cells(
+            emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding", "vn"
+            ),
+            centi.select("cell_id", "ce", "cn"),
+            "query_id",
+            np_,
+        )
+        cand = (
+            probes.join(resid.select("vec_id", "cell_id"), "cell_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .agg(F.count("*").alias("nc"))
+        )
+        hits = exact_top.join(
+            top, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").alias("h"))
+        row = (
+            hits.crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(cand))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(PQ_TOP_K).cast("long").alias("k"),
+                F.col("nc").cast("long").alias("n_candidates"),
+                F.round(F.col("h").cast("double") / F.col("total"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -281,6 +281,29 @@ def test_ivfpq_beats_flat_pq_at_equal_code_budget(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+def test_ivfpq_nprobe_curve_monotone(spark):
+    """The IVFADC probe sweep is a cost-recall curve: more probed cells
+    must never cost fewer candidates, and recall must never go DOWN
+    with more probes (a superset of cells is scored with the same ADC
+    tables). Its widest setting must agree with ann_ivfpq_recall's
+    ivfpq row — same corpus, same index, same nprobe."""
+    rows = sorted(
+        SPECS["ann_ivfpq_nprobe_tuning"].fn(spark, SF_DIR_T2).collect(),
+        key=lambda r: r.nprobe,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates > a.n_candidates, (a, b)
+        assert b.recall_at_k >= a.recall_at_k, (a, b)
+    recall = {
+        r.variant: r.recall_at_k
+        for r in SPECS["ann_ivfpq_recall"].fn(spark, SF_DIR_T2).collect()
+    }
+    from mapreduce_framework_in_go_spark.operators.ivfpq import IVFPQ_NPROBE
+
+    widest = [r for r in rows if r.nprobe == IVFPQ_NPROBE]
+    assert widest and widest[0].recall_at_k == recall["ivfpq"]
+
+
 def test_positional_filter_lossless_and_pruning(spark):
     """PPJoin positional filter: must change NOTHING about which pairs
     verify (lossless), while strictly shrinking the candidate set that
