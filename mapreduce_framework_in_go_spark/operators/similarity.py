@@ -541,14 +541,26 @@ def _trained_centroids(emb: DataFrame, cache_key: str | None = None) -> DataFram
     return cent
 
 
-def _lloyd_ctes(n_iters: int, src: str = "embeddings") -> str:
+def _lloyd_ctes(
+    n_iters: int, src: str = "embeddings", cmod_src: str | None = None
+) -> str:
     """CTE chain cent0 -> ... -> cent{n_iters} mirroring
     _trained_centroids verbatim (same fixed-point mean, same
-    tie-breaks) over source relation ``src``."""
+    tie-breaks) over source relation ``src``. ``cmod_src`` overrides
+    the relation the ~sqrt(N) seed modulus counts (defaults to the full
+    embeddings table, which matches the Spark side whenever ``src`` has
+    the same row count; pass the subset relation when training on a
+    strict subset, e.g. ann_ivf_incremental's base slice)."""
+    cmod = (
+        _CMOD_SQL
+        if cmod_src is None
+        else "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+        f"FROM {cmod_src})"
+    )
     parts = [
         f"""cent0 AS (
       SELECT vec_id AS cell_id, embedding::DOUBLE[] AS ce
-      FROM {src} WHERE vec_id % {_CMOD_SQL} = 0
+      FROM {src} WHERE vec_id % {cmod} = 0
     )"""
     ]
     for i in range(n_iters):
@@ -1311,4 +1323,131 @@ def source_topic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_docs").cast("double") / F.sum("n_docs").over(ws), 6
         ).alias("share"),
+    )
+
+
+# --- incremental index maintenance -----------------------------------
+
+# The delta slice standing in for "vectors that arrived after the index
+# was trained": ~1/7 of the corpus, disjoint from nothing else by
+# construction (any residue works; 3 avoids the % QUERY_MOD == 0 and
+# % cmod == 0 slices overlapping it fully).
+INCR_DELTA_MOD = 7
+INCR_DELTA_REM = 3
+# a cell is hot when its share of the delta exceeds this multiple of
+# its share of the base — the retrain signal
+INCR_HOT_FACTOR = 2
+
+
+@register(
+    "ann_ivf_incremental",
+    oracle=f"""
+    WITH base AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % {INCR_DELTA_MOD} <> {INCR_DELTA_REM}
+    ),
+    delta AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % {INCR_DELTA_MOD} = {INCR_DELTA_REM}
+    ),
+    {{lloyd}},
+    ab AS (
+      SELECT cell_id, count(*) AS n_base FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM base v, cent{{L}} c
+      ) WHERE rn = 1 GROUP BY 1
+    ),
+    ad AS (
+      SELECT cell_id, count(*) AS n_delta FROM (
+        SELECT v.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                          c.cell_id) AS rn
+        FROM delta v, cent{{L}} c
+      ) WHERE rn = 1 GROUP BY 1
+    ),
+    t AS (
+      SELECT (SELECT coalesce(sum(n_base), 0) FROM ab) AS tb,
+             (SELECT coalesce(sum(n_delta), 0) FROM ad) AS td
+    )
+    SELECT c.cell_id,
+           CAST(coalesce(ab.n_base, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(ad.n_delta, 0) AS BIGINT) AS n_delta,
+           round(coalesce(ad.n_delta, 0)::DOUBLE
+                 / greatest(coalesce(ab.n_base, 0), 1), 6) AS growth,
+           CAST(CASE WHEN coalesce(ad.n_delta, 0) * t.tb
+                       > {INCR_HOT_FACTOR} * coalesce(ab.n_base, 0) * t.td
+                THEN 1 ELSE 0 END AS BIGINT) AS is_hot
+    FROM cent{{L}} c
+    LEFT JOIN ab USING (cell_id)
+    LEFT JOIN ad USING (cell_id), t
+    """.replace(
+        "{lloyd}", _lloyd_ctes(LLOYD_ITERS, src="base", cmod_src="base")
+    ).replace("{L}", str(LLOYD_ITERS)),
+    doc="Incremental index maintenance — the operation a production "
+    "ANN index actually runs between retrains (FAISS IVF add): the "
+    f"~1/{INCR_DELTA_MOD} delta slice of the corpus is assigned "
+    "MAP-ONLY to the cells of an index trained on the base slice "
+    "alone (frozen centroids — no retraining pass), and the output is "
+    "the per-cell occupancy ledger: base members, delta members, "
+    "growth ratio, and an integer-exact hot-cell flag (delta share > "
+    f"{INCR_HOT_FACTOR}x base share, compared by cross-multiplication "
+    "so no float boundary can flip it) — the drift report that decides "
+    "WHEN to retrain. At 100 TB the delta assignment is one broadcast "
+    "map over arriving vectors (the same _with_nearest_cell fold every "
+    "searcher uses); nothing touches the stored corpus. Sibling of "
+    "dedup_incremental (delta-vs-base for MinHash).",
+    tags=["similarity"],
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    emb = _emb(spark, sf_dir)
+    is_delta = (F.col("vec_id") % INCR_DELTA_MOD) == INCR_DELTA_REM
+    base = emb.where(~is_delta)
+    delta = emb.where(is_delta)
+    cent = _trained_centroids(base, cache_key=f"incr:{sf_dir}")
+    nb = (
+        _with_nearest_cell(base, cent)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_base"))
+    )
+    nd = (
+        _with_nearest_cell(delta, cent)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_delta"))
+    )
+    tots = nb.agg(
+        F.coalesce(F.sum("n_base"), F.lit(0)).alias("tb")
+    ).crossJoin(
+        F.broadcast(
+            nd.agg(F.coalesce(F.sum("n_delta"), F.lit(0)).alias("td"))
+        )
+    )
+    return (
+        cent.select("cell_id")
+        .join(nb, "cell_id", "left")
+        .join(nd, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "cell_id",
+            "n_base",
+            "n_delta",
+            F.round(
+                F.col("n_delta") / F.greatest(F.col("n_base"), F.lit(1)), 6
+            ).alias("growth"),
+            (
+                F.col("n_delta") * F.col("tb")
+                > F.lit(INCR_HOT_FACTOR) * F.col("n_base") * F.col("td")
+            )
+            .cast("long")
+            .alias("is_hot"),
+        )
     )

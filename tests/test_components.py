@@ -304,6 +304,34 @@ def test_ivfpq_nprobe_curve_monotone(spark):
     assert widest and widest[0].recall_at_k == recall["ivfpq"]
 
 
+def test_ivf_incremental_ledger_conserves_counts(spark):
+    """The maintenance ledger must conserve the corpus: per-cell base
+    and delta members sum back to the two slices exactly (every vector
+    assigned to exactly one cell), growth is n_delta/max(n_base,1), and
+    the hot flag matches its integer cross-multiplication definition."""
+    from mapreduce_framework_in_go_spark.operators.similarity import (
+        INCR_DELTA_MOD,
+        INCR_DELTA_REM,
+        INCR_HOT_FACTOR,
+    )
+    from mapreduce_framework_in_go_spark.sources.tables import parquet_num_rows
+
+    rows = SPECS["ann_ivf_incremental"].fn(spark, SF_DIR_T2).collect()
+    n = parquet_num_rows(SF_DIR_T2, "embeddings")
+    n_delta_true = sum(
+        1 for v in range(n) if v % INCR_DELTA_MOD == INCR_DELTA_REM
+    )
+    assert sum(r.n_base for r in rows) == n - n_delta_true
+    assert sum(r.n_delta for r in rows) == n_delta_true
+    tb, td = sum(r.n_base for r in rows), sum(r.n_delta for r in rows)
+    for r in rows:
+        # tolerance, not equality: Python round() is half-to-even,
+        # Spark F.round is half-away (CLAUDE.md rounding rule)
+        assert abs(r.growth - r.n_delta / max(r.n_base, 1)) < 1e-6
+        assert r.is_hot == int(r.n_delta * tb > INCR_HOT_FACTOR * r.n_base * td)
+    assert any(r.n_delta > 0 for r in rows)
+
+
 def test_positional_filter_lossless_and_pruning(spark):
     """PPJoin positional filter: must change NOTHING about which pairs
     verify (lossless), while strictly shrinking the candidate set that

@@ -49,6 +49,9 @@ SCAN_WHITELIST = {
                               "nprobe setting vs the exact baseline"),
     "ann_ivf_recall_structured": (30, "same sweep on the label-blended "
                                       "fixture"),
+    "ann_ivf_incremental": (12, "cold-cache Lloyd training over the base "
+                                "slice plus base/delta assignment and the "
+                                "two 1-row total aggregates"),
     "knn_label_agreement": (12, "trained-IVF search (assignment + probe "
                                 "+ verify passes over the embedding "
                                 "table, cold-cache Lloyd chain included) "
