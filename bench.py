@@ -95,6 +95,7 @@ HEADLINE = [
     "source_topic_profile",
     "knn_label_agreement",
     "stream_substring_probe",
+    "ann_ivf_incremental",
 ]
 
 

@@ -151,15 +151,18 @@ def _cmod_frame(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
-    """(query_id, neighbor_id, rank, score_scaled): IVFADC top-k over an
-    (vec_id, embedding, vn) corpus frame.
+def _ivfpq_scored(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id, cell_rank, score): every candidate pair
+    of the nprobe-cell probing with its exact integer ADC score and the
+    1-based probe rank of the (single) cell the pair shares.
 
-    ``cache_key`` keys the memoized index artifacts: the trained
-    centroids (shared with ann_ivf_trained / ann_ivf_recall_structured
-    for the same corpus, so one Lloyd run serves both index families in
-    a session) and, one level up, the whole stored IVFADC index
-    (residuals + codebook + codes) — queries only probe and score.
+    A pair's score is PROBE-INVARIANT: each stored vector lives in
+    exactly one cell, so the q.c term is that cell's dot product and
+    the residual term is the same ADC sum whatever the probe budget —
+    widening nprobe only ADDS pairs. That is what lets the probe sweep
+    score ONCE at the widest setting and derive every narrower budget
+    as a cell_rank filter (ann_ivfpq_nprobe_tuning), instead of paying
+    one scoring chain per setting.
     """
     centi, resid, cb, codes = _index_artifacts(emb, cache_key)
 
@@ -173,6 +176,7 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
         centi.select("cell_id", "ce", "cn"),
         "query_id",
         nprobe,
+        keep_rank=True,
     )
     qfixed = q.select(
         F.col("vec_id").alias("query_id"), _fixed(F.col("embedding")).alias("v")
@@ -192,6 +196,7 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
         .select(
             "query_id",
             "cell_id",
+            "rn",
             _isum(F.zip_with(F.col("v"), F.col("ci"), lambda a, b: a * b)).alias(
                 "qcdp"
             ),
@@ -199,17 +204,25 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
     )
 
     # candidate-restricted ADC scoring: probed cells' members only;
-    # qcdp is constant per (query, candidate) — max() is its exact,
-    # order-free extraction
+    # qcdp / rn are constant per (query, candidate) — max() is their
+    # exact, order-free extraction
     members = resid.select("vec_id", "cell_id")
-    scored = (
+    return (
         qc.join(members, "cell_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(codes, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg((F.max("qcdp") + F.sum("dp")).alias("score"))
+        .agg(
+            F.max("rn").alias("cell_rank"),
+            (F.max("qcdp") + F.sum("dp")).alias("score"),
+        )
     )
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, rank, score_scaled): the dense top-k
+    prefix of a scored-pair frame under (score DESC, neighbor_id)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "neighbor_id"
     )
@@ -223,6 +236,19 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
             F.col("score").cast("long").alias("score_scaled"),
         )
     )
+
+
+def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id, rank, score_scaled): IVFADC top-k over an
+    (vec_id, embedding, vn) corpus frame.
+
+    ``cache_key`` keys the memoized index artifacts: the trained
+    centroids (shared with ann_ivf_trained / ann_ivf_recall_structured
+    for the same corpus, so one Lloyd run serves both index families in
+    a session) and, one level up, the whole stored IVFADC index
+    (residuals + codebook + codes) — queries only probe and score.
+    """
+    return _rank_topk(_ivfpq_scored(emb, cache_key, nprobe))
 
 
 def _ivfpq_index_sql(src: str) -> str:
@@ -435,8 +461,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _evict_previous_generation()
-    emb = _structured_emb(spark, sf_dir).persist()
-    _IVFPQ_GENERATION.append(emb)
+    emb = _structured_emb(spark, sf_dir)  # memoized; not ours to evict
     fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
     _IVFPQ_GENERATION.append(fixed)
 
@@ -573,12 +598,10 @@ def _ivfpq_tuning_oracle() -> str:
 )
 def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     _evict_previous_generation()
-    emb = _structured_emb(spark, sf_dir).persist()
-    _IVFPQ_GENERATION.append(emb)
+    emb = _structured_emb(spark, sf_dir)  # memoized; not ours to evict
     fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
     _IVFPQ_GENERATION.append(fixed)
     ck = f"structured:{sf_dir}"
-    centi, resid, _cb, _codes = _index_artifacts(emb, ck)
 
     # exact integer-inner-product ground truth (the ann_ivfpq_recall
     # baseline: broadcast query side, |Q| = N/QUERY_MOD bounded)
@@ -598,24 +621,17 @@ def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     _IVFPQ_GENERATION.append(exact_top)
     nq = exact_top.agg(F.count("*").alias("total"))
 
+    # score ONCE at the widest setting; every narrower budget is a
+    # cell_rank filter over the same persisted pair frame (a pair's ADC
+    # score is probe-invariant — see _ivfpq_scored)
+    scored = _ivfpq_scored(emb, cache_key=ck, nprobe=max(NPROBE_SWEEP)).persist()
+    _IVFPQ_GENERATION.append(scored)
+
     out = None
     for np_ in NPROBE_SWEEP:
-        top = _ivfpq_topk(emb, cache_key=ck, nprobe=np_).select(
-            "query_id", "neighbor_id"
-        )
-        probes = _nearest_cells(
-            emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-                F.col("vec_id").alias("query_id"), "embedding", "vn"
-            ),
-            centi.select("cell_id", "ce", "cn"),
-            "query_id",
-            np_,
-        )
-        cand = (
-            probes.join(resid.select("vec_id", "cell_id"), "cell_id")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .agg(F.count("*").alias("nc"))
-        )
+        sub = scored.where(F.col("cell_rank") <= np_)
+        cand = sub.agg(F.count("*").alias("nc"))
+        top = _rank_topk(sub).select("query_id", "neighbor_id")
         hits = exact_top.join(
             top, ["query_id", "neighbor_id"], "left_semi"
         ).agg(F.count("*").alias("h"))
