@@ -500,3 +500,59 @@ def stream_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ssp.substring_probe_stream(delta, ssp.base_gram_set(base))
     return _run(out, "update", "substring_probe")
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF assignment: index maintenance as vectors arrive
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import (  # noqa: E402
+    INCR_DELTA_MOD,
+    INCR_DELTA_REM,
+    LLOYD_ITERS,
+    _emb,
+    _lloyd_ctes,
+    _trained_centroids,
+)
+from ..streaming import ivf_assign as siv  # noqa: E402
+
+
+@register(
+    "stream_ivf_assign",
+    oracle=f"""
+    WITH base AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % {INCR_DELTA_MOD} <> {INCR_DELTA_REM}
+    ),
+    {_lloyd_ctes(LLOYD_ITERS, src="base", cmod_src="base")}
+    SELECT cell_id, CAST(count(*) AS BIGINT) AS n_arrived FROM (
+      SELECT v.vec_id, c.cell_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.ce), 6) DESC,
+                        c.cell_id) AS rn
+      FROM embeddings v, cent{LLOYD_ITERS} c
+      WHERE v.vec_id % {INCR_DELTA_MOD} = {INCR_DELTA_REM}
+    ) WHERE rn = 1 GROUP BY cell_id
+    """,
+    doc="The streaming half of ann_ivf_incremental: embeddings arriving "
+    "on the stream (the delta slice) are assigned MAP-ONLY to the "
+    "frozen cells of the base-trained index — a stream-static "
+    "broadcast of the one-row centroid array, the identical "
+    "_with_nearest_cell fold the batch searchers use, zero shuffle "
+    "per row — and the running per-cell arrival counts (state: one "
+    "long per cell) are the live occupancy-drift signal the batch "
+    "ledger snapshots. Oracle = the batch delta assignment over the "
+    "same frozen Lloyd chain. The centroid index is shared with the "
+    "batch query through the per-(session, dataset) memo, so stream "
+    "and batch provably probe ONE index.",
+    tags=["streaming", "similarity"],
+)
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _emb(spark, sf_dir).where(
+        (F.col("vec_id") % INCR_DELTA_MOD) != INCR_DELTA_REM
+    )
+    cent = _trained_centroids(base, cache_key=f"incr:{sf_dir}")
+    delta = siv.emb_stream(spark, f"{sf_dir}/embeddings.parquet").where(
+        (F.col("vec_id") % INCR_DELTA_MOD) == INCR_DELTA_REM
+    )
+    return _run(siv.ivf_assign_stream(delta, cent), "complete", "ivf_assign")
