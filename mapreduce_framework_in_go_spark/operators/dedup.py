@@ -1146,6 +1146,18 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs 5/31623 at 1e9 vectors with sqrt(N) cells.
 ASSIGN_PROBE = 5
 
+# Own generation slot for dedup_embedding_ivf's assignment frame
+# (per-slot rule — see _evict_previous_generation's cache above).
+_EMB_IVF_GENERATION: list[DataFrame] = []
+
+
+def _evict_emb_ivf_generation() -> None:
+    while _EMB_IVF_GENERATION:
+        try:
+            _EMB_IVF_GENERATION.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _emb_ivf_oracle() -> str:
     from .similarity import LLOYD_ITERS, _lloyd_ctes
@@ -1194,24 +1206,20 @@ def _emb_ivf_oracle() -> str:
     tags=["dedup"],
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import (
-        _emb,
-        _evict_previous_generation as _sim_evict,
-        _nearest_cells,
-        _trained_centroids,
-    )
+    from .similarity import _emb, _nearest_cells, _trained_centroids
 
-    _sim_evict()
     emb = _emb(spark, sf_dir)
     # the (vec_id, cell_id) assignment feeds BOTH sides of the pair
     # self-join — persist it (tiny: ASSIGN_PROBE rows per vector) so the
-    # N x k scoring window runs once, not once per side
-    from .similarity import _CACHE_GENERATION as _SIM_CACHE
-
+    # N x k scoring window runs once, not once per side. Its OWN
+    # generation slot (per-slot rule, CLAUDE.md) — persisting into
+    # similarity's slot would let any similarity query evict this
+    # query's still-unexecuted assignment (and vice versa).
+    _evict_emb_ivf_generation()
     assign = _nearest_cells(
         emb, _trained_centroids(emb, cache_key=sf_dir), "vec_id", ASSIGN_PROBE
     ).persist()
-    _SIM_CACHE.append(assign)
+    _EMB_IVF_GENERATION.append(assign)
     pa = assign.select("cell_id", F.col("vec_id").alias("vec_a"))
     pb = assign.select("cell_id", F.col("vec_id").alias("vec_b"))
     cand = (

@@ -47,6 +47,20 @@ MIN_TOKENS = 15
 
 _STAGES = ["ingest", "quality", "language", "exact_dedup", "near_dedup"]
 
+# One-generation cache for the pipeline family's flags + shingle frames
+# — its OWN slot (per-slot rule, CLAUDE.md; same isolation as
+# textops._WINNOW_GENERATION): dedup queries must not be able to evict
+# a pipeline frame that another still-unexecuted consumer rides.
+_PIPELINE_GENERATION: list[DataFrame] = []
+
+
+def _evict_pipeline_generation() -> None:
+    while _PIPELINE_GENERATION:
+        try:
+            _PIPELINE_GENERATION.pop().unpersist()
+        except Exception:
+            pass
+
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOP) + "]"
 
 
@@ -187,18 +201,16 @@ def _level_frame(docs: DataFrame) -> DataFrame:
     flags is consumed by three plan branches (exact-rep build, the LSH
     stage via s3, and the final level join) — without a persist the
     HOF-heavy quality/language expressions would run once per branch.
-    Persisted under dedup's one-generation cache, together with the
+    Persisted in the pipeline's OWN generation slot (per-slot cache
+    rule, CLAUDE.md: sharing dedup's slot would let a driver that
+    builds a pipeline frame and a dedup frame before collecting either
+    unpersist the other's in-flight flags/shingles), together with the
     shingle frame handed to _lsh_pair_frame (evict once, up front)."""
-    from .dedup import (
-        _CACHE_GENERATION,
-        _evict_previous_generation,
-        _shingle_rows_from,
-        md5_long32,
-    )
+    from .dedup import _shingle_rows_from, md5_long32
 
-    _evict_previous_generation()
+    _evict_pipeline_generation()
     flags = flag_frame(docs).persist()
-    _CACHE_GENERATION.append(flags)
+    _PIPELINE_GENERATION.append(flags)
     s2 = flags.where(F.col("pass_q") & F.col("pass_lang"))
     xreps = (
         s2.groupBy(F.md5("text").alias("dig"))
@@ -211,7 +223,7 @@ def _level_frame(docs: DataFrame) -> DataFrame:
         .withColumn("h", md5_long32(F.col("s")))
         .persist()
     )
-    _CACHE_GENERATION.append(sh)
+    _PIPELINE_GENERATION.append(sh)
     pairs = _lsh_pair_frame(s3, sh=sh).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
