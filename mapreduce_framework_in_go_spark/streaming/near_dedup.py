@@ -144,6 +144,18 @@ def base_digest_lookup(base_docs: DataFrame) -> DataFrame:
 def _verdict(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state
 ) -> Iterator[pd.DataFrame]:
+    # Contract (same as substring_probe._ledger): a delta doc's
+    # candidate rows arrive in exactly ONE microbatch — they all derive
+    # from one input row. The best-candidate argmax below is only
+    # correct then; a doc split across batches would silently emit two
+    # partial verdicts in update mode, so fail loudly instead.
+    if state.exists:
+        raise RuntimeError(
+            f"near_dedup: doc {key[0]!r} arrived in a second microbatch; "
+            "the single-batch-per-doc source contract is violated and "
+            "the verdict would be partial"
+        )
+    state.update((1,))
     chunks = list(pdf_iter)
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
     ex = pdf["ex_dup_of"].dropna()
