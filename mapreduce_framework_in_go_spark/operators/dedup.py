@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_long32, shingles_col, tokens_col
 from ..functions.vectors import cosine_from_norms, l2_norm
+from ..cache import GenerationSlot
 from ..registry import register
 from ..sources.tables import table
 
@@ -285,7 +286,11 @@ def _band_frame(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_sig")
 
 
-def _lsh_pair_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def _lsh_pair_frame(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    gen: list[DataFrame] | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, est_jaccard, jaccard): the full MinHash+LSH
     pipeline over a ``(doc_id, text)`` frame — candidate pairs from
     band buckets, verified with exact shingle Jaccard restricted to
@@ -299,7 +304,11 @@ def _lsh_pair_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     unpersisted here; instead each invocation evicts the previous
     invocation's cache, bounding storage to one generation. Callers that
     already hold a persisted ``(doc_id, s, h)`` shingle frame pass it as
-    ``sh`` (and own its cache generation)."""
+    ``sh`` and their OWN generation slot as ``gen`` — the persisted sig
+    frame lands there, not in dedup's slot, so a dedup-family build
+    cannot evict a foreign family's in-flight frame (per-slot rule)."""
+    if gen is None:
+        gen = _CACHE_GENERATION
     if sh is None:
         _evict_previous_generation()
         sh = (
@@ -307,9 +316,9 @@ def _lsh_pair_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
             .withColumn("h", md5_long32(F.col("s")))
             .persist()
         )
-        _CACHE_GENERATION.append(sh)
+        gen.append(sh)
     sig = _minhash_sig(sh).cache()
-    _CACHE_GENERATION.append(sig)
+    gen.append(sig)
     bands = _band_frame(sig)
 
     cand = (
@@ -1148,15 +1157,11 @@ ASSIGN_PROBE = 5
 
 # Own generation slot for dedup_embedding_ivf's assignment frame
 # (per-slot rule — see _evict_previous_generation's cache above).
-_EMB_IVF_GENERATION: list[DataFrame] = []
+_EMB_IVF_GENERATION = GenerationSlot()
 
 
 def _evict_emb_ivf_generation() -> None:
-    while _EMB_IVF_GENERATION:
-        try:
-            _EMB_IVF_GENERATION.pop().unpersist()
-        except Exception:
-            pass
+    _EMB_IVF_GENERATION.evict()
 
 
 def _emb_ivf_oracle() -> str:

@@ -40,9 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import GenerationSlot
 from ..registry import register
 from ..sources.tables import table
-from .pq import PQ_M, PQ_TOP_K, _codes, _explode_subs, _fixed, _isum
+from .pq import _CMOD, PQ_M, PQ_TOP_K, _codes, _explode_subs, _fixed, _isum
 from .similarity import (
     LLOYD_ITERS,
     QUERY_MOD,
@@ -57,24 +58,19 @@ from .similarity import (
 
 IVFPQ_NPROBE = 4  # probed cells per query (recall_structured tunes this)
 
-# Per-module one-generation cache (per-slot rule, CLAUDE.md): this
-# module persists its own intermediates here and NEVER evicts
-# similarity.py's generation — a driver interleaving ann_ivf_trained
-# and ann_ivfpq frame builds must not have one unpersist the other's
-# in-flight training intermediates.
-_IVFPQ_GENERATION: list[DataFrame] = []
+# Per-QUERY one-generation caches (per-slot rule, CLAUDE.md): each of
+# the three registered ivfpq queries owns a slot, so a driver that
+# builds several of their frames before collecting any cannot have one
+# build unpersist another's in-flight query slice — and none of them
+# ever evicts similarity.py's generation.
+_IVFPQ_SLOTS: dict[str, GenerationSlot] = {}
 
 
-def _evict_previous_generation() -> None:
-    while _IVFPQ_GENERATION:
-        try:
-            _IVFPQ_GENERATION.pop().unpersist()
-        except Exception:
-            pass
+def _slot(name: str) -> GenerationSlot:
+    return _IVFPQ_SLOTS.setdefault(name, GenerationSlot())
 
 
 _S = 1_000_000  # fixed-point scale (pq.PQ_SCALE; spelled out for SQL)
-_CMOD = "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
 # The built IVFADC index — integer centroids, persisted residual frame,
 # residual codebook, persisted codes — is a build-once artifact per
@@ -151,7 +147,9 @@ def _cmod_frame(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_scored(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
+def _ivfpq_scored(
+    emb: DataFrame, cache_key: str, nprobe: int, gen: GenerationSlot
+) -> DataFrame:
     """(query_id, neighbor_id, cell_rank, score): every candidate pair
     of the nprobe-cell probing with its exact integer ADC score and the
     1-based probe rank of the (single) cell the pair shares.
@@ -169,8 +167,7 @@ def _ivfpq_scored(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
     # query side: probes, ADC lookup table, and the q.c cell offsets —
     # all derived from ONE persisted query slice (N/QUERY_MOD rows) so
     # the corpus parquet is not re-scanned per consumer
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).persist()
-    _IVFPQ_GENERATION.append(q)
+    q = gen.adopt(emb.where(F.col("vec_id") % QUERY_MOD == 0).persist())
     probes = _nearest_cells(
         q.select(F.col("vec_id").alias("query_id"), "embedding", "vn"),
         centi.select("cell_id", "ce", "cn"),
@@ -220,6 +217,46 @@ def _ivfpq_scored(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
     )
 
 
+
+# The exact integer-inner-product ground truth both metric queries rank
+# against — ONE definition of the ordering contract (dp DESC,
+# neighbor_id tie-break, PQ_TOP_K prefix) in Spark and one in SQL, so
+# the two metrics can never desynchronize.
+_EXACT_TOP_SQL = f"""exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(q.v, n.v),
+                                   p -> p[1] * p[2])) DESC, n.vec_id) AS rank
+        FROM fixedv q JOIN fixedv n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+      ) WHERE rank <= {PQ_TOP_K}
+    )"""
+
+
+def _exact_ground_truth(fixed: DataFrame, gen: GenerationSlot) -> DataFrame:
+    """(query_id, neighbor_id): the exact top-k by integer inner
+    product over a persisted (vec_id, v) fixed-point frame — broadcast
+    query side (|Q| = N/QUERY_MOD bounded), persisted into ``gen``."""
+    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("dp").desc(), "neighbor_id"
+    )
+    return gen.adopt(
+        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp")
+        )
+        .withColumn("rank", F.row_number().over(wex))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+
+
 def _rank_topk(scored: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, rank, score_scaled): the dense top-k
     prefix of a scored-pair frame under (score DESC, neighbor_id)."""
@@ -238,7 +275,9 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
+def _ivfpq_topk(
+    emb: DataFrame, cache_key: str, nprobe: int, gen: GenerationSlot
+) -> DataFrame:
     """(query_id, neighbor_id, rank, score_scaled): IVFADC top-k over an
     (vec_id, embedding, vn) corpus frame.
 
@@ -248,7 +287,7 @@ def _ivfpq_topk(emb: DataFrame, cache_key: str, nprobe: int) -> DataFrame:
     a session) and, one level up, the whole stored IVFADC index
     (residuals + codebook + codes) — queries only probe and score.
     """
-    return _rank_topk(_ivfpq_scored(emb, cache_key, nprobe))
+    return _rank_topk(_ivfpq_scored(emb, cache_key, nprobe, gen))
 
 
 def _ivfpq_index_sql(src: str) -> str:
@@ -379,8 +418,11 @@ def _ivfpq_sql(src: str, nprobe: int) -> str:
     tags=["similarity", "pq"],
 )
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _evict_previous_generation()
-    return _ivfpq_topk(_emb(spark, sf_dir), cache_key=sf_dir, nprobe=IVFPQ_NPROBE)
+    gen = _slot("ann_ivfpq")
+    gen.evict()
+    return _ivfpq_topk(
+        _emb(spark, sf_dir), cache_key=sf_dir, nprobe=IVFPQ_NPROBE, gen=gen
+    )
 
 
 @register(
@@ -424,16 +466,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.query_id, c.vec_id
       ) WHERE rank <= {PQ_TOP_K}
     ),
-    exact_top AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_sum(list_transform(list_zip(q.v, n.v),
-                                   p -> p[1] * p[2])) DESC, n.vec_id) AS rank
-        FROM fixedv q JOIN fixedv n ON n.vec_id <> q.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
-      ) WHERE rank <= {PQ_TOP_K}
-    ),
+    {_EXACT_TOP_SQL},
     nq AS (SELECT count(*) AS total FROM exact_top),
     hp AS (SELECT count(*) AS h FROM exact_top JOIN pq_top USING (query_id, neighbor_id)),
     hi AS (SELECT count(*) AS h FROM exact_top
@@ -460,13 +493,15 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["similarity", "pq"],
 )
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _evict_previous_generation()
+    gen = _slot("ann_ivfpq_recall")
+    gen.evict()
     emb = _structured_emb(spark, sf_dir)  # memoized; not ours to evict
-    fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
-    _IVFPQ_GENERATION.append(fixed)
+    fixed = gen.adopt(
+        emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
+    )
 
     ivfpq_top = _ivfpq_topk(
-        emb, cache_key=f"structured:{sf_dir}", nprobe=IVFPQ_NPROBE
+        emb, cache_key=f"structured:{sf_dir}", nprobe=IVFPQ_NPROBE, gen=gen
     ).select("query_id", "neighbor_id")
 
     # flat-PQ baseline over the SAME corpus (pq.py's chain via its own
@@ -507,22 +542,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    # exact integer-inner-product ground truth (broadcast query side —
-    # the ann_pq_recall precedent; |Q| = N/QUERY_MOD stays bounded)
-    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
-    wex = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), "neighbor_id")
-    exact_top = (
-        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp"))
-        .withColumn("rank", F.row_number().over(wex))
-        .where(F.col("rank") <= PQ_TOP_K)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
-    _IVFPQ_GENERATION.append(exact_top)
+    exact_top = _exact_ground_truth(fixed, gen)
 
     nq = exact_top.agg(F.count("*").alias("total"))
 
@@ -565,16 +585,7 @@ def _ivfpq_tuning_oracle() -> str:
     {_lloyd_ctes(LLOYD_ITERS, src="structured")},
     {_ivfpq_index_sql("structured")},
     {searches},
-    exact_top AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_sum(list_transform(list_zip(q.v, n.v),
-                                   p -> p[1] * p[2])) DESC, n.vec_id) AS rank
-        FROM fixedv q JOIN fixedv n ON n.vec_id <> q.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
-      ) WHERE rank <= {PQ_TOP_K}
-    )
+    {_EXACT_TOP_SQL}
     {rows}
     """
 
@@ -597,35 +608,24 @@ def _ivfpq_tuning_oracle() -> str:
     tags=["similarity", "pq", "metric"],
 )
 def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _evict_previous_generation()
+    gen = _slot("ann_ivfpq_nprobe_tuning")
+    gen.evict()
     emb = _structured_emb(spark, sf_dir)  # memoized; not ours to evict
-    fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
-    _IVFPQ_GENERATION.append(fixed)
+    fixed = gen.adopt(
+        emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
+    )
     ck = f"structured:{sf_dir}"
 
-    # exact integer-inner-product ground truth (the ann_ivfpq_recall
-    # baseline: broadcast query side, |Q| = N/QUERY_MOD bounded)
-    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
-    wex = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), "neighbor_id")
-    exact_top = (
-        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp"))
-        .withColumn("rank", F.row_number().over(wex))
-        .where(F.col("rank") <= PQ_TOP_K)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
-    _IVFPQ_GENERATION.append(exact_top)
+    exact_top = _exact_ground_truth(fixed, gen)
     nq = exact_top.agg(F.count("*").alias("total"))
 
     # score ONCE at the widest setting; every narrower budget is a
     # cell_rank filter over the same persisted pair frame (a pair's ADC
     # score is probe-invariant — see _ivfpq_scored)
-    scored = _ivfpq_scored(emb, cache_key=ck, nprobe=max(NPROBE_SWEEP)).persist()
-    _IVFPQ_GENERATION.append(scored)
+    scored = gen.adopt(
+        _ivfpq_scored(emb, cache_key=ck, nprobe=max(NPROBE_SWEEP), gen=gen)
+        .persist()
+    )
 
     out = None
     for np_ in NPROBE_SWEEP:

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import GenerationSlot
 from ..functions.text import tokens_col
 from ..registry import register
 from ..sources.tables import table
@@ -51,15 +52,11 @@ _STAGES = ["ingest", "quality", "language", "exact_dedup", "near_dedup"]
 # — its OWN slot (per-slot rule, CLAUDE.md; same isolation as
 # textops._WINNOW_GENERATION): dedup queries must not be able to evict
 # a pipeline frame that another still-unexecuted consumer rides.
-_PIPELINE_GENERATION: list[DataFrame] = []
+_PIPELINE_GENERATION = GenerationSlot()
 
 
 def _evict_pipeline_generation() -> None:
-    while _PIPELINE_GENERATION:
-        try:
-            _PIPELINE_GENERATION.pop().unpersist()
-        except Exception:
-            pass
+    _PIPELINE_GENERATION.evict()
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOP) + "]"
 
@@ -224,7 +221,7 @@ def _level_frame(docs: DataFrame) -> DataFrame:
         .persist()
     )
     _PIPELINE_GENERATION.append(sh)
-    pairs = _lsh_pair_frame(s3, sh=sh).select(
+    pairs = _lsh_pair_frame(s3, sh=sh, gen=_PIPELINE_GENERATION).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     ndrops = (

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import GenerationSlot
 from ..functions.text import md5_long32, shingles_col, tokens_col
 from ..registry import register
 from ..sources.tables import table
@@ -54,15 +55,11 @@ RK_MOD = 2_147_483_647
 # dedup frame and a winnow frame before collecting either, and a shared
 # slot would let each build unpersist the other's in-flight frame
 # (per-slot rule, see relational._RANK_CACHE).
-_WINNOW_GENERATION: list[DataFrame] = []
+_WINNOW_GENERATION = GenerationSlot()
 
 
 def _evict_winnow_generation() -> None:
-    while _WINNOW_GENERATION:
-        try:
-            _WINNOW_GENERATION.pop().unpersist()
-        except Exception:
-            pass
+    _WINNOW_GENERATION.evict()
 
 
 def _stop_hits(tokens: Column, words: list[str]) -> Column:

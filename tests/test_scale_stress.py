@@ -93,16 +93,22 @@ def _timed(frame_builder):
 
 
 def test_clusters_lsh_copies_coclustered(spark, big_dir):
-    rows = dedup_clusters_lsh(spark, big_dir).persist()
+    # The budget must cover the BUILD, not just the final aggregate:
+    # the star-contraction rounds run eager corpus-scale convergence
+    # probes inside dedup_clusters_lsh itself — the phase a quadratic
+    # regression would blow up.
+    def _build_and_agg():
+        rows = dedup_clusters_lsh(spark, big_dir).persist()
+        agg = rows.agg(
+            F.sum((F.col("doc_id") < VARIANT_BASE).cast("long")).alias(
+                "n_copies"
+            ),
+            F.min("cluster_size").alias("min_size"),
+        ).first()
+        return rows, agg
+
+    rows, agg = _timed(_build_and_agg)
     try:
-        agg = _timed(
-            lambda: rows.agg(
-                F.sum((F.col("doc_id") < VARIANT_BASE).cast("long")).alias(
-                    "n_copies"
-                ),
-                F.min("cluster_size").alias("min_size"),
-            ).first()
-        )
         # Every one of the 50k exact-copy docs is clustered (its crowd
         # is >= 10 wide), and no cluster is smaller than one crowd.
         assert agg["n_copies"] == COPIES * 5000
