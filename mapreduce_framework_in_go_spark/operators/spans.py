@@ -88,13 +88,21 @@ def dup_spans_from(docs: DataFrame, keep_earliest: bool = False) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    # Islands merge flagged positions while their W-token coverage
-    # stays CONTIGUOUS — overlapping (gap <= W-1) or touching
-    # end-to-start (gap == W). Merging only consecutive positions
-    # would emit overlapping spans whose token sum double-counts the
-    # union (dup_frac could exceed 1); splitting at gap == W would
-    # split one contiguous duplicated region into two, breaking
-    # maximality. A break therefore fires only when gap > W (a hole).
+    return positions_to_spans(dup_pos)
+
+
+def positions_to_spans(dup_pos: DataFrame) -> DataFrame:
+    """Maximal spans from a ``(doc_id, pos)`` frame of flagged W-gram
+    start positions — ONE definition of the island-merge rule in the
+    engine (islands_spans_ctes is its SQL twin).
+
+    Islands merge flagged positions while their W-token coverage stays
+    CONTIGUOUS — overlapping (gap <= W-1) or touching end-to-start
+    (gap == W). Merging only consecutive positions would emit
+    overlapping spans whose token sum double-counts the union
+    (dup_frac could exceed 1); splitting at gap == W would split one
+    contiguous duplicated region into two, breaking maximality. A
+    break therefore fires only when gap > W (a hole)."""
     wd = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_pos.withColumn(
         "brk",
@@ -183,6 +191,37 @@ def islands_spans_ctes() -> str:
   )"""
 
 
+def scrub_ledger_ctes(toks_rel: str = "toks") -> str:
+    """CTE fragment ``ranges`` + ``scrubbed`` over preceding ``spans``
+    and ``{toks_rel}(doc_id, toks)`` relations — ONE definition of the
+    scrub reassembly (keep positions covered by no span), shared by the
+    dedup scrub and the span-level decontamination oracles."""
+    return f"""ranges AS (
+      SELECT doc_id,
+             list(struct_pack(s := span_start, e := span_end)) AS rs
+      FROM spans GROUP BY doc_id
+    ),
+    scrubbed AS (
+      SELECT t.doc_id,
+             len(t.toks) AS n_tokens,
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                 p -> len(list_filter(coalesce(r.rs, []),
+                          x -> p BETWEEN x.s AND x.e)) = 0),
+               p -> t.toks[p]) AS kept
+      FROM {toks_rel} t LEFT JOIN ranges r ON r.doc_id = t.doc_id
+      WHERE len(t.toks) > 0
+    )"""
+
+
+_SCRUB_LEDGER_SELECT = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+    FROM scrubbed"""
+
+
 @register(
     "dedup_substring_spans",
     oracle=f"""
@@ -254,28 +293,8 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_substring_scrub",
     oracle=f"""
     WITH {_spans_ctes(dup_pred="doc_id > mn")},
-    ranges AS (
-      SELECT doc_id,
-             list(struct_pack(s := span_start, e := span_end)) AS rs
-      FROM spans GROUP BY doc_id
-    ),
-    scrubbed AS (
-      SELECT t.doc_id,
-             len(t.toks) AS n_tokens,
-             list_transform(
-               list_filter(range(1, len(t.toks) + 1),
-                 p -> len(list_filter(coalesce(r.rs, []),
-                          x -> p BETWEEN x.s AND x.e)) = 0),
-               p -> t.toks[p]) AS kept
-      FROM toks t LEFT JOIN ranges r ON r.doc_id = t.doc_id
-      WHERE len(t.toks) > 0
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(len(kept) AS BIGINT) AS kept_tokens,
-           CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
-           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
-    FROM scrubbed
+    {scrub_ledger_ctes()}
+    {_SCRUB_LEDGER_SELECT}
     """,
     doc="The ExactSubstr scrub itself (Lee et al. keep ONE occurrence): "
     "spans flag only where an EARLIER document (smaller doc_id) holds "
@@ -289,8 +308,18 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    return scrub_ledger_frame(docs, dup_spans_from(docs, keep_earliest=True))
+
+
+def scrub_ledger_frame(docs: DataFrame, span_frame: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, removed_tokens, kept_md5): cut
+    every token covered by a span of ``span_frame`` out of each doc's
+    token stream and emit the kept remainder as count + digest — ONE
+    definition of the scrub reassembly (scrub_ledger_ctes is its SQL
+    twin). Per-row reassembly is O(n_tokens * n_ranges) with ranges
+    per doc tiny by construction (disjoint maximal spans)."""
     ranges = (
-        dup_spans_from(docs, keep_earliest=True)
+        span_frame
         .groupBy("doc_id")
         .agg(
             F.collect_list(

@@ -610,3 +610,88 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("shuffle_pos"),
         ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
     )
+
+
+# --- span-level decontamination: surgical scrub, not whole-doc drop ---
+
+from .spans import (  # noqa: E402
+    SPAN_W as _SPAN_W,
+    islands_spans_ctes,
+    positions_to_spans,
+    scrub_ledger_ctes,
+    scrub_ledger_frame,
+)
+from .spans import _SCRUB_LEDGER_SELECT  # noqa: E402
+
+# The island-merge rule (spans.positions_to_spans / islands_spans_ctes)
+# is defined at the ExactSubstr window width; the decontamination gram
+# width must match it for the composed scrub to be coherent.
+assert DECON_NGRAM == _SPAN_W
+
+
+@register(
+    "decontaminate_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    evg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' ') AS g
+      FROM (
+        SELECT regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+        FROM documents WHERE doc_id % {EVAL_MOD} = 0
+      ), unnest(range(1, len(toks) - {DECON_NGRAM - 2})) u(i)
+      WHERE len(toks) >= {DECON_NGRAM}
+    ),
+    dup_pos AS (
+      SELECT t.doc_id, i AS pos
+      FROM toks t, unnest(range(1, len(t.toks) - {DECON_NGRAM - 2})) u(i)
+      WHERE len(t.toks) >= {DECON_NGRAM}
+        AND array_to_string(t.toks[i:i+{DECON_NGRAM - 1}], ' ')
+            IN (SELECT g FROM evg)
+    ),
+    {islands_spans_ctes()},
+    {scrub_ledger_ctes()}
+    {_SCRUB_LEDGER_SELECT}
+    """,
+    doc=f"SURGICAL benchmark decontamination: instead of dropping every "
+    f"training document sharing a {DECON_NGRAM}-gram with the eval "
+    "split (decontaminate_ngram's whole-doc verdict — wasteful when "
+    "one quoted sentence contaminates a long useful document), cut "
+    "ONLY the contaminated regions: flagged gram positions merge into "
+    "maximal islands (the ExactSubstr rule, spans.positions_to_spans) "
+    "and the scrub ledger emits each train doc's kept remainder as "
+    "count + digest. At 100 TB the eval gram set rides one broadcast "
+    "(MBs against the corpus), position flagging is a map-side "
+    "semi-join, and the only shuffles are the per-doc islands window "
+    "and ledger — duplicate-volume- and doc-bounded, never pairwise. "
+    "Composes the decontamination family's gram contract with the "
+    "span family's island-merge + reassembly, each defined ONCE.",
+    tags=["training_prep", "dedup", "spans"],
+)
+def decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    evg = (
+        docs.where(is_eval)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    shingles_col(tokens_col("text"), DECON_NGRAM)
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    train = docs.where(~is_eval)
+    grams = train.select(
+        "doc_id",
+        F.posexplode(shingles_col(tokens_col("text"), DECON_NGRAM)).alias(
+            "pos0", "g"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    flagged = grams.join(F.broadcast(evg), "g", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return scrub_ledger_frame(train, positions_to_spans(flagged))

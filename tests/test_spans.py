@@ -293,3 +293,31 @@ def test_span_lcs_finds_longest_shared_run(spark):
     assert r.n_shared_grams == 5
     # the LONGEST block is the 8-token run, not 8+5 total
     assert r.lcs_tokens == len(long_run)
+
+
+def test_decon_span_scrub_agrees_with_doc_verdict(spark):
+    """The surgical scrub and the whole-doc verdict must agree on WHICH
+    documents are contaminated: removed_tokens > 0 exactly for the docs
+    decontaminate_ngram reports (any shared eval gram flags >= one
+    position, and every flagged position removes >= W tokens), and
+    clean docs keep their full token stream (digest of the untouched
+    tokenization)."""
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    SPECS = all_queries()
+    sf = "/root/testdata/sf0.01"
+    scrub = {
+        r.doc_id: r
+        for r in SPECS["decontaminate_span_scrub"].fn(spark, sf).collect()
+    }
+    flagged = {
+        r.doc_id for r in SPECS["decontaminate_ngram"].fn(spark, sf).collect()
+    }
+    assert flagged  # the fixture plants at least one contaminated doc
+    assert flagged <= set(scrub)
+    for doc_id, r in scrub.items():
+        if doc_id in flagged:
+            assert r.removed_tokens >= SPAN_W, doc_id
+        else:
+            assert r.removed_tokens == 0, doc_id
+        assert r.kept_tokens + r.removed_tokens == r.n_tokens, doc_id
