@@ -96,6 +96,7 @@ HEADLINE = [
     "knn_label_agreement",
     "stream_substring_probe",
     "ann_ivf_incremental",
+    "decontaminate_span_scrub",
 ]
 
 
