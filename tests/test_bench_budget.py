@@ -69,11 +69,15 @@ def test_latest_bench_run_within_budget() -> None:
             f"latest bench ran at sf{latest.get('sf')}, budgets are sf{budget['sf']}"
         )
     minima = budget["minima"]
+    # Known-wobbly heavy queries (GC / executor-thread contention in the
+    # shared bench session makes even min-of-2 range 2-3x run to run) get
+    # a wider per-query slack instead of loosening the global gate.
+    overrides = budget.get("slack_overrides", {})
     over = {}
     for name, sec in latest["queries"].items():
         if name not in minima:
             continue  # new query: covered by the sync test after table update
-        cap = max(SLACK * minima[name], ABS_FLOOR_SEC)
+        cap = max(overrides.get(name, SLACK) * minima[name], ABS_FLOOR_SEC)
         if sec > cap:
             over[name] = (sec, round(cap, 3))
     assert not over, (
