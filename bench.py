@@ -72,6 +72,7 @@ HEADLINE = [
     "zorder_layout",
     "ann_pq",
     "ann_ivfpq",
+    "semdedup_prune",
     "compact_plan",
     "lm_kn_bigrams",
     "doc_perplexity",

@@ -92,6 +92,7 @@ def load_all_operators() -> None:
         quality,
         relational,
         sampling,
+        semdedup,
         similarity,
         sketches,
         skew,

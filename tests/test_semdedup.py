@@ -1,0 +1,67 @@
+"""SemDeDup semantics beyond the generic oracle parity:
+the survival rule, cross-query consistency, the tuning curve's
+monotonicity, and the family's cache-slot isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_in_go_spark.operators import dedup, semdedup
+
+
+def test_least_prototypical_member_always_survives(spark, sf_dir):
+    """The (cent_cos, vec_id)-minimum of every cell has keep=true —
+    the SemDeDup 'keep the least centroid-similar copy' anchor."""
+    rows = semdedup.semdedup_prune(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    assert by_cell
+    for members in by_cell.values():
+        anchor = min(members, key=lambda r: (r.cent_cos, r.vec_id))
+        assert anchor.keep, f"cell anchor pruned: {anchor}"
+
+
+def test_prune_stats_and_tuning_agree(spark, sf_dir):
+    """count(keep=false) must be identical across the three queries:
+    the per-vector verdict, the per-cell stats, and the tuning row at
+    the production tau."""
+    pruned = (
+        semdedup.semdedup_prune(spark, sf_dir)
+        .where(~F.col("keep"))
+        .count()
+    )
+    stats_total = (
+        semdedup.semdedup_stats(spark, sf_dir)
+        .agg(F.sum("n_pruned"))
+        .collect()[0][0]
+    )
+    tuning = {
+        r.tau: r.n_pruned
+        for r in semdedup.semdedup_tau_tuning(spark, sf_dir).collect()
+    }
+    assert stats_total == pruned
+    assert tuning[round(semdedup.SEMDEDUP_TAU, 2)] == pruned
+
+
+def test_tuning_curve_is_monotone(spark, sf_dir):
+    rows = sorted(
+        semdedup.semdedup_tau_tuning(spark, sf_dir).collect(),
+        key=lambda r: r.tau,
+    )
+    n = None
+    for r in rows:
+        assert r.n_pruned + r.n_kept == rows[0].n_pruned + rows[0].n_kept
+        if n is not None:
+            assert r.n_pruned <= n, "prune count must fall as tau rises"
+        n = r.n_pruned
+
+
+def test_semdedup_frames_survive_dedup_eviction(spark, sf_dir):
+    members, _mp = semdedup._member_frames(spark, sf_dir)
+    assert members.storageLevel.useMemory
+    dedup._evict_previous_generation()
+    assert members.storageLevel.useMemory, (
+        "semdedup member frame evicted by dedup's generation — per-slot "
+        "rule violated"
+    )
