@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_pq",
     "ann_ivfpq",
     "semdedup_prune",
+    "dsir_weights",
     "compact_plan",
     "lm_kn_bigrams",
     "doc_perplexity",

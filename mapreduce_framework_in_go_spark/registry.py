@@ -76,6 +76,7 @@ def load_all_operators() -> None:
         bpe,
         compaction,
         dedup,
+        dsir,
         entity,
         frequency,
         graph,
