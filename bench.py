@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_ivfpq",
     "semdedup_prune",
     "dsir_weights",
+    "nb_source_confusion",
     "compact_plan",
     "lm_kn_bigrams",
     "doc_perplexity",

@@ -1,0 +1,291 @@
+"""Hashed Naive Bayes document classifier — the quality-filter shape.
+
+The CCNet / GPT-3 data pipelines gate web text with a linear
+bag-of-features classifier (fastText) trained to separate a reference
+corpus from the crawl. This module implements that pattern as exact
+multinomial Naive Bayes over HASHED unigram buckets — the counts-based
+member of the family, chosen because every model parameter is a ratio
+of integers and therefore bitwise-reproducible by the DuckDB oracle
+(a gradient-trained linear model would not be). The reference repo's
+wordcount surface (``mrapps/wc.go``) supplies the token stream; the
+classifier is what a 100 TB pipeline builds FROM those counts.
+
+Protocol: deterministic split (train = doc_id %% 5 != 0, holdout = the
+rest — the ``dataset_split`` convention), classes = the document
+``source`` labels. Per-class bucket likelihoods and class priors are
+Laplace-smoothed and snapped to SCALED-INTEGER nats (the
+``langmodel.py`` grid), so each holdout document's per-class score
+
+    score(d, c) = ln p(c) + sum over tokens t of ln p(b(t) | c)
+
+is an order-free exact BIGINT sum; argmax ties break on class name.
+Labels here are synthetic-random (CLAUDE.md: mechanism, not label
+recovery) — chance-level accuracy is expected and the tests pin the
+mechanism against an independent pure-Python model instead.
+
+Scale (100 TB): the model is (C x B)-bounded — |sources| x 1024 rows
+regardless of corpus size — built by one explode + groupBy with
+map-side combine, then broadcast. Scoring is a map-only broadcast join
+producing tokens x C partial rows that collapse in a per-(doc, class)
+partial-aggregated sum; the argmax is a per-doc window over C bounded
+rows, never a global one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cache import GenerationSlot
+from ..functions.text import md5_long32, tokens_col
+from ..registry import register
+from ..sources.tables import table
+
+NB_BUCKETS = 1024
+NB_FOLD = 5  # doc_id % NB_FOLD == 0 -> holdout
+LOG_SCALE = 10**9
+
+_NB_GENERATION = GenerationSlot()
+
+
+def _evict_nb_generation() -> None:
+    _NB_GENERATION.evict()
+
+
+def _scaled_ln(num: F.Column, den: F.Column) -> F.Column:
+    return F.round(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(LOG_SCALE)
+    ).cast("long")
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_source, c, score) for every holdout doc x class,
+    plus the argmax rank ``rn`` under (score DESC, c ASC)."""
+    _evict_nb_generation()
+    docs = table(spark, sf_dir, "documents")
+    is_holdout = F.col("doc_id") % NB_FOLD == 0
+    # column-pruned doc metadata, persisted: classes / priors /
+    # holdout-roster consumers would otherwise each re-plan a scan
+    meta = (
+        docs.select("doc_id", "source", is_holdout.alias("holdout"))
+        .persist()
+    )
+    _NB_GENERATION.append(meta)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        is_holdout.alias("holdout"),
+        F.explode(tokens_col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "holdout",
+        (md5_long32(F.col("w")) % NB_BUCKETS).alias("b"),
+    )
+
+    classes = meta.select(F.col("source").alias("c")).distinct()
+    n_classes = F.broadcast(classes.agg(F.count("*").alias("nc")))
+    # priors: Laplace-smoothed over train doc counts
+    train_docs = meta.where(~F.col("holdout"))
+    prior_counts = (
+        classes.join(
+            train_docs.groupBy(F.col("source").alias("c")).agg(
+                F.count("*").alias("dn")
+            ),
+            "c",
+            "left",
+        )
+        .select("c", F.coalesce("dn", F.lit(0)).alias("dn"))
+    )
+    n_train = F.broadcast(train_docs.agg(F.count("*").alias("tn")))
+    priors = (
+        prior_counts.crossJoin(n_train)
+        .crossJoin(n_classes)
+        .select(
+            "c",
+            _scaled_ln(F.col("dn") + F.lit(1), F.col("tn") + F.col("nc")).alias(
+                "sp"
+            ),
+        )
+    )
+
+    # per-(class, bucket) token likelihoods over the FULL (C x B) grid;
+    # the count table is (C x B)-bounded and has two consumers, so it
+    # is persisted rather than re-planning the corpus explode
+    domain = spark.range(NB_BUCKETS).select(F.col("id").alias("b"))
+    grid = classes.crossJoin(F.broadcast(domain))
+    train_counts = (
+        tok.where(~F.col("holdout"))
+        .groupBy(F.col("source").alias("c"), "b")
+        .agg(F.count("*").alias("cb"))
+        .persist()
+    )
+    _NB_GENERATION.append(train_counts)
+    class_totals = train_counts.groupBy("c").agg(F.sum("cb").alias("ct"))
+    lik = (
+        grid.join(train_counts, ["c", "b"], "left")
+        .join(class_totals, "c", "left")
+        .select(
+            "c",
+            "b",
+            _scaled_ln(
+                F.coalesce("cb", F.lit(0)) + F.lit(1),
+                F.coalesce("ct", F.lit(0)) + F.lit(NB_BUCKETS),
+            ).alias("sll"),
+        )
+        .persist()
+    )
+    _NB_GENERATION.append(lik)
+
+    # scoring: holdout tokens x C partial rows -> per-(doc, class) sum
+    tok_scores = (
+        tok.where("holdout")
+        .join(F.broadcast(lik), "b")
+        .groupBy("doc_id", "c")
+        .agg(F.sum("sll").alias("s"))
+    )
+    holdout_docs = meta.where("holdout").select(
+        "doc_id", F.col("source").alias("true_source")
+    )
+    scored = (
+        holdout_docs.crossJoin(F.broadcast(priors))
+        .join(tok_scores, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "c",
+            (F.col("sp") + F.coalesce("s", F.lit(0))).alias("score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("c").asc()
+                )
+            ),
+        )
+        .persist()
+    )
+    _NB_GENERATION.append(scored)
+    return scored
+
+
+# Oracle twin of :func:`_scored` ending at scored(doc_id, true_source,
+# c, score, rn).
+_NB_CTES = f"""
+    tok AS (
+      SELECT doc_id, source, doc_id % {NB_FOLD} = 0 AS holdout,
+             ('0x' || substr(md5(t.w), 1, 8))::BIGINT % {NB_BUCKETS} AS b
+      FROM documents,
+           unnest(regexp_extract_all(text, '[\\p{{L}}]+')) t(w)
+    ),
+    classes AS (SELECT DISTINCT source AS c FROM documents),
+    ncls AS (SELECT count(*) AS nc FROM classes),
+    traind AS (SELECT * FROM documents WHERE doc_id % {NB_FOLD} <> 0),
+    ntrain AS (SELECT count(*) AS tn FROM traind),
+    priors AS (
+      SELECT c.c,
+             CAST(round(ln((coalesce(d.dn, 0) + 1) * 1.0 / (n.tn + x.nc))
+                        * {LOG_SCALE}) AS BIGINT) AS sp
+      FROM classes c
+      LEFT JOIN (SELECT source AS c, count(*) AS dn FROM traind GROUP BY 1) d
+        USING (c)
+      CROSS JOIN ntrain n CROSS JOIN ncls x
+    ),
+    tcounts AS (
+      SELECT source AS c, b, count(*) AS cb
+      FROM tok WHERE NOT holdout GROUP BY 1, 2
+    ),
+    ctot AS (SELECT c, sum(cb) AS ct FROM tcounts GROUP BY 1),
+    lik AS (
+      SELECT g.c, g.b,
+             CAST(round(ln((coalesce(tc.cb, 0) + 1) * 1.0
+                           / (coalesce(ct.ct, 0) + {NB_BUCKETS}))
+                        * {LOG_SCALE}) AS BIGINT) AS sll
+      FROM (SELECT c, d.b FROM classes,
+            (SELECT unnest(range({NB_BUCKETS})) AS b) d) g
+      LEFT JOIN tcounts tc ON tc.c = g.c AND tc.b = g.b
+      LEFT JOIN ctot ct ON ct.c = g.c
+    ),
+    tscores AS (
+      SELECT t.doc_id, l.c, sum(l.sll) AS s
+      FROM tok t JOIN lik l USING (b)
+      WHERE t.holdout GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT h.doc_id, h.source AS true_source, p.c,
+             p.sp + coalesce(ts.s, 0) AS score,
+             row_number() OVER (PARTITION BY h.doc_id
+                                ORDER BY p.sp + coalesce(ts.s, 0) DESC, p.c)
+               AS rn
+      FROM (SELECT doc_id, source FROM documents WHERE doc_id % {NB_FOLD} = 0) h
+      CROSS JOIN priors p
+      LEFT JOIN tscores ts ON ts.doc_id = h.doc_id AND ts.c = p.c
+    )"""
+
+
+@register(
+    "nb_source_confusion",
+    oracle=f"""
+    WITH {_NB_CTES}
+    SELECT true_source, c AS pred_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    doc="Holdout confusion matrix of the hashed Naive Bayes source "
+    "classifier (the CCNet/fastText quality-filter pattern as exact "
+    "counts-based NB): train on doc_id%5!=0, score the rest with "
+    "scaled-integer log-probabilities, argmax with (score DESC, class) "
+    "ties. The model is |sources| x 1024 rows at ANY corpus size.",
+    tags=["classifier", "llm-pipeline"],
+)
+def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    return (
+        scored.where(F.col("rn") == 1)
+        .groupBy(
+            "true_source", F.col("c").alias("pred_source")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "nb_doc_margin",
+    oracle=f"""
+    WITH {_NB_CTES}
+    SELECT doc_id, true_source,
+           max(CASE WHEN rn = 1 THEN c END) AS pred_source,
+           CAST(max(CASE WHEN rn = 1 THEN score END) AS BIGINT)
+             AS top_score_scaled,
+           CAST(max(CASE WHEN rn = 1 THEN score END)
+                - max(CASE WHEN rn = 2 THEN score END) AS BIGINT)
+             AS margin_scaled
+    FROM scored WHERE rn <= 2
+    GROUP BY 1, 2
+    """,
+    doc="Per-holdout-document prediction with the top-1 vs top-2 score "
+    "margin (scaled nats) — the confidence profile a pipeline "
+    "thresholds when it uses the classifier as a keep/drop gate "
+    "(docs with thin margins get routed to review, not dropped).",
+    tags=["classifier", "llm-pipeline", "tuning"],
+)
+def nb_doc_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    return (
+        scored.where(F.col("rn") <= 2)
+        .groupBy("doc_id", "true_source")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("pred_source"),
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            .cast("long")
+            .alias("top_score_scaled"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("score")))
+                - F.max(F.when(F.col("rn") == 2, F.col("score")))
+            )
+            .cast("long")
+            .alias("margin_scaled"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Hashed-NB classifier semantics beyond oracle parity: an independent
+pure-Python model check of predictions AND margins, cross-query
+agreement, and the family's cache-slot isolation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mapreduce_framework_in_go_spark.operators import classifier, dedup
+
+
+def _py_nb(sf_dir: str):
+    """Independent NB: plain Python — shares no code with Spark/SQL."""
+    B, S, FOLD = classifier.NB_BUCKETS, classifier.LOG_SCALE, classifier.NB_FOLD
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    classes = sorted({r["source"] for r in rows})
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+    train = [r for r in rows if r["doc_id"] % FOLD != 0]
+    hold = [r for r in rows if r["doc_id"] % FOLD == 0]
+    cb = defaultdict(Counter)  # class -> bucket counts
+    dn = Counter()
+    for r in train:
+        dn[r["source"]] += 1
+        cb[r["source"]].update(
+            bucket(w) for w in re.findall(r"[^\W\d_]+", r["text"])
+        )
+    sp = {
+        c: round(math.log((dn[c] + 1) / (len(train) + len(classes))) * S)
+        for c in classes
+    }
+    sll = {
+        c: {
+            b: round(
+                math.log(
+                    (cb[c][b] + 1) / (sum(cb[c].values()) + B)
+                )
+                * S
+            )
+            for b in range(B)
+        }
+        for c in classes
+    }
+    preds = {}
+    for r in hold:
+        bs = [bucket(w) for w in re.findall(r"[^\W\d_]+", r["text"])]
+        scores = sorted(
+            ((sp[c] + sum(sll[c][b] for b in bs), c) for c in classes),
+            key=lambda t: (-t[0], t[1]),
+        )
+        preds[r["doc_id"]] = (
+            scores[0][1],
+            scores[0][0],
+            scores[0][0] - scores[1][0],
+        )
+    return preds
+
+
+def test_predictions_match_independent_python_model(spark, sf_dir):
+    expected = _py_nb(sf_dir)
+    got = {
+        r.doc_id: (r.pred_source, r.top_score_scaled, r.margin_scaled)
+        for r in classifier.nb_doc_margin(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_confusion_and_margin_agree(spark, sf_dir):
+    conf = {
+        (r.true_source, r.pred_source): r.n_docs
+        for r in classifier.nb_source_confusion(spark, sf_dir).collect()
+    }
+    margin_rows = classifier.nb_doc_margin(spark, sf_dir).collect()
+    from_margin = Counter(
+        (r.true_source, r.pred_source) for r in margin_rows
+    )
+    assert conf == dict(from_margin)
+    assert sum(conf.values()) == len(margin_rows)
+    # every holdout doc classified exactly once
+    assert len({r.doc_id for r in margin_rows}) == len(margin_rows)
+    assert all(r.margin_scaled >= 0 for r in margin_rows)
+
+
+def test_nb_frames_survive_dedup_eviction(spark, sf_dir):
+    scored = classifier._scored(spark, sf_dir)
+    frames = list(classifier._NB_GENERATION)
+    assert frames and all(f.storageLevel.useMemory for f in frames)
+    dedup._evict_previous_generation()
+    assert all(f.storageLevel.useMemory for f in frames), (
+        "classifier frames evicted by dedup's generation — per-slot "
+        "rule violated"
+    )
+    assert scored.where(F.col("rn") == 1).count() > 0
