@@ -58,9 +58,17 @@ def _scaled_ln(num: F.Column, den: F.Column) -> F.Column:
     ).cast("long")
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, true_source, c, score) for every holdout doc x class,
-    plus the argmax rank ``rn`` under (score DESC, c ASC)."""
+def _model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: (meta(doc_id, source, holdout), priors(c, sp),
+    lik(c, b, sll)).
+
+    Evicts and repopulates the family's generation slot; ``lik`` and
+    the shared doc-metadata/count frames are persisted there. The
+    streaming gate (``streaming/nb_gate.py``) trains through this same
+    function, so batch and stream provably score with ONE model.
+    """
     _evict_nb_generation()
     docs = table(spark, sf_dir, "documents")
     is_holdout = F.col("doc_id") % NB_FOLD == 0
@@ -71,17 +79,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _NB_GENERATION.append(meta)
-    tok = docs.select(
-        "doc_id",
-        "source",
-        is_holdout.alias("holdout"),
-        F.explode(tokens_col("text")).alias("w"),
-    ).select(
-        "doc_id",
-        "source",
-        "holdout",
-        (md5_long32(F.col("w")) % NB_BUCKETS).alias("b"),
-    )
+    tok = _tok(docs)
 
     classes = meta.select(F.col("source").alias("c")).distinct()
     n_classes = F.broadcast(classes.agg(F.count("*").alias("nc")))
@@ -136,6 +134,30 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _NB_GENERATION.append(lik)
+    return meta, priors, lik
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, holdout, b): one row per token's hash bucket."""
+    is_holdout = F.col("doc_id") % NB_FOLD == 0
+    return docs.select(
+        "doc_id",
+        "source",
+        is_holdout.alias("holdout"),
+        F.explode(tokens_col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "holdout",
+        (md5_long32(F.col("w")) % NB_BUCKETS).alias("b"),
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_source, c, score) for every holdout doc x class,
+    plus the argmax rank ``rn`` under (score DESC, c ASC)."""
+    meta, priors, lik = _model(spark, sf_dir)
+    tok = _tok(table(spark, sf_dir, "documents"))
 
     # scoring: holdout tokens x C partial rows -> per-(doc, class) sum
     tok_scores = (

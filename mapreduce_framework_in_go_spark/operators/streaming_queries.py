@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..streaming import nb_gate as sng
 from ..streaming import windows as sw
+from .classifier import _NB_CTES
+from .classifier import _model as _nb_model
 
 
 def _run(df: DataFrame, mode: str, name: str) -> DataFrame:
@@ -556,3 +559,38 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % INCR_DELTA_MOD) == INCR_DELTA_REM
     )
     return _run(siv.ivf_assign_stream(delta, cent), "complete", "ivf_assign")
+
+
+@register(
+    "stream_nb_gate",
+    oracle=f"""
+    WITH {_NB_CTES},
+    ntok AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok WHERE holdout GROUP BY 1
+    )
+    SELECT s.doc_id, s.true_source, s.c AS pred_source, n.n_tokens
+    FROM scored s JOIN ntok n USING (doc_id)
+    WHERE s.rn = 1
+    """,
+    doc="The streaming half of the hashed-NB quality gate: documents "
+    "arriving on the stream (the holdout slice) are scored against the "
+    "frozen batch-trained model — the (C x 1024) likelihood table "
+    "pivoted to a per-bucket class-score array and joined "
+    "stream-static broadcast, so scoring adds zero shuffle per token. "
+    "One per-(doc, class-sums) aggregation (state: C+1 longs per "
+    "in-flight doc); the argmax is a stateless post-agg array_sort "
+    "with the exact batch tie-break. Oracle = the batch scored CTE's "
+    "rn=1 verdicts. Batch and stream train through classifier._model, "
+    "so they provably score with ONE model.",
+    tags=["streaming", "classifier", "llm-pipeline"],
+)
+def stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _meta, priors, lik = _nb_model(spark, sf_dir)
+    pri = {r["c"]: r["sp"] for r in priors.collect()}
+    classes = sorted(pri)
+    model = sng.lik_wide(lik)
+    docs = sng.doc_stream(spark, f"{sf_dir}/documents.parquet")
+    return _run(
+        sng.nb_gate_stream(docs, model, classes, pri), "complete", "nb_gate"
+    )

@@ -86,6 +86,24 @@ def test_confusion_and_margin_agree(spark, sf_dir):
     assert all(r.margin_scaled >= 0 for r in margin_rows)
 
 
+def test_stream_gate_agrees_with_batch(spark, sf_dir):
+    """The streaming gate's verdicts must equal the batch argmax doc
+    for doc — one model, two execution paths."""
+    from mapreduce_framework_in_go_spark.operators.streaming_queries import (
+        stream_nb_gate,
+    )
+
+    stream = {
+        r.doc_id: (r.true_source, r.pred_source)
+        for r in stream_nb_gate(spark, sf_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.true_source, r.pred_source)
+        for r in classifier.nb_doc_margin(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
 def test_nb_frames_survive_dedup_eviction(spark, sf_dir):
     scored = classifier._scored(spark, sf_dir)
     frames = list(classifier._NB_GENERATION)
