@@ -364,3 +364,91 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov * cov / (vx * vy), 6).alias("r2"),
         )
     )
+
+
+@register(
+    "doc_perplexity_kn",
+    oracle=f"""
+    WITH {_BIGRAM_SQL.replace("bg AS", "bgd AS").replace(
+        "SELECT toks[i] AS w1", "SELECT doc_id, toks[i] AS w1"
+    ).replace("FROM bg GROUP", "FROM bgd GROUP")},
+    ctx AS (SELECT w1, sum(c) AS c_ctx, count(*) AS nf FROM bc GROUP BY 1),
+    back AS (SELECT w2, count(*) AS nb FROM bc GROUP BY 1),
+    tot AS (SELECT count(*) AS b FROM bc),
+    slog AS (
+      SELECT bc.w1, bc.w2,
+             CAST(round(ln(
+               (CAST(bc.c AS DOUBLE) - {DISCOUNT}) / ctx.c_ctx
+               + {DISCOUNT} * CAST(ctx.nf AS DOUBLE) / ctx.c_ctx
+                 * (back.nb * 1.0 / tot.b)
+             ) * {LOG_SCALE}) AS BIGINT) AS sl
+      FROM bc JOIN ctx USING (w1) JOIN back USING (w2), tot
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-(sum(sl) * 1.0 / {LOG_SCALE}) / count(*), 6)
+             AS cross_entropy_kn,
+           round(exp(-(sum(sl) * 1.0 / {LOG_SCALE}) / count(*)), 6)
+             AS perplexity_kn
+    FROM bgd g JOIN slog s ON g.w1 = s.w1 AND g.w2 = s.w2
+    GROUP BY 1
+    """,
+    doc="Per-document cross-entropy/perplexity under the interpolated "
+    "Kneser-Ney bigram LM — the model-based quality score "
+    "doc_perplexity upgrades to once a real smoothed LM exists "
+    "(KenLM-style filtering). Every scored bigram is in the corpus "
+    "table (the model trains on the same corpus), so no backoff path "
+    "is needed; P_KN is the identical double expression tree on both "
+    "engines and per-bigram log-probs are scaled-integer nats, making "
+    "the per-doc fold order-free exact. Docs with <2 tokens have no "
+    "bigrams and drop out on both sides. Corpus-sized work: the shared "
+    "bigram count + one doc-bigram join against the vocab^2-bounded "
+    "scaled-log table.",
+    tags=["langmodel", "textops", "llm-pipeline"],
+)
+def doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_previous_generation()
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bgd = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bc = _bigram_counts(spark, sf_dir).persist()
+    _CACHE_GENERATION.append(bc)
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c_ctx"), F.count("*").alias("nf")
+    )
+    back = bc.groupBy("w2").agg(F.count("*").alias("nb"))
+    tot = bc.agg(F.count("*").alias("b"))
+    d = F.lit(DISCOUNT)
+    p_kn = (
+        (F.col("c").cast("double") - d) / F.col("c_ctx")
+        + d * F.col("nf").cast("double") / F.col("c_ctx")
+        * (F.col("nb") * F.lit(1.0) / F.col("b"))
+    )
+    slog = (
+        bc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p_kn) * F.lit(LOG_SCALE)).cast("long").alias("sl"),
+        )
+    )
+    per_doc = (
+        bgd.join(slog, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("sl").alias("s"))
+    )
+    h = -(F.col("s") * F.lit(1.0) / F.lit(LOG_SCALE)) / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy_kn"),
+        F.round(F.exp(h), 6).alias("perplexity_kn"),
+    )

@@ -169,3 +169,46 @@ def test_zipf_fit_matches_duckdb_regression(spark, sf_dir, duck):
     assert abs(row.r2 - want[3]) < 1e-5
     assert -0.6 < row.zipf_slope < 0  # near-uniform, nothing like -1
     assert row.r2 < 0.5
+
+
+def test_kn_doc_perplexity_matches_independent_model(spark, sf_dir):
+    """doc_perplexity_kn vs an independent Python KN fold built from
+    the (already distribution-verified) lm_kn_bigrams table: for every
+    doc, the mean of per-bigram grid-snapped ln P_KN must reproduce
+    the reported cross-entropy, and perplexity = exp(H)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    LOG_SCALE = 10**9
+    kn = {
+        (r.w1, r.w2): (r.c, r.c_ctx, r.n_follow_types, r.n_precede_types)
+        for r in SPECS["lm_kn_bigrams"].fn(spark, sf_dir).collect()
+    }
+    b_total = len(kn)
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy_kn, r.perplexity_kn)
+        for r in SPECS["doc_perplexity_kn"].fn(spark, sf_dir).collect()
+    }
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    checked = 0
+    for d in docs:
+        toks = re.findall(r"[^\W\d_]+", d["text"])
+        if len(toks) < 2:
+            assert d["doc_id"] not in got
+            continue
+        s = 0
+        for u, v in zip(toks, toks[1:]):
+            c, c_ctx, nf, nb = kn[(u, v)]
+            p = (c - DISCOUNT) / c_ctx + DISCOUNT * nf / c_ctx * (
+                nb * 1.0 / b_total
+            )
+            s += round(math.log(p) * LOG_SCALE)
+        n = len(toks) - 1
+        h = -(s * 1.0 / LOG_SCALE) / n
+        exp = (n, round(h, 6), round(math.exp(h), 6))
+        assert got[d["doc_id"]] == exp, (d["doc_id"], got[d["doc_id"]], exp)
+        checked += 1
+    assert checked == len(got)
