@@ -258,3 +258,50 @@ def test_ivfpq_copy_families_dominate_topk(spark, big_emb_dir):
         # equal scores => rank order is the neighbor_id tie-break
         assert [r.neighbor_id for r in top9] == sorted(fam), q
         assert len({r.score_scaled for r in top9}) == 1, q
+
+
+def test_semdedup_copy_families_pruned(spark, big_emb_dir):
+    """semdedup_prune on the 20,000-vector salted corpus: within every
+    10-wide exact-copy family the members share cent_cos (identical
+    vector), so the family's min-vec_id member precedes the other nine
+    in (cent_cos, vec_id) order with pairwise cosine 1.0 >= tau —
+    every non-min member MUST be pruned, whatever the cross-family
+    pairs do. The within-cell pair volume at 10x duplication (~30x the
+    bench SF) must stay inside the wall budget — the sum(n_c^2) cost
+    model under the skew adversary."""
+    from mapreduce_framework_in_go_spark.operators.semdedup import (
+        semdedup_prune,
+    )
+
+    t0 = time.monotonic()
+    res = semdedup_prune(spark, big_emb_dir).persist()
+    try:
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                (
+                    (F.col("vec_id") >= EMB_STRIDE) & F.col("keep")
+                ).cast("long")
+            ).alias("bad_copy_kept"),
+        ).first()
+        elapsed = time.monotonic() - t0
+        assert elapsed < WALL_BUDGET_S, f"blew the wall budget: {elapsed:.0f}s"
+        assert agg["n"] == 20_000
+        # copies (vec_id >= STRIDE) always have their base (min vec_id
+        # of the family) preceding them at cosine 1.0 -> all pruned
+        assert agg["bad_copy_kept"] == 0
+        # survivors are a subset of the 2000 family minima
+        assert 1 <= agg["n_kept"] <= 2_000
+        # every family's min member carries the family verdict exactly
+        # once: families never split across cells (identical vectors
+        # share the argmax cell deterministically)
+        fam_cells = (
+            res.groupBy((F.col("vec_id") % EMB_STRIDE).alias("base"))
+            .agg(F.count_distinct("cell_id").alias("n_cells"))
+            .where(F.col("n_cells") > 1)
+            .count()
+        )
+        assert fam_cells == 0
+    finally:
+        res.unpersist()
