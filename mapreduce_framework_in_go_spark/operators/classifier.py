@@ -10,8 +10,9 @@ of integers and therefore bitwise-reproducible by the DuckDB oracle
 wordcount surface (``mrapps/wc.go``) supplies the token stream; the
 classifier is what a 100 TB pipeline builds FROM those counts.
 
-Protocol: deterministic split (train = doc_id %% 5 != 0, holdout = the
-rest — the ``dataset_split`` convention), classes = the document
+Protocol: deterministic split (train = doc_id %% 7 != 0, holdout =
+the rest; 7 is coprime to the generator's 20-source round-robin — see
+NB_FOLD), classes = the document
 ``source`` labels. Per-class bucket likelihoods and class priors are
 Laplace-smoothed and snapped to SCALED-INTEGER nats (the
 ``langmodel.py`` grid), so each holdout document's per-class score
@@ -42,7 +43,12 @@ from ..registry import register
 from ..sources.tables import table
 
 NB_BUCKETS = 1024
-NB_FOLD = 5  # doc_id % NB_FOLD == 0 -> holdout
+# doc_id % NB_FOLD == 0 -> holdout. 7 deliberately: the generator
+# assigns `source` round-robin by doc_id over 20 sources, so a fold
+# sharing a factor with 20 (e.g. 5) degenerates into leave-sources-out
+# — four classes would get ZERO training mass. 7 is coprime to the
+# cycle, giving every class both train and holdout documents.
+NB_FOLD = 7
 LOG_SCALE = 10**9
 
 _NB_GENERATION = GenerationSlot()
@@ -60,9 +66,9 @@ def _scaled_ln(num: F.Column, den: F.Column) -> F.Column:
 
 def _model(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Train the model: (meta(doc_id, source, holdout), priors(c, sp),
-    lik(c, b, sll)).
+    lik(c, b, sll), train_counts(c, b, cb)).
 
     Evicts and repopulates the family's generation slot; ``lik`` and
     the shared doc-metadata/count frames are persisted there. The
@@ -134,7 +140,7 @@ def _model(
         .persist()
     )
     _NB_GENERATION.append(lik)
-    return meta, priors, lik
+    return meta, priors, lik, train_counts
 
 
 def _tok(docs: DataFrame) -> DataFrame:
@@ -156,7 +162,7 @@ def _tok(docs: DataFrame) -> DataFrame:
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, true_source, c, score) for every holdout doc x class,
     plus the argmax rank ``rn`` under (score DESC, c ASC)."""
-    meta, priors, lik = _model(spark, sf_dir)
+    meta, priors, lik, _tc = _model(spark, sf_dir)
     tok = _tok(table(spark, sf_dir, "documents"))
 
     # scoring: holdout tokens x C partial rows -> per-(doc, class) sum
@@ -257,7 +263,7 @@ _NB_CTES = f"""
     """,
     doc="Holdout confusion matrix of the hashed Naive Bayes source "
     "classifier (the CCNet/fastText quality-filter pattern as exact "
-    "counts-based NB): train on doc_id%5!=0, score the rest with "
+    "counts-based NB): train on doc_id%7!=0, score the rest with "
     "scaled-integer log-probabilities, argmax with (score DESC, class) "
     "ties. The model is |sources| x 1024 rows at ANY corpus size.",
     tags=["classifier", "llm-pipeline"],
@@ -309,5 +315,84 @@ def nb_doc_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("margin_scaled"),
+        )
+    )
+
+
+NB_TOP_FEATURES = 5
+
+
+@register(
+    "nb_feature_importance",
+    oracle=f"""
+    WITH {_NB_CTES},
+    btot AS (SELECT b, sum(cb) AS tb FROM tcounts GROUP BY 1),
+    alltot AS (SELECT sum(cb) AS tt FROM tcounts),
+    imp AS (
+      SELECT l.c, l.b, coalesce(tc.cb, 0) AS cb,
+             l.sll - CAST(round(ln(
+               (coalesce(bt.tb, 0) - coalesce(tc.cb, 0) + 1) * 1.0
+               / (a.tt - coalesce(ct.ct, 0) + {NB_BUCKETS})
+             ) * {LOG_SCALE}) AS BIGINT) AS score
+      FROM lik l
+      LEFT JOIN tcounts tc ON tc.c = l.c AND tc.b = l.b
+      LEFT JOIN btot bt ON bt.b = l.b
+      LEFT JOIN ctot ct ON ct.c = l.c
+      CROSS JOIN alltot a
+    )
+    SELECT c AS source_class, b AS bucket,
+           CAST(rn AS BIGINT) AS rank,
+           CAST(cb AS BIGINT) AS n_occurrences,
+           score AS log_odds_scaled
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c ORDER BY score DESC, b)
+               AS rn
+      FROM imp
+    ) WHERE rn <= {NB_TOP_FEATURES}
+    """,
+    doc="Per-class top discriminative hashed features by smoothed "
+    "log-odds (class likelihood minus complement likelihood, both on "
+    "the scaled-integer grid) — the what-did-the-filter-learn audit "
+    "table reviewed before trusting a classifier gate. All inputs are "
+    "the (C x 1024)-bounded model tables; the rank window partitions "
+    "by class over B bounded rows.",
+    tags=["classifier", "llm-pipeline", "tuning"],
+)
+def nb_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _meta, _priors, lik, train_counts = _model(spark, sf_dir)
+    btot = train_counts.groupBy("b").agg(F.sum("cb").alias("tb"))
+    ctot = train_counts.groupBy("c").agg(F.sum("cb").alias("ct"))
+    alltot = train_counts.agg(F.sum("cb").alias("tt"))
+    imp = (
+        lik.join(train_counts, ["c", "b"], "left")
+        .join(F.broadcast(btot), "b", "left")
+        .join(F.broadcast(ctot), "c", "left")
+        .crossJoin(F.broadcast(alltot))
+        .select(
+            "c",
+            "b",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            (
+                F.col("sll")
+                - _scaled_ln(
+                    F.coalesce("tb", F.lit(0))
+                    - F.coalesce("cb", F.lit(0))
+                    + F.lit(1),
+                    F.col("tt") - F.coalesce("ct", F.lit(0))
+                    + F.lit(NB_BUCKETS),
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("c").orderBy(F.col("score").desc(), F.col("b").asc())
+    return (
+        imp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NB_TOP_FEATURES)
+        .select(
+            F.col("c").alias("source_class"),
+            F.col("b").alias("bucket"),
+            F.col("rn").cast("long").alias("rank"),
+            F.col("cb").cast("long").alias("n_occurrences"),
+            F.col("score").alias("log_odds_scaled"),
         )
     )

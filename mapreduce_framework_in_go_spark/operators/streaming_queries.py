@@ -586,7 +586,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["streaming", "classifier", "llm-pipeline"],
 )
 def stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _meta, priors, lik = _nb_model(spark, sf_dir)
+    _meta, priors, lik, _tc = _nb_model(spark, sf_dir)
     # C-row model-hydration probe (the BPE apply-as-literals precedent):
     # the class list and priors become plan literals of the stream frame
     pri = {r["c"]: r["sp"] for r in priors.collect()}

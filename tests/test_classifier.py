@@ -114,3 +114,52 @@ def test_nb_frames_survive_dedup_eviction(spark, sf_dir):
         "rule violated"
     )
     assert scored.where(F.col("rn") == 1).count() > 0
+
+
+def test_feature_importance_shape_and_score_rule(spark, sf_dir):
+    """Top-K per class, ranks dense, ordered by (log_odds DESC, bucket
+    ASC); a spot-checked score reproduces the smoothed log-odds from
+    independently-computed Python counts."""
+    rows = classifier.nb_feature_importance(spark, sf_dir).collect()
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r.source_class].append(r)
+    assert by_c
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(
+            range(1, classifier.NB_TOP_FEATURES + 1)
+        )
+        keys = [(-r.log_odds_scaled, r.bucket) for r in rs]
+        assert keys == sorted(keys)
+
+    # independent recomputation of every reported score from plain
+    # Python counts: log_odds = sll(c,b) - comp_sll(c,b)
+    B, S, FOLD = classifier.NB_BUCKETS, classifier.LOG_SCALE, classifier.NB_FOLD
+    docs = pq.read_table(f"{_sf_dir()}/documents.parquet").to_pylist()
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+    cb = defaultdict(Counter)
+    for d in docs:
+        if d["doc_id"] % FOLD != 0:
+            cb[d["source"]].update(
+                bucket(w) for w in re.findall(r"[^\W\d_]+", d["text"])
+            )
+    ct = {c: sum(v.values()) for c, v in cb.items()}
+    tb = Counter()
+    for v in cb.values():
+        tb.update(v)
+    tt = sum(ct.values())
+    for r in rows:
+        c, b = r.source_class, r.bucket
+        sll = round(math.log((cb[c][b] + 1) / (ct[c] + B)) * S)
+        comp = round(
+            math.log((tb[b] - cb[c][b] + 1) / (tt - ct[c] + B)) * S
+        )
+        assert r.log_odds_scaled == sll - comp, (c, b)
+        assert r.n_occurrences == cb[c][b]
+
+
+def _sf_dir():
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
