@@ -423,3 +423,132 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- the release WRITER: materialize the manifest to sharded parquet ---
+
+def release_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic scratch location for the written release, keyed by
+    dataset so sf0.001 tests and the sf0.01 driver never collide. Lives
+    under the session's warehouse dir (gitignored scratch), the same
+    place managed tables would go."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).replace("file:", "")
+    return os.path.join(wh, f"corpus_release_{tag}")
+
+
+def write_corpus_release(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> str:
+    """Materialize the release: the ``corpus_release_manifest`` row set
+    + the global shuffle order restricted to it, written as sharded
+    parquet — the artifact a data-loader fleet actually reads.
+
+    Shape (the reference's sink contract at pipeline scale — one
+    ``mr-out-Y`` file per reduce bucket, ``mr/worker.go:115,136``):
+    ``shard=K/`` hive directories, one file per shard, rows inside each
+    file sorted by ``shuffle_pos`` so a loader streams its shard in
+    permutation order with zero seeking.
+
+    Scale: the permutation is the shared terasort two-level rank (no
+    single-partition window); ``repartition("shard")`` hash-partitions
+    so each shard's rows land wholly in one task and the dynamic
+    partitioned write emits exactly ONE file per shard dir; round-robin
+    ``(pos-1) % S`` makes shard sizes balanced within one row BY
+    CONSTRUCTION (the shardmaster invariant, reference
+    ``shardmaster/test_test.go:25-52``). Overwrite mode makes re-runs
+    idempotent through the atomic committer (S4).
+    """
+    from .relational import two_level_global_rank
+    from .training_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
+    from ..functions.text import md5_long32
+
+    if path is None:
+        path = release_artifact_path(spark, sf_dir)
+    manifest = corpus_release_manifest(spark, sf_dir).withColumn(
+        "h",
+        md5_long32(
+            F.concat(
+                F.lit(f"shuffle:{SHUFFLE_SEED}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ranked = two_level_global_rank(
+        manifest, ["h", "doc_id"], slot="corpus_release_write"
+    )
+    rel = ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        "flag_ngram_contaminated",
+        "flag_semantic_contaminated",
+        F.col("pos").alias("shuffle_pos"),
+        ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+    )
+    (
+        rel.repartition("shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return path
+
+
+def _release_write_oracle() -> str:
+    from .training_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    return f"""
+    SELECT doc_id, source, n_tokens, split,
+           flag_ngram_contaminated, flag_semantic_contaminated,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+             AS shuffle_pos,
+           CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM (
+      SELECT rel.*,
+             ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM ({_release_oracle()}) rel
+    )
+    """
+
+
+@register(
+    "corpus_release_write",
+    oracle=_release_write_oracle(),
+    doc="The pipeline stage that never materialized before round 6: "
+    "WRITE the release. Runs write_corpus_release (manifest + global "
+    "shuffle permutation restricted to it -> hive-sharded parquet, one "
+    "sorted file per shard, balanced within one row by round-robin "
+    "construction), then answers FROM THE WRITTEN ARTIFACT — the "
+    "returned frame is a fresh parquet scan of the shard dirs, so a "
+    "hash match against the manifest-side oracle proves the round trip "
+    "(row-multiset identity through the writer, the committer, and the "
+    "partition-discovery read), closing the loop the reference's text "
+    "sink represents (S3, mr/worker.go:115) at pipeline scale.",
+    tags=["pipeline", "training_prep", "sink"],
+)
+def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_corpus_release(spark, sf_dir)
+    out = spark.read.parquet(path)
+    # partition-column discovery types `shard` as INT — restore the
+    # written LONG so the schema check sees the declared contract
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        "flag_ngram_contaminated",
+        "flag_semantic_contaminated",
+        "shuffle_pos",
+        F.col("shard").cast("long").alias("shard"),
+    )

@@ -86,3 +86,58 @@ def test_compact_files_executes_plan(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in src.collect())
     z = sorted(tuple(r) for r in back.collect())
     assert a == z
+
+
+def test_corpus_release_write_artifact(spark, sf_dir, tmp_path):
+    """The release writer's file-level contract (VERDICT r5 ask #1):
+    one hive dir per shard, ONE file per shard dir, shard sizes
+    balanced within one row (the shardmaster invariant), rows inside a
+    shard sorted by shuffle_pos, and a second overwrite run is
+    idempotent (identical row multiset, no stale files)."""
+    import os
+
+    from mapreduce_framework_in_go_spark.operators.pipeline import (
+        write_corpus_release,
+    )
+    from mapreduce_framework_in_go_spark.operators.training_prep import (
+        SHUFFLE_SHARDS,
+    )
+
+    out = str(tmp_path / "release")
+    path = write_corpus_release(spark, sf_dir, path=out)
+    assert path == out
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == SHUFFLE_SHARDS
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+    df = spark.read.parquet(out)
+    counts = {
+        r["shard"]: r["n"]
+        for r in df.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(counts) == SHUFFLE_SHARDS
+    assert max(counts.values()) - min(counts.values()) <= 1
+
+    # global permutation: positions are exactly 1..N with no gaps
+    n = df.count()
+    assert df.select("shuffle_pos").distinct().count() == n
+    agg = df.agg(
+        F.min("shuffle_pos").alias("lo"), F.max("shuffle_pos").alias("hi")
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"]) == (1, n)
+
+    # within-file ordering: each shard file is sorted by shuffle_pos
+    for d in dirs:
+        f = glob.glob(f"{d}/*.parquet")[0]
+        pos = [r["shuffle_pos"] for r in spark.read.parquet(f).collect()]
+        assert pos == sorted(pos), f
+
+    before = sorted(map(tuple, df.collect()))
+    write_corpus_release(spark, sf_dir, path=out)  # overwrite re-run
+    after_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(after_dirs) == SHUFFLE_SHARDS
+    for d in after_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
