@@ -396,3 +396,99 @@ def nb_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("log_odds_scaled"),
         )
     )
+
+
+# keep/drop margin grid in scaled nats (LOG_SCALE = 1e9): 0 .. 3 nats
+# covers the observed holdout margin distribution (median ~0.8 nats,
+# p99 ~3.8) with exact-integer thresholds
+NB_MARGIN_GRID = [
+    0,
+    250_000_000,
+    500_000_000,
+    750_000_000,
+    1_000_000_000,
+    1_500_000_000,
+    2_000_000_000,
+    3_000_000_000,
+]
+
+
+@register(
+    "nb_margin_tuning",
+    oracle=f"""
+    WITH {_NB_CTES},
+    margins AS (
+      SELECT doc_id,
+             max(CASE WHEN rn = 1 THEN c END) AS pred_source,
+             max(CASE WHEN rn = 1 THEN score END)
+               - max(CASE WHEN rn = 2 THEN score END) AS m
+      FROM scored WHERE rn <= 2 GROUP BY 1
+    ),
+    nh AS (SELECT count(*) AS nh FROM documents
+           WHERE doc_id % {NB_FOLD} = 0),
+    grid AS (SELECT unnest([{", ".join(str(v) for v in NB_MARGIN_GRID)}])
+               AS thr),
+    per AS (
+      SELECT g.thr, m.pred_source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM margins m JOIN grid g ON m.m >= g.thr
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT thr, CAST(sum(n_docs) AS BIGINT) AS n_kept
+            FROM per GROUP BY 1)
+    SELECT CAST(p.thr AS BIGINT) AS margin_min_scaled, p.pred_source,
+           p.n_docs, t.n_kept,
+           CAST(t.n_kept AS DOUBLE) / CAST(nh.nh AS DOUBLE) AS kept_frac
+    FROM per p JOIN tot t USING (thr) CROSS JOIN nh
+    """,
+    doc="The classifier gate's tune-before-the-full-pass artifact "
+    "(VERDICT r5 ask #7) — what every other family ships (LSH bands, "
+    "SemDeDup taus, IVF nprobe): kept-document count, kept fraction of "
+    "the holdout, and per-predicted-class composition across a grid of "
+    "confidence-margin thresholds, all derived from ONE scored pass "
+    "(the nb_doc_margin frame joined to an 8-row broadcast grid — no "
+    "retrain, no rescore per threshold). A pipeline reads this to pick "
+    "the margin at which the keep/drop gate trades recall for "
+    "precision before committing the 100 TB scoring run; thresholds "
+    "are exact scaled-integer nats so the sweep is bitwise-stable.",
+    tags=["classifier", "llm-pipeline", "tuning"],
+)
+def nb_margin_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    margins = (
+        scored.where(F.col("rn") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("pred_source"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("score")))
+                - F.max(F.when(F.col("rn") == 2, F.col("score")))
+            ).alias("m"),
+        )
+    )
+    n_hold = F.broadcast(
+        scored.where(F.col("rn") == 1).agg(F.count("*").alias("nh"))
+    )
+    grid = F.broadcast(
+        scored.sparkSession.createDataFrame(
+            [(v,) for v in NB_MARGIN_GRID], "thr long"
+        )
+    )
+    per = (
+        margins.join(grid, F.col("m") >= F.col("thr"))
+        .groupBy("thr", "pred_source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = per.groupBy("thr").agg(F.sum("n_docs").alias("n_kept"))
+    return (
+        per.join(F.broadcast(tot), "thr")
+        .crossJoin(n_hold)
+        .select(
+            F.col("thr").alias("margin_min_scaled"),
+            "pred_source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("nh").cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+    )
