@@ -89,8 +89,13 @@ def _frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     corpus size, and rides a broadcast join onto the token stream.
     ``w`` is (doc_id, source, n_tokens, w_scaled) for every RAW doc.
     """
-    _evict_dsir_generation()
-    tok = _tok(spark, sf_dir)
+    return _frames_from_tok(spark, _tok(spark, sf_dir), _DSIR_GENERATION)
+
+
+def _frames_from_tok(
+    spark: SparkSession, tok: DataFrame, gen: GenerationSlot
+) -> tuple[DataFrame, DataFrame]:
+    gen.evict()
     is_target = F.col("source") == DSIR_TARGET
     counts = (
         tok.groupBy("b")
@@ -126,7 +131,7 @@ def _frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         .persist()
     )
-    _DSIR_GENERATION.append(slr)
+    gen.append(slr)
 
     w = (
         tok.where(~is_target)
@@ -138,19 +143,15 @@ def _frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         .persist()
     )
-    _DSIR_GENERATION.append(w)
+    gen.append(w)
     return slr, w
 
 
 # Oracle CTE chain ending at slr(b, ct, cr, slr) and w(doc_id, source,
 # n_tokens, w_scaled) — the DuckDB twin of :func:`_weights`.
-_DSIR_CTES = f"""
-    tok AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5(t.w), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
-      FROM documents,
-           unnest(regexp_extract_all(text, '[\\p{{L}}]+')) t(w)
-    ),
+# Model chain from the bucketed feature stream `tok(doc_id, source, b)`
+# onward — shared verbatim by the unigram and hashed-n-gram oracles.
+_DSIR_MODEL_CTES = f"""
     bcounts AS (
       SELECT d.b,
              coalesce(c.ct, 0) AS ct,
@@ -179,6 +180,37 @@ _DSIR_CTES = f"""
       WHERE source <> '{DSIR_TARGET}'
       GROUP BY doc_id, source
     )"""
+
+_DSIR_CTES = f"""
+    tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t.w), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM documents,
+           unnest(regexp_extract_all(text, '[\\p{{L}}]+')) t(w)
+    ),
+    {_DSIR_MODEL_CTES}"""
+
+# Hashed-n-gram feature stream (the paper's actual config — Xie et al.
+# 2023 §3 hash unigrams AND bigrams into one bucket space).
+_DSIR_NGRAM_CTES = f"""
+    tokarr AS (
+      SELECT doc_id, source,
+             regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, t.w AS f FROM tokarr, unnest(toks) t(w)
+      UNION ALL
+      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+      FROM tokarr, unnest(range(1, len(toks))) u(i)
+      WHERE len(toks) >= 2
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM feats
+    ),
+    {_DSIR_MODEL_CTES}"""
 
 
 @register(
@@ -292,4 +324,83 @@ def dsir_bucket_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(LOG_SCALE),
             6,
         ).alias("kl_nats"),
+    )
+
+
+# --- hashed n-gram DSIR (the paper's published configuration) ---
+
+# Its OWN persist slot (per-slot cache rule): the unigram family's
+# frames must survive a driver that builds unigram and n-gram weight
+# frames before collecting either.
+_DSIR_NGRAM_GENERATION = GenerationSlot()
+
+
+def _evict_dsir_ngram_generation() -> None:
+    _DSIR_NGRAM_GENERATION.evict()
+
+
+def _tok_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, b): one row per hashed FEATURE — every unigram
+    plus every ' '-joined bigram, one shared bucket space (Xie et al.
+    2023 §3). The token array is staged through a single-element
+    explode so the regex split runs once per row, not once per
+    HOF-slice reference (CLAUDE.md lambda-subexpression rule)."""
+    from ..functions.text import shingles_col
+
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", F.explode(F.array(tokens_col("text"))).alias("toks")
+    )
+    feats = F.concat(F.col("toks"), shingles_col(F.col("toks"), 2))
+    return staged.select(
+        "doc_id", "source", F.explode(feats).alias("f")
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long32(F.col("f")) % DSIR_BUCKETS).alias("b"),
+    )
+
+
+def _frames_ngram(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    return _frames_from_tok(
+        spark, _tok_ngram(spark, sf_dir), _DSIR_NGRAM_GENERATION
+    )
+
+
+@register(
+    "dsir_weights_ngram",
+    oracle=f"""
+    WITH {_DSIR_NGRAM_CTES}
+    SELECT doc_id, source,
+           n_tokens AS n_features, w_scaled,
+           round((w_scaled * 1.0 / {LOG_SCALE}) / n_tokens, 6)
+             AS avg_logratio
+    FROM w
+    """,
+    doc="DSIR importance weights under the paper's ACTUAL feature "
+    "config — hashed n-grams (every unigram plus every bigram, one "
+    "shared 1024-bucket space) rather than unigrams only. Shares the "
+    "_frames model machinery verbatim: the bucket table stays "
+    "B-bounded at ANY corpus size (bigrams add rows to the token "
+    "STREAM, never to the model), the log-ratio table broadcasts, the "
+    "per-doc fold is order-free scaled-integer nats. Bigram features "
+    "capture word-order signal the unigram model cannot (the planted "
+    "near-dup corpus separates the two measurably — pinned in "
+    "tests/test_dsir.py).",
+    tags=["dsir", "llm-pipeline"],
+)
+def dsir_weights_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, w = _frames_ngram(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").alias("n_features"),
+        "w_scaled",
+        F.round(
+            (F.col("w_scaled") * F.lit(1.0) / F.lit(LOG_SCALE))
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_logratio"),
     )

@@ -95,3 +95,73 @@ def test_dsir_frames_survive_dedup_eviction(spark, sf_dir):
     assert slr.storageLevel.useMemory and w.storageLevel.useMemory, (
         "dsir frames evicted by dedup's generation — per-slot rule violated"
     )
+
+
+def _py_model_ngram(sf_dir: str):
+    """Independent hashed-n-gram DSIR model (unigrams + bigrams)."""
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    ct = [0] * dsir.DSIR_BUCKETS
+    cr = [0] * dsir.DSIR_BUCKETS
+    doc_buckets = {}
+    for row in tbl:
+        toks = re.findall(r"[^\W\d_]+", row["text"])
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        bs = [_py_bucket(f) for f in feats]
+        tgt = row["source"] == dsir.DSIR_TARGET
+        for b in bs:
+            (ct if tgt else cr)[b] += 1
+        if not tgt:
+            doc_buckets[row["doc_id"]] = bs
+    tt, tr = sum(ct), sum(cr)
+    B, S = dsir.DSIR_BUCKETS, dsir.LOG_SCALE
+    slr = [
+        round(math.log((ct[b] + 1) / (tt + B)) * S)
+        - round(math.log((cr[b] + 1) / (tr + B)) * S)
+        for b in range(B)
+    ]
+    return {d: sum(slr[b] for b in bs) for d, bs in doc_buckets.items()}
+
+
+def test_ngram_weights_match_independent_python_model(spark, sf_dir):
+    expected = _py_model_ngram(sf_dir)
+    rows = dsir.dsir_weights_ngram(spark, sf_dir).collect()
+    got = {r.doc_id: r.w_scaled for r in rows}
+    assert got == expected
+
+
+def test_ngram_weights_diverge_from_unigram(spark, sf_dir):
+    """Bigram features carry word-order signal the unigram model cannot
+    see: the two weight vectors must rank the pool measurably
+    differently (VERDICT r5 ask #4's done-condition)."""
+    uni = {
+        r.doc_id: r.w_scaled
+        for r in dsir.dsir_weights(spark, sf_dir).collect()
+    }
+    ng = {
+        r.doc_id: r.w_scaled
+        for r in dsir.dsir_weights_ngram(spark, sf_dir).collect()
+    }
+    assert set(uni) == set(ng)
+    assert uni != ng
+    # rank-order disagreement, not just scale: the top-20% selected
+    # sets under the two configs differ on the fixture corpus
+    k = max(1, len(uni) // 5)
+    top_uni = set(
+        sorted(uni, key=lambda d: (-uni[d], d))[:k]
+    )
+    top_ng = set(
+        sorted(ng, key=lambda d: (-ng[d], d))[:k]
+    )
+    assert top_uni != top_ng
+
+
+def test_ngram_frames_survive_unigram_eviction(spark, sf_dir):
+    """Per-slot rule: the two DSIR configs own separate generations."""
+    slr, w = dsir._frames_ngram(spark, sf_dir)
+    assert slr.storageLevel.useMemory and w.storageLevel.useMemory
+    dsir._evict_dsir_generation()
+    assert slr.storageLevel.useMemory and w.storageLevel.useMemory, (
+        "ngram frames evicted by the unigram generation — per-slot rule"
+    )
