@@ -110,6 +110,18 @@ def _member_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     )
     _SEM_GENERATION.append(members)
 
+    return members, max_prev_from_members(members)
+
+
+def max_prev_from_members(members: DataFrame) -> DataFrame:
+    """The within-cell pairwise reduction over any frame shaped like
+    ``members`` (vec_id, cell_id, embedding, vn, cent_cos) — split out
+    so the bucketed-layout twin (tests/test_semdedup.py) can run the
+    IDENTICAL dataflow over a cell_id-bucketed table: both scan
+    branches then report the bucket hash as their partitioning and the
+    self-join plans with NO exchange between scan and join (the
+    co-located sort-merge the module docstring claims for the 100 TB
+    layout)."""
     a = members.select(
         F.col("cell_id"),
         F.col("vec_id").alias("ai"),
@@ -124,7 +136,7 @@ def _member_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         F.col("embedding").alias("be"),
         F.col("vn").alias("bn"),
     )
-    max_prev = (
+    return (
         a.join(b, "cell_id")
         .where(
             (F.col("ca") < F.col("cb"))
@@ -142,7 +154,6 @@ def _member_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         .groupBy("vec_id")
         .agg(F.max("c").alias("max_prev_cos"))
     )
-    return members, max_prev
 
 
 def _memb_ctes() -> str:
