@@ -305,3 +305,121 @@ def test_semdedup_copy_families_pruned(spark, big_emb_dir):
         assert fam_cells == 0
     finally:
         res.unpersist()
+
+
+# --- selection + classification stress (VERDICT r5 ask #5): the two
+# round-5 families the salted-corpus suite did not yet cover ---
+
+
+def test_dsir_copy_families_share_weights(spark, big_dir):
+    """dsir_weights on the 55,500-doc salted corpus: a document's
+    importance weight is a pure function of its text (token buckets x
+    the corpus-level log-ratio table), so the 10 exact copies of every
+    base doc MUST carry one identical w_scaled — under 10x duplication
+    the bucket model shifts, but it shifts identically for every family
+    member. The B-bounded model build + broadcast scoring join must
+    stay inside the wall budget (the whole path is one explode + two
+    groupBys — nothing here may go quadratic)."""
+    from mapreduce_framework_in_go_spark.operators.dsir import (
+        DSIR_TARGET,
+        dsir_weights,
+    )
+
+    def _build_and_agg():
+        w = dsir_weights(spark, big_dir).persist()
+        fam = (
+            w.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("base"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("w_scaled").alias("n_w"),
+                F.count_distinct("n_tokens").alias("n_nt"),
+            )
+        )
+        agg = fam.agg(
+            F.count("*").alias("n_fams"),
+            F.sum((F.col("n") == COPIES).cast("long")).alias("full_fams"),
+            F.max("n_w").alias("max_w_variants"),
+            F.max("n_nt").alias("max_nt_variants"),
+        ).first()
+        return w, agg
+
+    w, agg = _timed(_build_and_agg)
+    try:
+        # every non-target base contributes a full 10-copy family
+        n_raw_bases = (
+            spark.read.parquet(f"{big_dir}/documents.parquet")
+            .where(
+                (F.col("doc_id") < COPY_STRIDE)
+                & (F.col("source") != DSIR_TARGET)
+            )
+            .count()
+        )
+        assert agg["n_fams"] == n_raw_bases
+        assert agg["full_fams"] == n_raw_bases
+        # the family-invariance core: one weight, one token count
+        assert agg["max_w_variants"] == 1
+        assert agg["max_nt_variants"] == 1
+    finally:
+        w.unpersist()
+
+
+def test_nb_copy_families_share_verdicts(spark, big_dir):
+    """The hashed-NB classifier on the salted corpus: scores depend
+    only on (text, the trained model), so every holdout member of a
+    10-copy family (copies straddle folds — +k*COPY_STRIDE walks
+    doc_id mod 7) must receive the IDENTICAL prediction and margin.
+    The (C x 1024)-bounded model and the broadcast scoring join are
+    what keep 10x duplication inside the wall budget."""
+    from mapreduce_framework_in_go_spark.operators.classifier import (
+        nb_doc_margin,
+    )
+
+    def _build_and_agg():
+        m = nb_doc_margin(spark, big_dir).persist()
+        fam = (
+            m.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("base"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("pred_source").alias("n_pred"),
+                F.count_distinct("margin_scaled").alias("n_margin"),
+                F.count_distinct("top_score_scaled").alias("n_top"),
+            )
+        )
+        agg = fam.agg(
+            F.count("*").alias("n_fams"),
+            F.max("n_pred").alias("max_pred"),
+            F.max("n_margin").alias("max_margin"),
+            F.max("n_top").alias("max_top"),
+            F.sum("n").alias("n_scored"),
+        ).first()
+        return m, agg
+
+    m, agg = _timed(_build_and_agg)
+    try:
+        # copies walk doc_id mod 7 by 3 per stride step (10^7 % 7 == 3,
+        # coprime walk), so every 10-copy family has holdout members —
+        # all 5000 bases appear, each with identical verdicts
+        assert agg["n_fams"] == 5000
+        assert agg["max_pred"] == 1
+        assert agg["max_margin"] == 1
+        assert agg["max_top"] == 1
+        # and the holdout roster is exactly the mod-7 arithmetic over
+        # the actual base ids (generator-independent)
+        base_ids = [
+            r.doc_id
+            for r in spark.read.parquet(f"{big_dir}/documents.parquet")
+            .where(F.col("doc_id") < COPY_STRIDE)
+            .select("doc_id")
+            .collect()
+        ]
+        expected = sum(
+            1
+            for d in base_ids
+            for k in range(COPIES)
+            if (d + k * COPY_STRIDE) % 7 == 0
+        )
+        assert agg["n_scored"] == expected
+    finally:
+        m.unpersist()
