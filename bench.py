@@ -100,7 +100,21 @@ HEADLINE = [
     "stream_substring_probe",
     "ann_ivf_incremental",
     "decontaminate_span_scrub",
+    "corpus_release_write",
+    "nb_margin_tuning",
+    "dsir_weights_ngram",
 ]
+
+# The heaviest queries wobble most under min-of-2 (triangle_count swung
+# 4.9<->7.7 s across clean r5 runs): give them a third timed run so the
+# reported min converges (VERDICT r5 ask #6).
+HEAVY_3RUN = {
+    "pretrain_corpus_yield",
+    "triangle_count",
+    "dedup_clusters_lsh",
+    "stream_substring_probe",
+    "dedup_containment",
+}
 
 
 def main() -> None:
@@ -127,7 +141,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(RUNS):
+        for _ in range(3 if name in HEAVY_3RUN else RUNS):
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             # foreach-noop action: executes the full plan without
@@ -144,6 +158,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": RUNS,
+        "heavy_3run": sorted(HEAVY_3RUN),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures only the TAIL of stdout (~2 KB): a full

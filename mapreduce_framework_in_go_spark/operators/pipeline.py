@@ -552,3 +552,40 @@ def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_pos",
         F.col("shard").cast("long").alias("shard"),
     )
+
+
+RELEASE_READ_SHARD = 0
+
+
+@register(
+    "corpus_release_shard_read",
+    oracle=f"""
+    SELECT * FROM ({_release_write_oracle()})
+    WHERE shard = {RELEASE_READ_SHARD}
+    """,
+    doc="One data-loader worker's view of the written release: read the "
+    "artifact back with a shard predicate. Because the shard is a hive "
+    "partition directory, the filter resolves at PLANNING time — the "
+    "scan lists shard=0/ only and never opens the other seven files "
+    "(PartitionFilters, asserted in tests/test_layout.py) — the "
+    "100 TB property that lets a thousand loader workers each read "
+    "1/S of the corpus with zero wasted IO. Oracle-checkable because "
+    "the round-robin shard assignment is a deterministic function of "
+    "the manifest row set.",
+    tags=["pipeline", "training_prep", "sink"],
+)
+def corpus_release_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_corpus_release(spark, sf_dir)
+    out = spark.read.parquet(path).where(
+        F.col("shard") == RELEASE_READ_SHARD
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        "flag_ngram_contaminated",
+        "flag_semantic_contaminated",
+        "shuffle_pos",
+        F.col("shard").cast("long").alias("shard"),
+    )

@@ -141,3 +141,32 @@ def test_corpus_release_write_artifact(spark, sf_dir, tmp_path):
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_release_shard_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The shard predicate must resolve as a hive-partition filter —
+    the scan touches ONE shard directory, not a post-scan filter over
+    all eight."""
+    from mapreduce_framework_in_go_spark.operators.pipeline import (
+        RELEASE_READ_SHARD,
+        write_corpus_release,
+    )
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    out = str(tmp_path / "release")
+    write_corpus_release(spark, sf_dir, path=out)
+    read = spark.read.parquet(out).where(F.col("shard") == RELEASE_READ_SHARD)
+    plan = formatted_plan(read)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "shard" in pf, plan
+    # and the planned file count is the one shard dir
+    scan = spark.read.parquet(out).where(
+        F.col("shard") == RELEASE_READ_SHARD
+    )
+    n_files = scan.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_files == 1
