@@ -452,3 +452,107 @@ def doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("cross_entropy_kn"),
         F.round(F.exp(h), 6).alias("perplexity_kn"),
     )
+
+
+@register(
+    "perplexity_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS w FROM toks
+    ),
+    uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cw) AS t FROM uni),
+    slog AS (
+      SELECT w, CAST(round(ln(cw / t) * {LOG_SCALE}) AS BIGINT) AS sl
+      FROM uni, tot
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n, sum(sl) AS s
+      FROM tok JOIN slog USING (w)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             round(-(p.s * 1.0 / {LOG_SCALE}) / p.n, 6) AS cross_entropy
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cross_entropy, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM scored
+    )
+    SELECT doc_id, source, cross_entropy,
+           CASE (rk - 1) * 3 // ns
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM ranked
+    """,
+    doc="The CCNet bucketing (Wenzek et al. 2020): split each source's "
+    "documents into equal head/middle/tail thirds by LM "
+    "cross-entropy — the published shape that lets a pipeline keep "
+    "head+middle and drop the noisy tail per language. Scores are the "
+    "doc_perplexity unigram cross-entropy (order-free scaled-integer "
+    "fold); the per-source rank does NOT run a per-source monolithic "
+    "window — it derives from the shared terasort two-level rank over "
+    "(source, score, doc_id) plus a broadcast per-source offset "
+    "table, so one mega-language can never funnel the corpus through "
+    "a single partition. Tertile membership is exact integer "
+    "arithmetic ((rank-1)*3 div n), bitwise-replayed by the oracle.",
+    tags=["langmodel", "textops", "llm-pipeline"],
+)
+def perplexity_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import two_level_global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("w")
+    )
+    _evict_previous_generation()
+    uni = tok.groupBy("w").agg(F.count("*").alias("cw")).persist()
+    _CACHE_GENERATION.append(uni)
+    tot = uni.agg(F.sum("cw").alias("t"))
+    slog = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("cw") / F.col("t")) * LOG_SCALE)
+        .cast("long")
+        .alias("sl"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(slog), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("sl").alias("s"))
+    )
+    scored = per_doc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(
+            -(F.col("s") * F.lit(1.0) / F.lit(LOG_SCALE)) / F.col("n"), 6
+        ).alias("cross_entropy"),
+    )
+    ranked = two_level_global_rank(
+        scored,
+        ["source", "cross_entropy", "doc_id"],
+        slot="perplexity_ccnet_buckets",
+    )
+    offsets = ranked.groupBy("source").agg(
+        F.min("pos").alias("p0"), F.count("*").alias("ns")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "source")
+        .withColumn("rk", F.col("pos") - F.col("p0") + 1)
+        .select(
+            "doc_id",
+            "source",
+            "cross_entropy",
+            F.when(F.expr("(rk - 1) * 3 div ns") == 0, "head")
+            .when(F.expr("(rk - 1) * 3 div ns") == 1, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

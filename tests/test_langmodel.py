@@ -212,3 +212,33 @@ def test_kn_doc_perplexity_matches_independent_model(spark, sf_dir):
         assert got[d["doc_id"]] == exp, (d["doc_id"], got[d["doc_id"]], exp)
         checked += 1
     assert checked == len(got)
+
+
+def test_ccnet_buckets_are_balanced_thirds(spark, sf_dir):
+    """Within every source the head/middle/tail buckets differ by at
+    most one doc, cover all scored docs, and head holds the lowest
+    cross-entropy slice (the CCNet contract)."""
+    from mapreduce_framework_in_go_spark.operators.langmodel import (
+        perplexity_ccnet_buckets,
+    )
+
+    rows = perplexity_ccnet_buckets(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r.ppl_bucket] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (src, sizes)
+        head_max = max(
+            (r.cross_entropy for r in rs if r.ppl_bucket == "head"),
+            default=None,
+        )
+        tail_min = min(
+            (r.cross_entropy for r in rs if r.ppl_bucket == "tail"),
+            default=None,
+        )
+        if head_max is not None and tail_min is not None:
+            assert head_max <= tail_min, src
