@@ -106,8 +106,10 @@ HEADLINE = [
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung
-# 4.9<->7.7 s across clean r5 runs): give them a third timed run so the
-# reported min converges (VERDICT r5 ask #6).
+# 4.9<->7.7 s across clean r5 runs): give them one UNTIMED warm
+# execution (absorbs whole-stage-codegen JIT — measured 14 s first run
+# vs ~4.5 s converged for triangle_count — plus generation-cache build)
+# and a third timed run so the reported min converges (r5 ask #6).
 HEAVY_3RUN = {
     "pretrain_corpus_yield",
     "triangle_count",
@@ -140,6 +142,10 @@ def main() -> None:
     RUNS = 2
     timings: dict[str, float] = {}
     for name in names:
+        if name in HEAVY_3RUN:  # untimed warm execution
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         best = None
         for _ in range(3 if name in HEAVY_3RUN else RUNS):
             t0 = time.perf_counter()
