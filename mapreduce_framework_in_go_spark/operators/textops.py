@@ -754,3 +754,147 @@ def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --- the published Gopher quality rules (Rae et al. 2021, A1.1) ---
+
+# Gopher's stop-word presence rule uses this fixed 8-word set.
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOP) + "]"
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\S+') AS words,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_replace(text, '\\s+', '', 'g')) AS wchars,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words, lines, wchars, n_hash, n_ell,
+             len(words) AS nw,
+             len(lines) AS nl,
+             len(list_filter(words, w -> regexp_matches(w, '[\\p{{L}}]')))
+               AS n_alpha,
+             len(list_filter(lines, l ->
+                   starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                   OR starts_with(ltrim(l), '•'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+               AS n_ellend,
+             len(list_intersect(list_transform(words, w -> lower(w)),
+                                {_GOPHER_STOP_SQL})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           nw BETWEEN 50 AND 100000 AS ok_word_count,
+           3 * nw <= wchars AND wchars <= 10 * nw AS ok_mean_word_len,
+           10 * (n_hash + n_ell) < nw AS ok_symbol_ratio,
+           10 * n_bullet < 9 * nl AS ok_bullet_lines,
+           10 * n_ellend < 3 * nl AS ok_ellipsis_lines,
+           5 * n_alpha >= 4 * nw AS ok_alpha_words,
+           n_stop >= 2 AS ok_stop_words,
+           (nw BETWEEN 50 AND 100000)
+             AND (3 * nw <= wchars AND wchars <= 10 * nw)
+             AND (10 * (n_hash + n_ell) < nw)
+             AND (10 * n_bullet < 9 * nl)
+             AND (10 * n_ellend < 3 * nl)
+             AND (5 * n_alpha >= 4 * nw)
+             AND (n_stop >= 2) AS gopher_pass
+    FROM c
+    """,
+    doc="The published Gopher document-quality rules (Rae et al. 2021 "
+    "Appendix A1.1) as per-document flags: word count in [50, 1e5], "
+    "mean word length in [3, 10], symbol-to-word ratio (# and "
+    "ellipsis) < 0.1, < 90% bullet-started lines, < 30% "
+    "ellipsis-ended lines, >= 80% words containing a letter, and >= 2 "
+    "of the fixed 8 stop words present — plus the conjunction the "
+    "pipeline actually gates on. Every rule is EXACT integer "
+    "arithmetic (10*symbols < words, 5*alpha >= 4*words, ...): no "
+    "ratio double ever enters the hashed output, so both engines "
+    "agree bitwise with zero rounding discipline needed. Shuffle-free "
+    "map work over the corpus scan — the cheapest gate in the "
+    "pipeline, which is why Gopher runs it first.",
+    tags=["textops", "llm-pipeline"],
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    # split() emits a leading/trailing '' for boundary whitespace;
+    # drop empties to match regexp_extract_all('\S+') semantics
+    words = F.filter(words, lambda w: w != F.lit(""))
+    lines = F.split(F.col("text"), r"\n", -1)
+    t = docs.select(
+        "doc_id",
+        words.alias("words"),
+        lines.alias("lines"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("wchars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+        ).alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace("text", F.lit("...")))
+            )
+            / 3
+        )
+        .cast("long")
+        .alias("n_ell"),
+    )
+    c = t.select(
+        "doc_id",
+        F.size("words").alias("nw"),
+        F.size("lines").alias("nl"),
+        "wchars",
+        "n_hash",
+        "n_ell",
+        F.size(
+            F.filter(F.col("words"), lambda w: w.rlike(r"[\p{L}]"))
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(F.col("lines"), lambda l: F.rtrim(l).endswith("..."))
+        ).alias("n_ellend"),
+        F.size(
+            F.array_intersect(
+                F.transform(F.col("words"), F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_STOP]),
+            )
+        ).alias("n_stop"),
+    )
+    ok_wc = F.col("nw").between(50, 100000)
+    ok_mwl = (F.lit(3) * F.col("nw") <= F.col("wchars")) & (
+        F.col("wchars") <= F.lit(10) * F.col("nw")
+    )
+    ok_sym = F.lit(10) * (F.col("n_hash") + F.col("n_ell")) < F.col("nw")
+    ok_bul = F.lit(10) * F.col("n_bullet") < F.lit(9) * F.col("nl")
+    ok_ell = F.lit(10) * F.col("n_ellend") < F.lit(3) * F.col("nl")
+    ok_alpha = F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("nw")
+    ok_stop = F.col("n_stop") >= 2
+    return c.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullet_lines"),
+        ok_ell.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stop_words"),
+        (
+            ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
+        ).alias("gopher_pass"),
+    )

@@ -622,3 +622,39 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         assert abs(r.slope - slope) < 1e-4
         assert abs(r.intercept - intercept) < 1e-3
         assert r.n == len(li)
+
+
+def test_gopher_rules_flip_on_crafted_docs(spark, tmp_path):
+    """Each published Gopher rule must flip on a doc crafted to violate
+    exactly it (the fixture corpus is a clean word salad, so the
+    sf-parity check alone never exercises the failure sides)."""
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    good = "the cat sat with all of its friends and that was fine " * 5
+    docs = [
+        (0, good),  # passes every rule
+        (1, "the of and that be to have with"),  # too few words
+        (2, "a " * 60 + "the of and that"),  # mean word length < 3
+        (3, good + " " + "#" * 1 * 30),  # symbol ratio (30 hashes)
+        (4, "\n".join(["- the cat sat of and that be" ] * 20)),  # bullets
+        (5, "\n".join(["the cat sat of and that be..." ] * 20)),  # ellipsis ends
+        (6, good + " " + "123 456 789 " * 30),  # alpha-word ratio
+        (7, "cat sat mat run sun fun bun " * 10),  # no stop words
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+    rows = {
+        r.doc_id: r for r in gopher_quality_flags(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].gopher_pass
+    assert not rows[1].ok_word_count
+    assert not rows[2].ok_mean_word_len
+    assert not rows[3].ok_symbol_ratio
+    assert not rows[4].ok_bullet_lines
+    assert not rows[5].ok_ellipsis_lines
+    assert not rows[6].ok_alpha_words
+    assert not rows[7].ok_stop_words
+    for i in (1, 2, 3, 4, 5, 6, 7):
+        assert not rows[i].gopher_pass
