@@ -20,7 +20,7 @@ tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import GenerationSlot
@@ -897,4 +897,283 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
         ).alias("gopher_pass"),
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1), as
+# (numerator-scale, limit) integer pairs: frac <= limit/100.
+_GOPHER_TOP_LIMITS = {2: 20, 3: 18, 4: 16}
+_GOPHER_DUP_LIMITS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _gopher_rep_oracle() -> str:
+    top_in = ", ".join(str(k) for k in _GOPHER_TOP_LIMITS)
+    dup_min = min(_GOPHER_DUP_LIMITS)
+    ks = ", ".join(str(k) for k in [*_GOPHER_TOP_LIMITS, *_GOPHER_DUP_LIMITS])
+    top_cols = ", ".join(
+        f"max(CASE WHEN k = {k} THEN cov END) AS cov{k}"
+        for k in _GOPHER_TOP_LIMITS
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN k = {k} THEN cov END) AS cov{k}"
+        for k in _GOPHER_DUP_LIMITS
+    )
+    top_flags = "\n".join(
+        f",           100 * coalesce(t.cov{k}, 0) <= {lim} * coalesce(den.den, 0)"
+        f" AS ok_top{k}gram_chars"
+        for k, lim in _GOPHER_TOP_LIMITS.items()
+    )
+    dup_flags = "\n".join(
+        f",           100 * coalesce(dc.cov{k}, 0) <= {lim} * coalesce(den.den, 0)"
+        f" AS ok_dup{k}gram_chars"
+        for k, lim in _GOPHER_DUP_LIMITS.items()
+    )
+    all_terms = " AND ".join(
+        ["10 * (la.nl - la.dl) <= 3 * la.nl",
+         "10 * (pa.np - pa.dp) <= 3 * pa.np",
+         "10 * ld.dup_chars <= 2 * la.lc",
+         "10 * pd.dup_chars <= 2 * pa.pc"]
+        + [f"100 * coalesce(t.cov{k}, 0) <= {lim} * coalesce(den.den, 0)"
+           for k, lim in _GOPHER_TOP_LIMITS.items()]
+        + [f"100 * coalesce(dc.cov{k}, 0) <= {lim} * coalesce(den.den, 0)"
+           for k, lim in _GOPHER_DUP_LIMITS.items()]
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS toks
+      FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, i - 1 AS p, len(toks[i]) AS wl
+      FROM toks, unnest(range(1, len(toks) + 1)) u(i)
+    ),
+    den AS (SELECT doc_id, sum(wl) AS den FROM tl GROUP BY 1),
+    grams AS (
+      SELECT doc_id, k, i - 1 AS pos,
+             array_to_string(toks[i:i+k-1], ' ') AS g
+      FROM toks,
+           unnest([{ks}]) kk(k),
+           unnest(range(1, len(toks) - k + 2)) u(i)
+      WHERE len(toks) >= k
+    ),
+    gc AS (SELECT doc_id, k, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+    topk AS (
+      SELECT doc_id, k, c * len(replace(g, ' ', '')) AS cov
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, k
+                                         ORDER BY c DESC, g) AS rn
+            FROM gc WHERE k IN ({top_in}))
+      WHERE rn = 1
+    ),
+    tp AS (SELECT doc_id, {top_cols} FROM topk GROUP BY doc_id),
+    dpos AS (
+      SELECT DISTINCT gr.doc_id, gr.k, p
+      FROM grams gr
+      JOIN gc ON gc.doc_id = gr.doc_id AND gc.k = gr.k AND gc.g = gr.g,
+           unnest(range(gr.pos, gr.pos + gr.k)) u(p)
+      WHERE gc.c > 1 AND gr.k >= {dup_min}
+    ),
+    dcov AS (
+      SELECT d.doc_id, d.k, sum(tl.wl) AS cov
+      FROM dpos d JOIN tl ON tl.doc_id = d.doc_id AND tl.p = d.p
+      GROUP BY 1, 2
+    ),
+    dc AS (SELECT doc_id, {dup_cols} FROM dcov GROUP BY doc_id),
+    ln AS (
+      SELECT doc_id, x FROM
+      (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      unnest(ls) t(x)
+    ),
+    la AS (SELECT doc_id, count(*) AS nl, count(DISTINCT x) AS dl,
+                  sum(len(x)) AS lc
+           FROM ln GROUP BY 1),
+    ld AS (SELECT doc_id, sum((c - 1) * len(x)) AS dup_chars
+           FROM (SELECT doc_id, x, count(*) AS c FROM ln GROUP BY 1, 2)
+           GROUP BY 1),
+    pn AS (
+      SELECT doc_id, x FROM
+      (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+       FROM documents),
+      unnest(ps) t(x)
+    ),
+    pa AS (SELECT doc_id, count(*) AS np, count(DISTINCT x) AS dp,
+                  sum(len(x)) AS pc
+           FROM pn GROUP BY 1),
+    pd AS (SELECT doc_id, sum((c - 1) * len(x)) AS dup_chars
+           FROM (SELECT doc_id, x, count(*) AS c FROM pn GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT d.doc_id,
+           10 * (la.nl - la.dl) <= 3 * la.nl AS ok_dup_line_frac,
+           10 * (pa.np - pa.dp) <= 3 * pa.np AS ok_dup_para_frac,
+           10 * ld.dup_chars <= 2 * la.lc AS ok_dup_line_chars,
+           10 * pd.dup_chars <= 2 * pa.pc AS ok_dup_para_chars
+           {top_flags}
+           {dup_flags},
+           {all_terms} AS rep_pass
+    FROM documents d
+    JOIN la USING (doc_id) JOIN ld USING (doc_id)
+    JOIN pa USING (doc_id) JOIN pd USING (doc_id)
+    LEFT JOIN den USING (doc_id)
+    LEFT JOIN tp t USING (doc_id)
+    LEFT JOIN dc USING (doc_id)
+    """
+
+
+@register(
+    "gopher_repetition_flags",
+    oracle=_gopher_rep_oracle(),
+    doc="The OTHER half of the published Gopher filter (Rae et al. "
+    "2021, Table A1) — the repetition rules: duplicate line/paragraph "
+    "fractions (<= 0.30), duplicate line/paragraph CHARACTER "
+    "fractions (<= 0.20), the top-{2,3,4}-gram character fraction "
+    "(<= .20/.18/.16, most-frequent gram by (count, gram) "
+    "tie-break), and the duplicated-{5..10}-gram character fraction "
+    "(<= .15/.14/.13/.12/.11/.10) under POSITION-COVERAGE semantics: "
+    "a token's characters count once when ANY duplicated k-gram "
+    "covers its position — the overlap-correct published definition, "
+    "not the multiplicity sum that can exceed 1. Every rule is exact "
+    "integer arithmetic (100*covered <= limit*total), so no ratio "
+    "double enters the hashed output. One Generate stages all nine "
+    "gram widths as (k, pos, gram) rows; counts, the per-(doc,k) "
+    "argmax, and coverage are ordinary partial-aggregated "
+    "groupBys/bounded windows — corpus work stays linear in tokens x "
+    "9 widths at any scale.",
+    tags=["textops", "llm-pipeline"],
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.explode(F.array(tokens_col("text"))).alias("toks")
+    )
+
+    def _tag(k: int):
+        return lambda g, i: F.struct(
+            F.lit(k).alias("k"),
+            i.cast("int").alias("pos"),
+            g.alias("g"),
+        )
+
+    all_k = [*_GOPHER_TOP_LIMITS, *_GOPHER_DUP_LIMITS]
+    gram_structs = F.flatten(
+        F.array(
+            *[
+                F.transform(shingles_col(F.col("toks"), k), _tag(k))
+                for k in all_k
+            ]
+        )
+    )
+    grams = staged.select(
+        "doc_id", F.explode(gram_structs).alias("s")
+    ).select("doc_id", "s.k", "s.pos", "s.g")
+    tl = staged.select(
+        "doc_id", F.posexplode("toks").alias("p", "w")
+    ).select("doc_id", "p", F.length("w").alias("wl"))
+    den = tl.groupBy("doc_id").agg(F.sum("wl").alias("den"))
+    gc = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+
+    top_w = Window.partitionBy("doc_id", "k").orderBy(
+        F.col("c").desc(), F.col("g").asc()
+    )
+    topk = (
+        gc.where(F.col("k").isin(list(_GOPHER_TOP_LIMITS)))
+        .withColumn("rn", F.row_number().over(top_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "k",
+            (
+                F.col("c") * F.length(F.regexp_replace("g", " ", ""))
+            ).alias("cov"),
+        )
+    )
+    tp = topk.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("cov"))).alias(f"cov{k}")
+            for k in _GOPHER_TOP_LIMITS
+        ]
+    )
+
+    dup_min = min(_GOPHER_DUP_LIMITS)
+    dpos = (
+        grams.join(
+            gc.where((F.col("c") > 1) & (F.col("k") >= dup_min)),
+            ["doc_id", "k", "g"],
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("k") - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    dcov = (
+        dpos.join(tl, ["doc_id", "p"])
+        .groupBy("doc_id", "k")
+        .agg(F.sum("wl").alias("cov"))
+    )
+    dc = dcov.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("cov"))).alias(f"cov{k}")
+            for k in _GOPHER_DUP_LIMITS
+        ]
+    )
+
+    def _unit_stats(sep: str, n: str, d: str, c: str, dup: str):
+        parts = F.split(F.col("text"), sep, -1)
+        ln = docs.select("doc_id", F.explode(parts).alias("x"))
+        agg = ln.groupBy("doc_id").agg(
+            F.count("*").alias(n),
+            F.count_distinct("x").alias(d),
+            F.sum(F.length("x")).alias(c),
+        )
+        dupc = (
+            ln.groupBy("doc_id", "x")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum((F.col("cnt") - 1) * F.length("x")).alias(dup)
+            )
+        )
+        return agg.join(dupc, "doc_id")
+
+    la = _unit_stats(r"\n", "nl", "dl", "lc", "ldup")
+    pa = _unit_stats(r"\n\n", "np", "dp", "pc", "pdup")
+
+    out = (
+        docs.select("doc_id")
+        .join(la, "doc_id")
+        .join(pa, "doc_id")
+        .join(den, "doc_id", "left")
+        .join(tp, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+    )
+    flags = {
+        "ok_dup_line_frac": F.lit(10) * (F.col("nl") - F.col("dl"))
+        <= F.lit(3) * F.col("nl"),
+        "ok_dup_para_frac": F.lit(10) * (F.col("np") - F.col("dp"))
+        <= F.lit(3) * F.col("np"),
+        "ok_dup_line_chars": F.lit(10) * F.col("ldup")
+        <= F.lit(2) * F.col("lc"),
+        "ok_dup_para_chars": F.lit(10) * F.col("pdup")
+        <= F.lit(2) * F.col("pc"),
+    }
+    den0 = F.coalesce(F.col("den"), F.lit(0))
+    for k, lim in _GOPHER_TOP_LIMITS.items():
+        flags[f"ok_top{k}gram_chars"] = (
+            F.lit(100) * F.coalesce(F.col(f"cov{k}"), F.lit(0))
+            <= F.lit(lim) * den0
+        )
+    for k, lim in _GOPHER_DUP_LIMITS.items():
+        flags[f"ok_dup{k}gram_chars"] = (
+            F.lit(100) * F.coalesce(F.col(f"cov{k}"), F.lit(0))
+            <= F.lit(lim) * den0
+        )
+    rep_pass = None
+    for expr in flags.values():
+        rep_pass = expr if rep_pass is None else (rep_pass & expr)
+    return out.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in flags.items()],
+        rep_pass.alias("rep_pass"),
     )

@@ -658,3 +658,47 @@ def test_gopher_rules_flip_on_crafted_docs(spark, tmp_path):
     assert not rows[7].ok_stop_words
     for i in (1, 2, 3, 4, 5, 6, 7):
         assert not rows[i].gopher_pass
+
+
+def test_gopher_repetition_rules_flip_on_crafted_docs(spark, tmp_path):
+    """Position-coverage duplicated-n-gram fractions, top-n-gram share,
+    and line/paragraph duplication each flip on a doc crafted for
+    exactly that failure mode."""
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_repetition_flags,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    uniq = lambda n: " ".join(
+        "w" + "".join(rng.choice("abcdefghij") for _ in range(5))
+        for _ in range(n)
+    )
+    clean = "\n".join(uniq(12) for _ in range(5))
+    rep_sentence = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, clean),
+        (1, "the cat\n" * 10 + uniq(8)),           # dup lines
+        (2, ("parx one\n\n" * 6) + uniq(8)),       # dup paragraphs
+        (3, "the cat " * 30),                      # dominant 2-gram
+        (4, f"{uniq(15)} {rep_sentence} {uniq(15)} {rep_sentence}"),  # dup 5..10-grams
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+    rows = {
+        r.doc_id: r
+        for r in gopher_repetition_flags(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].rep_pass, rows[0]
+    assert not rows[1].ok_dup_line_frac
+    assert not rows[1].ok_dup_line_chars
+    assert not rows[2].ok_dup_para_frac
+    assert not rows[3].ok_top2gram_chars
+    assert not rows[4].ok_dup5gram_chars
+    assert not rows[4].ok_dup10gram_chars
+    # the dup-sentence doc has no dominant bigram: its top-2-gram rule
+    # still passes (coverage semantics, not multiplicity)
+    assert rows[4].ok_top2gram_chars
+    for i in (1, 2, 3, 4):
+        assert not rows[i].rep_pass
