@@ -1177,3 +1177,133 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[expr.alias(name) for name, expr in flags.items()],
         rep_pass.alias("rep_pass"),
     )
+
+
+# --- BM25 lexical retrieval (Robertson-Sparck Jones / Lucene form) ---
+
+BM25_QUERY = ["hash", "join", "scan", "merge"]
+BM25_K1 = "1.2"  # spelled as SQL-literal strings so both engines
+BM25_B_NUM = "0.75"  # parse the identical DOUBLE constants
+BM25_TOP = 20
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS nd, avg(CAST(dl AS DOUBLE)) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE list_contains({_BM25_TERMS_SQL}, w) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT w,
+             CAST(round(ln((CAST(nd - df AS DOUBLE) + (0.5::DOUBLE))
+                           / (CAST(df AS DOUBLE) + (0.5::DOUBLE))
+                           + (1.0::DOUBLE)) * 1e9) AS BIGINT) AS idf_s
+      FROM df, stats
+    ),
+    contrib AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(round(CAST(i.idf_s AS DOUBLE)
+                        * ((CAST(tf.tf AS DOUBLE) * (2.2::DOUBLE))
+                           / (CAST(tf.tf AS DOUBLE)
+                              + ({BM25_K1}::DOUBLE)
+                                * ((0.25::DOUBLE)
+                                   + ({BM25_B_NUM}::DOUBLE)
+                                     * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                        / (1000.0::DOUBLE)) AS BIGINT) AS c
+      FROM tf JOIN idf i USING (w) JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS score_scaled,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    doc=f"BM25 lexical retrieval: top-{BM25_TOP} documents for the "
+    f"fixed query {BM25_QUERY} under the Lucene-form scoring "
+    "idf = ln((N-df+0.5)/(df+0.5)+1), "
+    "tf_part = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), k1=1.2 b=0.75. "
+    "The lexical complement of the ANN family: the engine can now "
+    "rank by sparse term match as well as dense cosine. Exactness: "
+    "idf snaps to the 1e9 integer grid (absorbing libm-vs-JVM ln "
+    "drift); each term's contribution is one identical IEEE "
+    "double tree rounded to a 1e6-scaled BIGINT, so the per-doc sum "
+    "is order-free integer addition. Scale: tf touches only "
+    "query-term postings (the WHERE is pushed into the token "
+    "stream), df/idf are |query|-row broadcasts, doc lengths ride "
+    "one corpus-wide count, and the final top-k is "
+    "TakeOrderedAndProject — per-partition heaps, never a global "
+    "sort.",
+    tags=["textops", "llm-pipeline", "topk"],
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("nd"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("w").isin(BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    # idf built exactly as the oracle's IEEE tree
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("idf_s"),
+        )
+    )
+    ratio = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(float(BM25_K1))
+        * (
+            F.lit(0.25)
+            + F.lit(float(BM25_B_NUM))
+            * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(F.col("idf_s").cast("double") * ratio / F.lit(1000.0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("score_scaled"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score_scaled").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
