@@ -596,3 +596,33 @@ def stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         sng.nb_gate_stream(docs, model, classes, pri), "complete", "nb_gate"
     )
+
+
+def _gopher_oracle() -> str:
+    # the stream's oracle IS the batch query's oracle, verbatim
+    from . import textops  # noqa: F401  (ensures registration)
+    from ..registry import REGISTRY
+
+    return REGISTRY["gopher_quality_flags"].oracle
+
+
+@register(
+    "stream_gopher_flags",
+    oracle=_gopher_oracle(),
+    doc="The published Gopher quality gate at INGEST: every arriving "
+    "document is scored with the full rule vector (word count, mean "
+    "word length, symbol ratio, bullet/ellipsis lines, alpha words, "
+    "stop-word presence, the gating conjunction) by the IDENTICAL "
+    "column expressions the batch query runs "
+    "(textops.gopher_flags_frame — pure array/HOF map work, no "
+    "aggregation), so the stream is stateless, append-mode, needs no "
+    "watermark, and adds zero exchanges to the microbatch plan. "
+    "Oracle = the batch SQL verbatim: the stream's verdicts match the "
+    "batch pass doc-for-doc, flag-for-flag.",
+    tags=["streaming", "textops", "llm-pipeline"],
+)
+def stream_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import gopher_flags_frame
+
+    flags = gopher_flags_frame(_docs_stream(spark, sf_dir))
+    return _run(flags, "append", "gopher_flags")

@@ -823,7 +823,15 @@ _GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOP) + "]"
     tags=["textops", "llm-pipeline"],
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    return gopher_flags_frame(table(spark, sf_dir, "documents"))
+
+
+def gopher_flags_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule flags as a pure column transformation — shared
+    verbatim by the batch query and the streaming ingest gate
+    (streaming/gopher_gate via operators/streaming_queries.py): every
+    rule is array/HOF map work with no aggregation, so the SAME frame
+    is append-mode-safe on an unbounded stream."""
     words = F.split(F.col("text"), r"\s+")
     # split() emits a leading/trailing '' for boundary whitespace;
     # drop empties to match regexp_extract_all('\S+') semantics
