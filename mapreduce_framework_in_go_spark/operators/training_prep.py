@@ -695,3 +695,134 @@ def decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos"
     )
     return scrub_ledger_frame(train, positions_to_spans(flagged))
+
+
+# --- best-fit packing (Ding et al. 2024, "Fewer Truncations...") ---
+
+PACK_SHARDS = 8
+
+
+def _bfd_pandas(pdf):
+    """Best-fit-decreasing over one shard's packable pieces: pieces in
+    (r DESC, doc_id ASC) order each go to the FULLEST bin they fit in
+    (first such bin on ties), else open a new bin. Bins are 1-based in
+    shard-local order of opening. Sequential by nature — which is why
+    packing shards must fit one task (the paper packs per data segment
+    the same way)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["r", "doc_id"], ascending=[False, True])
+    loads: list[int] = []
+    bins = []
+    ctx = int(pdf["ctx"].iloc[0])
+    for r in pdf["r"].tolist():
+        best, best_load = 0, -1
+        for i, l in enumerate(loads):
+            if l + r <= ctx and l > best_load:
+                best, best_load = i + 1, l
+        if best == 0:
+            loads.append(r)
+            bins.append(len(loads))
+        else:
+            loads[best - 1] += r
+            bins.append(best)
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "shard": pdf["shard"], "pack_bin": bins}
+    )
+
+
+@register(
+    "pack_bestfit_shards",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(text, '[\\p{{L}}]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    pieces AS (
+      SELECT doc_id, shard, n_tokens,
+             n_tokens // {CTX_TOKENS} AS own_bins,
+             n_tokens % {CTX_TOKENS} AS r
+      FROM base WHERE n_tokens > 0
+    ),
+    packable AS (
+      SELECT doc_id, shard, r,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY r DESC, doc_id) AS rn
+      FROM pieces WHERE r > 0
+    ),
+    rec AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn,
+             CAST([] AS BIGINT[]) AS loads, CAST(0 AS BIGINT) AS doc_id,
+             CAST(0 AS BIGINT) AS bin
+      FROM (SELECT DISTINCT shard FROM packable)
+      UNION ALL
+      SELECT p.shard, p.rn,
+             CASE WHEN len(list_filter(rec.loads,
+                          l -> l + p.r <= {CTX_TOKENS})) > 0
+                  THEN list_transform(rec.loads, (l, i) ->
+                       CASE WHEN i = list_position(rec.loads,
+                              list_max(list_filter(rec.loads,
+                                l -> l + p.r <= {CTX_TOKENS})))
+                            THEN l + p.r ELSE l END)
+                  ELSE list_append(rec.loads, p.r) END,
+             p.doc_id,
+             CASE WHEN len(list_filter(rec.loads,
+                          l -> l + p.r <= {CTX_TOKENS})) > 0
+                  THEN CAST(list_position(rec.loads,
+                         list_max(list_filter(rec.loads,
+                           l -> l + p.r <= {CTX_TOKENS}))) AS BIGINT)
+                  ELSE len(rec.loads) + 1 END
+      FROM rec
+      JOIN packable p ON p.shard = rec.shard AND p.rn = rec.rn + 1
+    )
+    SELECT pc.doc_id, pc.shard, pc.n_tokens,
+           pc.own_bins AS n_own_bins,
+           r.bin AS pack_bin
+    FROM pieces pc
+    LEFT JOIN (SELECT shard, doc_id, bin FROM rec WHERE rn > 0) r
+      ON r.shard = pc.shard AND r.doc_id = pc.doc_id
+    """,
+    doc="Best-fit packing (Ding et al. 2024, 'Fewer Truncations "
+    "Improve Language Modeling'): instead of concat-then-chunk "
+    "(pack_sequences), documents are laid into fixed context bins "
+    "with NO cross-document truncation — full CTX_TOKENS multiples of "
+    "a long doc take dedicated bins, the remainder plus whole short "
+    "docs pack best-fit-decreasing (fullest fitting bin, first on "
+    "ties) within a hash shard. The fold is sequential BY NATURE, so "
+    "it runs per shard inside one Arrow applyInPandas task — the "
+    "paper's per-segment recipe; shard count scales so a shard's "
+    "piece list fits one worker, and every other step (tokenize, "
+    "chunk split, the final join) is ordinary distributed map/join "
+    "work. The oracle replays the identical fold as a per-shard "
+    "recursive CTE over bin-load lists.",
+    tags=["training_prep", "llm-pipeline"],
+)
+def pack_bestfit_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    pieces = base.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"n_tokens div {CTX_TOKENS}").alias("own_bins"),
+        (F.col("n_tokens") % CTX_TOKENS).alias("r"),
+    )
+    packable = pieces.where(F.col("r") > 0).withColumn(
+        "ctx", F.lit(CTX_TOKENS)
+    )
+    assigned = packable.groupBy("shard").applyInPandas(
+        _bfd_pandas, schema="doc_id long, shard long, pack_bin long"
+    )
+    return pieces.join(assigned, ["doc_id", "shard"], "left").select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("own_bins").alias("n_own_bins"),
+        "pack_bin",
+    )

@@ -702,3 +702,40 @@ def test_gopher_repetition_rules_flip_on_crafted_docs(spark, tmp_path):
     assert rows[4].ok_top2gram_chars
     for i in (1, 2, 3, 4):
         assert not rows[i].rep_pass
+
+
+def test_bestfit_packing_invariants(spark, tmp_path):
+    """No bin overflows CTX, the packed-bin count meets the volume
+    lower bound, and oversize docs take exactly their dedicated full
+    bins plus a packed remainder."""
+    from collections import defaultdict
+
+    from mapreduce_framework_in_go_spark.operators.training_prep import (
+        CTX_TOKENS,
+        pack_bestfit_shards,
+    )
+
+    word = "tok "
+    docs = [(i, word * n) for i, n in enumerate(
+        [30, 99, 480, 500, 512, 700, 1200, 40, 70, 460, 250, 260, 256]
+    )]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+    rows = pack_bestfit_shards(spark, str(tmp_path)).collect()
+    assert len(rows) == len(docs)
+    by_doc = {r.doc_id: r for r in rows}
+    # oversize: 700 = 1*512 + 188 -> one own bin + packed remainder;
+    # 1200 -> two own bins; 512 exactly -> one own bin, NO remainder
+    assert by_doc[5].n_own_bins == 1 and by_doc[5].pack_bin is not None
+    assert by_doc[6].n_own_bins == 2 and by_doc[6].pack_bin is not None
+    assert by_doc[4].n_own_bins == 1 and by_doc[4].pack_bin is None
+    # overflow-freedom + lower bound per shard
+    loads = defaultdict(int)
+    for r in rows:
+        if r.pack_bin is not None:
+            loads[(r.shard, r.pack_bin)] += r.n_tokens % CTX_TOKENS
+    assert all(v <= CTX_TOKENS for v in loads.values())
+    for shard in {s for s, _ in loads}:
+        vol = sum(v for (s, _), v in loads.items() if s == shard)
+        n_bins = len([1 for (s, _) in loads if s == shard])
+        assert n_bins >= -(-vol // CTX_TOKENS)
