@@ -110,3 +110,97 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("pseudonym").alias("first_pseudonym"),
     )
+
+
+# --- PII masking (the Dolma / C4-style release scrub) ---
+
+# Conservative leftmost-greedy patterns with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+PII_MASKS = ("|||EMAIL|||", "|||IP|||", "|||PHONE|||")
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+             regexp_replace(text, '{PII_EMAIL_RE}', '{PII_MASKS[0]}', 'g')
+               AS t1
+      FROM documents
+    ),
+    c2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ip,
+             regexp_replace(t1, '{PII_IPV4_RE}', '{PII_MASKS[1]}', 'g')
+               AS t2
+      FROM c
+    ),
+    c3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone,
+             regexp_replace(t2, '{PII_PHONE_RE}', '{PII_MASKS[2]}', 'g')
+               AS t3
+      FROM c2
+    )
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ip AS BIGINT) AS n_ip,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           n_email + n_ip + n_phone > 0 AS had_pii,
+           md5(t3) AS scrubbed_md5
+    FROM c3
+    """,
+    doc="PII masking for release (the Dolma recipe): emails, IPv4 "
+    "addresses, and phone-number shapes are replaced with fixed mask "
+    "tokens in a FIXED pass order (email -> ip -> phone, each pass "
+    "re-scanning the prior pass's output, so the two engines see the "
+    "identical intermediate strings), with per-type match counts and "
+    "the scrubbed text's digest as the verifiable artifact — the hash "
+    "match proves the byte-identical scrub, not just the counts. "
+    "Patterns are lookaround-free so Java regex and RE2 agree on "
+    "every match boundary. Shuffle-free map work over the corpus "
+    "scan; masking composes with the span-scrub ledger the "
+    "ExactSubstr family maintains.",
+    tags=["privacy", "llm-pipeline"],
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace("text", PII_EMAIL_RE, PII_MASKS[0])
+    c = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_email"),
+        t1.alias("t1"),
+    )
+    c2 = c.select(
+        "doc_id",
+        "n_email",
+        F.size(F.regexp_extract_all("t1", F.lit(PII_IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ip"),
+        F.regexp_replace("t1", PII_IPV4_RE, PII_MASKS[1]).alias("t2"),
+    )
+    c3 = c2.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phone"),
+        F.regexp_replace("t2", PII_PHONE_RE, PII_MASKS[2]).alias("t3"),
+    )
+    return c3.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0).alias(
+            "had_pii"
+        ),
+        F.md5("t3").alias("scrubbed_md5"),
+    )

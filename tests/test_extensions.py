@@ -739,3 +739,36 @@ def test_bestfit_packing_invariants(spark, tmp_path):
         vol = sum(v for (s, _), v in loads.items() if s == shard)
         n_bins = len([1 for (s, _) in loads if s == shard])
         assert n_bins >= -(-vol // CTX_TOKENS)
+
+
+def test_pii_scrub_masks_crafted_pii(spark, tmp_path):
+    """The corpus fixture has no PII, so exercise every pattern (and
+    the fixed pass order) on crafted docs; the digest column must
+    reflect the byte-exact masked text."""
+    import hashlib
+
+    from mapreduce_framework_in_go_spark.operators.privacy import (
+        PII_MASKS,
+        pii_scrub,
+    )
+
+    docs = [
+        (0, "reach me at jane.doe+spam@example.co.uk or bob@x.io today"),
+        (1, "server 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "call +1 415 555 0199 or 020-7946-0958 now"),
+        (3, "clean text with no identifiers at all"),
+        (4, "mixed j@d.com on 8.8.8.8 phone 123-456-7890"),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+    rows = {r.doc_id: r for r in pii_scrub(spark, str(tmp_path)).collect()}
+    assert (rows[0].n_email, rows[0].n_ip, rows[0].n_phone) == (2, 0, 0)
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (0, 2, 0)
+    assert rows[2].n_phone == 2
+    assert not rows[3].had_pii
+    assert rows[3].scrubbed_md5 == hashlib.md5(docs[3][1].encode()).hexdigest()
+    assert (rows[4].n_email, rows[4].n_ip, rows[4].n_phone) == (1, 1, 1)
+    expected4 = (
+        f"mixed {PII_MASKS[0]} on {PII_MASKS[1]} phone {PII_MASKS[2]}"
+    )
+    assert rows[4].scrubbed_md5 == hashlib.md5(expected4.encode()).hexdigest()
