@@ -482,13 +482,18 @@ def write_corpus_release(
     ranked = two_level_global_rank(
         manifest, ["h", "doc_id"], slot="corpus_release_write"
     )
-    rel = ranked.select(
+    # a release the loader can actually train from carries the TEXT;
+    # the payload joins in AFTER the rank so the range exchange moves
+    # only metadata rows
+    payload = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rel = ranked.join(payload, "doc_id").select(
         "doc_id",
         "source",
         "n_tokens",
         "split",
         "flag_ngram_contaminated",
         "flag_semantic_contaminated",
+        "text",
         F.col("pos").alias("shuffle_pos"),
         ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
     )
@@ -506,11 +511,12 @@ def _release_write_oracle() -> str:
     from .training_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
 
     return f"""
-    SELECT doc_id, source, n_tokens, split,
-           flag_ngram_contaminated, flag_semantic_contaminated,
-           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+    SELECT r.doc_id, r.source, r.n_tokens, r.split,
+           r.flag_ngram_contaminated, r.flag_semantic_contaminated,
+           md5(d.text) AS text_md5,
+           CAST(row_number() OVER (ORDER BY r.h, r.doc_id) AS BIGINT)
              AS shuffle_pos,
-           CAST((row_number() OVER (ORDER BY h, doc_id) - 1)
+           CAST((row_number() OVER (ORDER BY r.h, r.doc_id) - 1)
                 % {SHUFFLE_SHARDS} AS BIGINT) AS shard
     FROM (
       SELECT rel.*,
@@ -518,7 +524,7 @@ def _release_write_oracle() -> str:
                                  || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                AS h
       FROM ({_release_oracle()}) rel
-    )
+    ) r JOIN documents d USING (doc_id)
     """
 
 
@@ -541,7 +547,9 @@ def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_corpus_release(spark, sf_dir)
     out = spark.read.parquet(path)
     # partition-column discovery types `shard` as INT — restore the
-    # written LONG so the schema check sees the declared contract
+    # written LONG so the schema check sees the declared contract; the
+    # text payload is hashed so the round-trip check covers the bytes
+    # without dragging full documents through the compare
     return out.select(
         "doc_id",
         "source",
@@ -549,6 +557,7 @@ def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         "flag_ngram_contaminated",
         "flag_semantic_contaminated",
+        F.md5("text").alias("text_md5"),
         "shuffle_pos",
         F.col("shard").cast("long").alias("shard"),
     )
@@ -586,6 +595,7 @@ def corpus_release_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         "flag_ngram_contaminated",
         "flag_semantic_contaminated",
+        F.md5("text").alias("text_md5"),
         "shuffle_pos",
         F.col("shard").cast("long").alias("shard"),
     )
