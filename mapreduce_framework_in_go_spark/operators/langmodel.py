@@ -556,3 +556,60 @@ def perplexity_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+def _quality_matrix_oracle() -> str:
+    from ..registry import REGISTRY
+    from . import textops  # noqa: F401  (ensures registration)
+
+    ccnet = REGISTRY["perplexity_ccnet_buckets"].oracle
+    gopher = REGISTRY["gopher_quality_flags"].oracle
+    return f"""
+    SELECT c.ppl_bucket, g.gopher_pass,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN g.ok_word_count THEN 1 END) AS BIGINT)
+             AS n_ok_word_count,
+           CAST(count(CASE WHEN g.ok_stop_words THEN 1 END) AS BIGINT)
+             AS n_ok_stop_words,
+           CAST(sum(CAST(round(c.cross_entropy * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / count(*) AS avg_cross_entropy
+    FROM ({ccnet}) c JOIN ({gopher}) g USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "quality_agreement_matrix",
+    oracle=_quality_matrix_oracle(),
+    doc="The gate-selection audit: cross-tabulate the two independent "
+    "quality dimensions — CCNet LM tertile (head/middle/tail) and the "
+    "Gopher heuristic verdict — with per-cell doc counts, the two "
+    "most label-sensitive rule hit counts, and the exact fixed-point "
+    "mean cross-entropy. A pipeline reads this BEFORE choosing which "
+    "gate to trust: heavy disagreement (heuristic-fail inside the LM "
+    "head) means the heuristics are mis-tuned for the corpus, "
+    "agreement means the cheap gate can front the expensive one. "
+    "Pure composition of two verified frames joined on doc_id — the "
+    "group count is |3 x 2| bounded.",
+    tags=["langmodel", "textops", "llm-pipeline", "tuning"],
+)
+def quality_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import favg
+    from .textops import gopher_flags_frame
+
+    buckets = perplexity_ccnet_buckets(spark, sf_dir)
+    flags = gopher_flags_frame(table(spark, sf_dir, "documents"))
+    return (
+        buckets.join(flags, "doc_id")
+        .groupBy("ppl_bucket", "gopher_pass")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("ok_word_count"), 1)).alias(
+                "n_ok_word_count"
+            ),
+            F.count(F.when(F.col("ok_stop_words"), 1)).alias(
+                "n_ok_stop_words"
+            ),
+            favg(F.col("cross_entropy"), 10**6).alias("avg_cross_entropy"),
+        )
+    )
