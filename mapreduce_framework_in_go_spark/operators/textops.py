@@ -1128,22 +1128,23 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _unit_stats(sep: str, n: str, d: str, c: str, dup: str):
+        # ONE pass per unit type: the (doc, unit) count table yields
+        # every statistic — row count, distinct count, total chars,
+        # duplicated chars — without re-scanning the corpus (plan-lint
+        # scan budget).
         parts = F.split(F.col("text"), sep, -1)
         ln = docs.select("doc_id", F.explode(parts).alias("x"))
-        agg = ln.groupBy("doc_id").agg(
-            F.count("*").alias(n),
-            F.count_distinct("x").alias(d),
-            F.sum(F.length("x")).alias(c),
-        )
-        dupc = (
+        return (
             ln.groupBy("doc_id", "x")
             .agg(F.count("*").alias("cnt"))
             .groupBy("doc_id")
             .agg(
-                F.sum((F.col("cnt") - 1) * F.length("x")).alias(dup)
+                F.sum("cnt").alias(n),
+                F.count("*").alias(d),
+                F.sum(F.col("cnt") * F.length("x")).alias(c),
+                F.sum((F.col("cnt") - 1) * F.length("x")).alias(dup),
             )
         )
-        return agg.join(dupc, "doc_id")
 
     la = _unit_stats(r"\n", "nl", "dl", "lc", "ldup")
     pa = _unit_stats(r"\n\n", "np", "dp", "pc", "pdup")
