@@ -25,9 +25,16 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUDGET_PATH = os.path.join(REPO_ROOT, "tests", "bench_budget.json")
 LOCAL_PATH = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
 
-SLACK = 2.0  # a query regressing past 2x its recorded min fails the gate
+# Per-query slack: this box carries EXTERNAL load (r6: load avg ~5 with
+# zero local processes), and a loaded window inflates untouched queries
+# up to ~3.7x their quiet-window minima. The per-query cap therefore only
+# catches catastrophic (scale-killer-class) regressions; the aggregate
+# cap below is the sensitive gate, because host noise averages out over
+# the 80+ query suite while a real regression does not.
+SLACK = 4.0
+TOTAL_SLACK = 1.8  # sum(latest) vs sum(minima): the sensitive gate
 # Sub-second queries are dominated by fixed per-action overhead (job
-# scheduling, shuffle-file setup), where 2x is noise, not a plan change.
+# scheduling, shuffle-file setup), where slack ratios are noise.
 ABS_FLOOR_SEC = 1.0
 
 
@@ -85,4 +92,12 @@ def test_latest_bench_run_within_budget() -> None:
         f"minima (query: (latest_sec, cap_sec)): {over} — if the plan "
         "change is intentional, refresh tests/bench_budget.json in the "
         "same commit."
+    )
+    shared = [n for n in latest["queries"] if n in minima]
+    total_latest = sum(latest["queries"][n] for n in shared)
+    total_min = sum(minima[n] for n in shared)
+    assert total_latest <= TOTAL_SLACK * total_min, (
+        f"headline total regressed: {total_latest:.1f}s vs "
+        f"{total_min:.1f}s recorded minima (cap {TOTAL_SLACK}x) — "
+        "either a broad plan regression or rerun on a quiet host."
     )
