@@ -1316,3 +1316,94 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_scaled").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP)
     )
+
+
+# --- cross-document line-level boilerplate scrub (RefinedWeb/C4) ---
+
+BOILER_LINE_DF = 3  # a line present in >= this many docs is boilerplate
+
+
+@register(
+    "boilerplate_line_scrub",
+    oracle=f"""
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS l
+      FROM ls, unnest(range(1, len(ls) + 1)) u(i)
+    ),
+    hot AS (
+      SELECT l FROM ln GROUP BY l
+      HAVING count(DISTINCT doc_id) >= {BOILER_LINE_DF}
+    ),
+    kept AS (
+      SELECT ln.doc_id, ln.pos, ln.l
+      FROM ln LEFT JOIN hot ON hot.l = ln.l
+      WHERE hot.l IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(coalesce(string_agg(l, chr(10) ORDER BY pos), ''))
+               AS kept_md5
+      FROM kept GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_lines,
+           CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_removed_lines,
+           coalesce(a.kept_md5, md5('')) AS kept_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Cross-document line-level boilerplate removal (the "
+    "RefinedWeb/C4 stage): any line occurring in >= 3 distinct "
+    "documents (nav bars, cookie banners, footers) is dropped from "
+    "EVERY document; each doc reports its kept/removed line counts "
+    "and the md5 of its kept text (original line order preserved via "
+    "collect-struct(pos) -> array_sort -> join, the order-sensitive "
+    "aggregation discipline) — the digest proves the byte-exact "
+    "scrub. Scale: the line-df table is one explode + groupBy; the "
+    "hot set is bounded by boilerplate volume (and would swap for "
+    "the Misra-Gries heavy-hitter pass of boilerplate_ngrams at "
+    "extreme line cardinality); the scrub join is hot-set-restricted.",
+    tags=["textops", "dedup", "llm-pipeline"],
+)
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ln = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n", -1)).alias("pos", "l"),
+    )
+    hot = (
+        ln.groupBy("l")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILER_LINE_DF)
+        .select("l")
+    )
+    kept = ln.join(F.broadcast(hot), "l", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "l"))
+                    ),
+                    lambda x: x["l"],
+                ),
+                "\n",
+            )
+        ).alias("kept_md5"),
+    )
+    tot = ln.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed_lines"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+    )

@@ -772,3 +772,40 @@ def test_pii_scrub_masks_crafted_pii(spark, tmp_path):
         f"mixed {PII_MASKS[0]} on {PII_MASKS[1]} phone {PII_MASKS[2]}"
     )
     assert rows[4].scrubbed_md5 == hashlib.md5(expected4.encode()).hexdigest()
+
+
+def test_boilerplate_line_scrub_on_crafted_corpus(spark, tmp_path):
+    """Lines present in >= 3 docs vanish from every doc; unique and
+    2-doc lines survive; kept text digest is byte-exact with original
+    line order."""
+    import hashlib
+
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        boilerplate_line_scrub,
+    )
+
+    banner = "accept all cookies"
+    footer = "copyright example corp"
+    docs = [
+        (0, f"{banner}\nunique zero\n{footer}"),
+        (1, f"{banner}\nunique one\n{footer}"),
+        (2, f"{banner}\nunique two\n{footer}"),
+        (3, "twice line\nonly here"),
+        (4, "twice line\nand here"),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+    rows = {
+        r.doc_id: r
+        for r in boilerplate_line_scrub(spark, str(tmp_path)).collect()
+    }
+    for i in (0, 1, 2):
+        assert rows[i].n_removed_lines == 2, rows[i]
+        word = ["zero", "one", "two"][i]
+        assert rows[i].kept_md5 == hashlib.md5(
+            f"unique {word}".encode()
+        ).hexdigest()
+    # "twice line" appears in only 2 docs -> kept
+    assert rows[3].n_removed_lines == 0
+    assert rows[3].kept_md5 == hashlib.md5(docs[3][1].encode()).hexdigest()
+    assert rows[4].n_removed_lines == 0
