@@ -168,7 +168,13 @@ PII_MASKS = ("|||EMAIL|||", "|||IP|||", "|||PHONE|||")
     tags=["privacy", "llm-pipeline"],
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    return pii_scrub_frame(table(spark, sf_dir, "documents"))
+
+
+def pii_scrub_frame(docs: DataFrame) -> DataFrame:
+    """The scrub as a pure column transformation — shared verbatim by
+    the batch query and the streaming ingest twin (stateless map work,
+    append-mode safe on an unbounded stream)."""
     t1 = F.regexp_replace("text", PII_EMAIL_RE, PII_MASKS[0])
     c = docs.select(
         "doc_id",

@@ -626,3 +626,30 @@ def stream_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = gopher_flags_frame(_docs_stream(spark, sf_dir))
     return _run(flags, "append", "gopher_flags")
+
+
+def _pii_oracle() -> str:
+    from . import privacy  # noqa: F401  (ensures registration)
+    from ..registry import REGISTRY
+
+    return REGISTRY["pii_scrub"].oracle
+
+
+@register(
+    "stream_pii_scrub",
+    oracle=_pii_oracle(),
+    doc="PII masking at INGEST: arriving documents pass through the "
+    "identical fixed-order regex scrub the batch query runs "
+    "(privacy.pii_scrub_frame — pure column work), emitting per-type "
+    "counts and the scrubbed text's digest. Stateless, append-mode, "
+    "zero exchanges added to the microbatch plan; oracle = the batch "
+    "SQL verbatim, so the stream's scrub is proven byte-identical to "
+    "the batch release scrub doc-for-doc.",
+    tags=["streaming", "privacy", "llm-pipeline"],
+)
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .privacy import pii_scrub_frame
+
+    return _run(
+        pii_scrub_frame(_docs_stream(spark, sf_dir)), "append", "pii_scrub"
+    )
