@@ -599,3 +599,45 @@ def corpus_release_shard_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_pos",
         F.col("shard").cast("long").alias("shard"),
     )
+
+
+@register(
+    "corpus_release_card",
+    oracle=f"""
+    SELECT split, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(CASE WHEN flag_ngram_contaminated THEN 1 END)
+                AS BIGINT) AS n_ngram_flagged,
+           CAST(count(CASE WHEN flag_semantic_contaminated THEN 1 END)
+                AS BIGINT) AS n_sem_flagged
+    FROM ({_release_write_oracle()})
+    GROUP BY split, shard
+    """,
+    doc="The release's governance card, computed FROM THE WRITTEN "
+    "ARTIFACT (not the manifest frames): per (split, shard) document "
+    "and token volumes plus both contamination-flag counts — the "
+    "table a consumer audits before training, and the third leg of "
+    "the release family (write -> shard read -> card). Because the "
+    "scan groups by the hive partition column plus a low-cardinality "
+    "data column, the aggregation is one partial-combined shuffle of "
+    "|splits x shards| rows; at 100 TB this is the cheap query the "
+    "artifact layout exists to make cheap.",
+    tags=["pipeline", "training_prep", "sink"],
+)
+def corpus_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_corpus_release(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy("split", F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.when(F.col("flag_ngram_contaminated"), 1)).alias(
+                "n_ngram_flagged"
+            ),
+            F.count(F.when(F.col("flag_semantic_contaminated"), 1)).alias(
+                "n_sem_flagged"
+            ),
+        )
+    )
