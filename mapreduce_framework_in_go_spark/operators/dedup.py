@@ -1791,3 +1791,120 @@ def dedup_simhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_recall"),
         )
     )
+
+
+def _split_case_sql(col: str) -> str:
+    """DuckDB split assignment for an arbitrary id column — the same
+    salted-hash bucketing as sampling.split_col / dataset_split."""
+    from .sampling import SPLIT_BUCKETS, SPLIT_SALT, TRAIN_PCT, VAL_PCT
+
+    b = (
+        f"('0x' || substr(md5('{SPLIT_SALT}' || CAST({col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {SPLIT_BUCKETS}"
+    )
+    return (
+        f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_RANK_SQL = "CASE {0} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_a, doc_b, jaccard,
+             CASE WHEN ra <= rb THEN sa ELSE sb END AS split_lo,
+             CASE WHEN ra <= rb THEN sb ELSE sa END AS split_hi
+      FROM (
+        SELECT doc_a, doc_b, jaccard, sa, sb,
+               {_SPLIT_RANK_SQL.format('sa')} AS ra,
+               {_SPLIT_RANK_SQL.format('sb')} AS rb
+        FROM (
+          SELECT doc_a, doc_b, jaccard,
+                 {_split_case_sql('doc_a')} AS sa,
+                 {_split_case_sql('doc_b')} AS sb
+          FROM ({_MINHASH_ORACLE}) p
+        )
+      )
+    ),
+    g AS (
+      SELECT split_lo, split_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(max(jaccard), 6) AS max_jaccard
+      FROM lab GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT split_lo, split_hi,
+             CAST(count(DISTINCT dd) AS BIGINT) AS n_docs
+      FROM (SELECT split_lo, split_hi, doc_a AS dd FROM lab
+            UNION ALL
+            SELECT split_lo, split_hi, doc_b AS dd FROM lab)
+      GROUP BY 1, 2
+    )
+    SELECT g.split_lo, g.split_hi,
+           CAST(CASE WHEN g.split_lo <> g.split_hi THEN 1 ELSE 0 END
+                AS BIGINT) AS is_cross_split,
+           g.n_pairs, d.n_docs, g.max_jaccard
+    FROM g JOIN d USING (split_lo, split_hi)
+    """,
+    doc="Train/val/test contamination audit: every verified near-dup "
+    "pair (the dedup_minhash_lsh pipeline, exact-Jaccard >= threshold) "
+    "labeled with each endpoint's split and rolled up per canonical "
+    "split pair — is_cross_split=1 rows are evaluation leakage (a "
+    "test/val doc with a near-copy in train), the invariant a release "
+    "must certify is zero after dedup-then-split. Split assignment is "
+    "a pure salted hash of doc_id (sampling.split_col), so labeling "
+    "is a map-side expression on the pair frame — no join against an "
+    "assignment table at any corpus size; the LSH pair frame itself "
+    "is the bucketed-candidate pipeline, persisted one generation so "
+    "the three rollup branches share one materialization.",
+    tags=["dedup", "sampling", "governance"],
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_col
+
+    pairs = _lsh_pair_frame(table(spark, sf_dir, "documents"))
+    ra = F.when(F.col("sa") == "train", 0).when(F.col("sa") == "val", 1).otherwise(2)
+    rb = F.when(F.col("sb") == "train", 0).when(F.col("sb") == "val", 1).otherwise(2)
+    lab = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            split_col(F.col("doc_a")).alias("sa"),
+            split_col(F.col("doc_b")).alias("sb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.when(ra <= rb, F.col("sa")).otherwise(F.col("sb")).alias("split_lo"),
+            F.when(ra <= rb, F.col("sb")).otherwise(F.col("sa")).alias("split_hi"),
+        )
+        .persist()
+    )
+    _CACHE_GENERATION.append(lab)
+    g = lab.groupBy("split_lo", "split_hi").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    d = (
+        lab.select("split_lo", "split_hi", F.col("doc_a").alias("dd"))
+        .unionAll(lab.select("split_lo", "split_hi", F.col("doc_b").alias("dd")))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count_distinct("dd").alias("n_docs"))
+    )
+    return g.join(d, ["split_lo", "split_hi"]).select(
+        "split_lo",
+        "split_hi",
+        F.when(F.col("split_lo") != F.col("split_hi"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_cross_split"),
+        "n_pairs",
+        "n_docs",
+        "max_jaccard",
+    )

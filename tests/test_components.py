@@ -349,3 +349,19 @@ def test_positional_filter_lossless_and_pruning(spark):
     }
     kept = {(r.doc_a, r.doc_b) for r in with_pos.collect()}
     assert truth <= kept
+
+
+def test_split_leakage_audit_conserves_pairs(spark, sf_dir):
+    """The audit is a partition of the verified near-dup pair set:
+    group counts sum to the pair count, labels are valid and
+    canonically ordered, endpoint counts are bounded by pair counts."""
+    n_pairs_total = SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    rows = SPECS["split_leakage_audit"].fn(spark, sf_dir).collect()
+    rank = {"train": 0, "val": 1, "test": 2}
+    assert sum(r.n_pairs for r in rows) == n_pairs_total
+    for r in rows:
+        assert r.split_lo in rank and r.split_hi in rank
+        assert rank[r.split_lo] <= rank[r.split_hi]
+        assert r.is_cross_split == (1 if r.split_lo != r.split_hi else 0)
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
+        assert 0 < r.max_jaccard <= 1.0
