@@ -1908,3 +1908,71 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "max_jaccard",
     )
+
+
+@register(
+    "split_decontaminate",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_a, doc_b, jaccard,
+             {_split_case_sql('doc_a')} AS sa,
+             {_split_case_sql('doc_b')} AS sb
+      FROM ({_MINHASH_ORACLE}) q
+    ),
+    e AS (
+      SELECT doc_a AS doc_id, sb AS eval_split, jaccard
+      FROM p WHERE sa = 'train' AND sb IN ('val', 'test')
+      UNION ALL
+      SELECT doc_b AS doc_id, sa AS eval_split, jaccard
+      FROM p WHERE sb = 'train' AND sa IN ('val', 'test')
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(CASE WHEN eval_split = 'val' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val_dups,
+           CAST(sum(CASE WHEN eval_split = 'test' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test_dups,
+           CAST(count(*) AS BIGINT) AS n_eval_dups,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM e GROUP BY doc_id
+    """,
+    doc="The actionable fix for split_leakage_audit: every TRAIN "
+    "document with a verified near-dup partner in val/test (the "
+    "standard eval-decontamination step — drop these from train before "
+    "release), with per-eval-split dup counts and the strongest "
+    "Jaccard as evidence. Same map-side split labeling on the LSH "
+    "pair frame; output volume is bounded by the leaking-pair count, "
+    "never the corpus.",
+    tags=["dedup", "sampling", "governance"],
+)
+def split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_col
+
+    pairs = _lsh_pair_frame(table(spark, sf_dir, "documents"))
+    p = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_col(F.col("doc_a")).alias("sa"),
+        split_col(F.col("doc_b")).alias("sb"),
+    ).persist()
+    _CACHE_GENERATION.append(p)
+    ev = F.col("sb").isin("val", "test")
+    va = F.col("sa").isin("val", "test")
+    e = (
+        p.where((F.col("sa") == "train") & ev)
+        .select(F.col("doc_a").alias("doc_id"), F.col("sb").alias("eval_split"), "jaccard")
+        .unionAll(
+            p.where((F.col("sb") == "train") & va)
+            .select(F.col("doc_b").alias("doc_id"), F.col("sa").alias("eval_split"), "jaccard")
+        )
+    )
+    return e.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("eval_split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val_dups"),
+        F.sum(F.when(F.col("eval_split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test_dups"),
+        F.count("*").alias("n_eval_dups"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )

@@ -365,3 +365,20 @@ def test_split_leakage_audit_conserves_pairs(spark, sf_dir):
         assert r.is_cross_split == (1 if r.split_lo != r.split_hi else 0)
         assert 2 <= r.n_docs <= 2 * r.n_pairs
         assert 0 < r.max_jaccard <= 1.0
+
+
+def test_split_decontaminate_consistent_with_audit(spark, sf_dir):
+    """Every train<->eval pair in the audit is attributed to exactly one
+    train doc's dup count in the decontamination list, and every listed
+    doc is a train doc with at least one eval partner."""
+    audit = SPECS["split_leakage_audit"].fn(spark, sf_dir).collect()
+    decon = SPECS["split_decontaminate"].fn(spark, sf_dir).collect()
+    train_eval_pairs = sum(
+        r.n_pairs
+        for r in audit
+        if r.split_lo == "train" and r.split_hi in ("val", "test")
+    )
+    assert sum(r.n_eval_dups for r in decon) == train_eval_pairs
+    for r in decon:
+        assert r.n_eval_dups == r.n_val_dups + r.n_test_dups
+        assert r.n_eval_dups >= 1
