@@ -103,6 +103,17 @@ HEADLINE = [
     "corpus_release_write",
     "nb_margin_tuning",
     "dsir_weights_ngram",
+    "gopher_quality_flags",
+    "gopher_repetition_flags",
+    "bm25_topk",
+    "pii_scrub",
+    "boilerplate_line_scrub",
+    "pack_bestfit_shards",
+    "perplexity_ccnet_buckets",
+    "split_leakage_audit",
+    "split_decontaminate",
+    "quality_agreement_matrix",
+    "training_shuffle_epoch2",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung
@@ -122,6 +133,14 @@ HEAVY_3RUN = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # quiet-host marker (VERDICT r7 ask #4): 1-min load average BEFORE
+    # any Spark work — the regression gate applies a tighter per-query
+    # cap when this run started on a quiet host, because external load
+    # on this box inflates untouched queries up to ~3.7x.
+    try:
+        load_avg_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg_start = None
     spark = get_spark(app_name="bench")
 
     specs = all_queries()
@@ -165,6 +184,7 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": RUNS,
         "heavy_3run": sorted(HEAVY_3RUN),
+        "load_avg_start": load_avg_start,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures only the TAIL of stdout (~2 KB): a full

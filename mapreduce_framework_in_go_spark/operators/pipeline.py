@@ -449,15 +449,18 @@ def release_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-# Completed default-path writes, memoized per (applicationId, path) so
-# the three release-family queries share ONE immutable file set. Without
-# this, a driver that BUILDS several release frames before COLLECTING
-# any (the documented grading-driver pattern) is broken by design:
-# overwrite mode emits fresh part-file names, so earlier frames hold a
-# stale file index and collecting them throws FILE_NOT_EXIST. The write
-# is a completed action (files on disk), so unlike persisted-frame memos
-# there is no materialization hazard; eviction just drops dead-app keys.
-_RELEASE_WRITES: dict[tuple[str, str], str] = {}
+# Completed writes, memoized per (applicationId, path) so the three
+# release-family queries share ONE immutable file set. Without this, a
+# driver that BUILDS several release frames before COLLECTING any (the
+# documented grading-driver pattern) is broken by design: overwrite
+# mode emits fresh part-file names, so earlier frames hold a stale file
+# index and collecting them throws FILE_NOT_EXIST. The write is a
+# completed action (files on disk), so unlike persisted-frame memos
+# there is no materialization hazard; eviction just drops dead-app
+# keys. Value = the (n_shards, seed) the path was written with: within
+# one application a path is IMMUTABLE, so a request for different
+# parameters on a memoized path is a contract violation, not a rewrite.
+_RELEASE_WRITES: dict[tuple[str, str], tuple[int, int]] = {}
 # write-once observability for tests (incremented per ACTUAL write)
 _WRITE_COUNT = 0
 
@@ -469,6 +472,7 @@ def write_corpus_release(
     *,
     n_shards: int | None = None,
     seed: int | None = None,
+    force: bool = False,
 ) -> str:
     """Materialize the release: the ``corpus_release_manifest`` row set
     + the global shuffle order restricted to it, written as sharded
@@ -488,18 +492,54 @@ def write_corpus_release(
     CONSTRUCTION (the shardmaster invariant, reference
     ``shardmaster/test_test.go:25-52``). Overwrite mode makes re-runs
     idempotent through the atomic committer (S4).
+
+    ``n_shards``/``seed`` default to the module-level
+    ``SHUFFLE_SHARDS``/``SHUFFLE_SEED`` epoch-1 release; a loader fleet
+    scales S into the thousands (S=64 demonstrated in
+    ``tests/test_layout.py``) and a new epoch passes a fresh ``seed``
+    for a fresh permutation over the identical row set.
+
+    WRITE-ONCE within an application: a completed write is memoized per
+    ``(applicationId, path)`` and later calls return the path without
+    touching the files, so several release-family frames built before
+    any is collected all index the same immutable file set. Requesting
+    different ``(n_shards, seed)`` for an already-written path raises
+    (the path is immutable); ``force=True`` bypasses the memo for
+    committer-idempotence tests.
     """
+    global _WRITE_COUNT
     from .relational import two_level_global_rank
     from .training_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
     from ..functions.text import md5_long32
 
+    if n_shards is None:
+        n_shards = SHUFFLE_SHARDS
+    if seed is None:
+        seed = SHUFFLE_SEED
     if path is None:
         path = release_artifact_path(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
+    if not force:
+        hit = _RELEASE_WRITES.get(key)
+        if hit is not None:
+            if hit != (n_shards, seed):
+                raise ValueError(
+                    f"release at {path} already written this application "
+                    f"with (n_shards, seed)={hit}; it is immutable — "
+                    f"requested {(n_shards, seed)}. Write a new path."
+                )
+            return path
+    # evict dead-application keys only (the similarity._TRAINED_CACHE
+    # precedent): never another live consumer's entry
+    for old_key in list(_RELEASE_WRITES):
+        if old_key[0] != app_id:
+            _RELEASE_WRITES.pop(old_key, None)
     manifest = corpus_release_manifest(spark, sf_dir).withColumn(
         "h",
         md5_long32(
             F.concat(
-                F.lit(f"shuffle:{SHUFFLE_SEED}:"),
+                F.lit(f"shuffle:{seed}:"),
                 F.col("doc_id").cast("string"),
             )
         ),
@@ -520,7 +560,7 @@ def write_corpus_release(
         "flag_semantic_contaminated",
         "text",
         F.col("pos").alias("shuffle_pos"),
-        ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        ((F.col("pos") - 1) % n_shards).cast("long").alias("shard"),
     )
     (
         rel.repartition("shard")
@@ -529,6 +569,8 @@ def write_corpus_release(
         .partitionBy("shard")
         .parquet(path)
     )
+    _WRITE_COUNT += 1
+    _RELEASE_WRITES[key] = (n_shards, seed)
     return path
 
 

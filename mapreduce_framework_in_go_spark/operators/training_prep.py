@@ -560,13 +560,13 @@ def mix_alpha_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SHUFFLE_SEED = 1  # epoch seed: vary per epoch for a fresh permutation
+SHUFFLE_SEED = 1  # epoch-1 seed; epoch N passes its own for a fresh order
 SHUFFLE_SHARDS = 8  # output shard count (data-loader worker files)
+SHUFFLE_SEED_EPOCH2 = 2  # the demonstrated second-epoch permutation
 
 
-@register(
-    "training_shuffle_order",
-    oracle=f"""
+def _shuffle_order_sql(seed: int) -> str:
+    return f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
              AS shuffle_pos,
@@ -574,12 +574,38 @@ SHUFFLE_SHARDS = 8  # output shard count (data-loader worker files)
                 % {SHUFFLE_SHARDS} AS BIGINT) AS shard
     FROM (
       SELECT doc_id,
-             ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:'
+             ('0x' || substr(md5('shuffle:{seed}:'
                                  || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                AS h
       FROM documents
     )
-    """,
+    """
+
+
+def _shuffle_order_frame(
+    spark: SparkSession, sf_dir: str, seed: int, slot: str
+) -> DataFrame:
+    from .relational import two_level_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_long32(
+            F.concat(
+                F.lit(f"shuffle:{seed}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    return two_level_global_rank(docs, ["h", "doc_id"], slot=slot).select(
+        "doc_id",
+        F.col("pos").alias("shuffle_pos"),
+        ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+    )
+
+
+@register(
+    "training_shuffle_order",
+    oracle=_shuffle_order_sql(SHUFFLE_SEED),
     doc="The global training-data shuffle: a deterministic pseudo-random "
     "permutation of the corpus (seeded doc_id hash as the sort key — "
     "epoch seed changes give a fresh permutation) with an exact global "
@@ -592,23 +618,49 @@ SHUFFLE_SHARDS = 8  # output shard count (data-loader worker files)
     tags=["training_prep", "sort"],
 )
 def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .relational import two_level_global_rank
-
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        md5_long32(
-            F.concat(
-                F.lit(f"shuffle:{SHUFFLE_SEED}:"),
-                F.col("doc_id").cast("string"),
-            )
-        ).alias("h"),
+    return _shuffle_order_frame(
+        spark, sf_dir, SHUFFLE_SEED, slot="training_shuffle_order"
     )
-    return two_level_global_rank(
-        docs, ["h", "doc_id"], slot="training_shuffle_order"
-    ).select(
+
+
+@register(
+    "training_shuffle_epoch2",
+    oracle=f"""
+    WITH e1 AS ({_shuffle_order_sql(SHUFFLE_SEED)}),
+         e2 AS ({_shuffle_order_sql(SHUFFLE_SEED_EPOCH2)})
+    SELECT e2.doc_id, e2.shuffle_pos, e2.shard,
+           CAST(e1.shuffle_pos AS BIGINT) AS epoch1_pos,
+           e2.shuffle_pos != e1.shuffle_pos AS moved
+    FROM e2 JOIN e1 USING (doc_id)
+    """,
+    doc="The SECOND training epoch's permutation (seed="
+    f"{SHUFFLE_SEED_EPOCH2}): the same two-level terasort rank under a "
+    "fresh epoch-seeded hash, joined 1:1 against epoch 1's position so "
+    "the output itself certifies the multi-epoch contract — identical "
+    "membership (the join is total: row count = corpus size, checked "
+    "by the hash compare) with a genuinely fresh order (`moved` is "
+    "true for ~all rows). Epoch N at 100 TB is the identical plan "
+    "with a different seed literal — no state carries between epochs, "
+    "so a training run schedules epochs as independent jobs.",
+    tags=["training_prep", "sort"],
+)
+def training_shuffle_epoch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch 1 rebuilt under THIS query's own slots: reusing
+    # training_shuffle_order's slot would evict that registered query's
+    # still-unexecuted ranked frame (the per-slot isolation rule,
+    # tests/test_cache_isolation.py)
+    e1 = _shuffle_order_frame(
+        spark, sf_dir, SHUFFLE_SEED, slot="training_shuffle_epoch2_e1"
+    ).select("doc_id", F.col("shuffle_pos").alias("epoch1_pos"))
+    e2 = _shuffle_order_frame(
+        spark, sf_dir, SHUFFLE_SEED_EPOCH2, slot="training_shuffle_epoch2"
+    )
+    return e2.join(e1, "doc_id").select(
         "doc_id",
-        F.col("pos").alias("shuffle_pos"),
-        ((F.col("pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        "shuffle_pos",
+        "shard",
+        "epoch1_pos",
+        (F.col("shuffle_pos") != F.col("epoch1_pos")).alias("moved"),
     )
 
 

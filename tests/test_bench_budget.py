@@ -25,13 +25,16 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUDGET_PATH = os.path.join(REPO_ROOT, "tests", "bench_budget.json")
 LOCAL_PATH = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
 
-# Per-query slack: this box carries EXTERNAL load (r6: load avg ~5 with
-# zero local processes), and a loaded window inflates untouched queries
-# up to ~3.7x their quiet-window minima. The per-query cap therefore only
-# catches catastrophic (scale-killer-class) regressions; the aggregate
-# cap below is the sensitive gate, because host noise averages out over
-# the 80+ query suite while a real regression does not.
+# Per-query slack, TWO-TIER (VERDICT r7 ask #4): this box carries
+# EXTERNAL load (r6: load avg ~5 with zero local processes), and a
+# loaded window inflates untouched queries up to ~3.7x their
+# quiet-window minima — so the cap is 4.0x by default (catastrophic
+# regressions only). But when bench.py's load_avg_start marker says the
+# run began on a QUIET host, noise can't explain a >2.5x miss and the
+# tighter cap catches genuine single-query plan regressions.
 SLACK = 4.0
+QUIET_SLACK = 2.5
+QUIET_LOAD_MAX = 2.0  # 1-min load avg below this at bench start = quiet
 TOTAL_SLACK = 1.8  # sum(latest) vs sum(minima): the sensitive gate
 # Sub-second queries are dominated by fixed per-action overhead (job
 # scheduling, shuffle-file setup), where slack ratios are noise.
@@ -76,19 +79,26 @@ def test_latest_bench_run_within_budget() -> None:
             f"latest bench ran at sf{latest.get('sf')}, budgets are sf{budget['sf']}"
         )
     minima = budget["minima"]
-    # Known-wobbly heavy queries (GC / executor-thread contention in the
-    # shared bench session makes even min-of-2 range 2-3x run to run) get
-    # a wider per-query slack instead of loosening the global gate.
+    # Two-tier cap: a quiet-start run can't blame host load for a >2.5x
+    # single-query miss. Known-wobbly heavy queries (GC /
+    # executor-thread contention in the shared bench session makes even
+    # min-of-2 range 2-3x run to run) keep their per-query
+    # slack_overrides in BOTH tiers.
+    load = latest.get("load_avg_start")
+    quiet = load is not None and load < QUIET_LOAD_MAX
+    base_slack = QUIET_SLACK if quiet else SLACK
     overrides = budget.get("slack_overrides", {})
     over = {}
     for name, sec in latest["queries"].items():
         if name not in minima:
             continue  # new query: covered by the sync test after table update
-        cap = max(overrides.get(name, SLACK) * minima[name], ABS_FLOOR_SEC)
+        slack = max(overrides.get(name, base_slack), base_slack)
+        cap = max(slack * minima[name], ABS_FLOOR_SEC)
         if sec > cap:
             over[name] = (sec, round(cap, 3))
     assert not over, (
-        f"headline queries regressed past {SLACK}x their recorded sf0.1 "
+        f"headline queries regressed past {base_slack}x "
+        f"(quiet={quiet}, load_avg_start={load}) their recorded sf0.1 "
         f"minima (query: (latest_sec, cap_sec)): {over} — if the plan "
         "change is intentional, refresh tests/bench_budget.json in the "
         "same commit."
