@@ -171,13 +171,16 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub_frame(table(spark, sf_dir, "documents"))
 
 
-def pii_scrub_frame(docs: DataFrame) -> DataFrame:
+def pii_scrub_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """The scrub as a pure column transformation — shared verbatim by
     the batch query and the streaming ingest twin (stateless map work,
-    append-mode safe on an unbounded stream)."""
+    append-mode safe on an unbounded stream). ``keep`` threads extra
+    input columns through unchanged (single-pass stream composition,
+    streaming/ingest_release.py)."""
     t1 = F.regexp_replace("text", PII_EMAIL_RE, PII_MASKS[0])
     c = docs.select(
         "doc_id",
+        *keep,
         F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
         .cast("long")
         .alias("n_email"),
@@ -185,6 +188,7 @@ def pii_scrub_frame(docs: DataFrame) -> DataFrame:
     )
     c2 = c.select(
         "doc_id",
+        *keep,
         "n_email",
         F.size(F.regexp_extract_all("t1", F.lit(PII_IPV4_RE), 0))
         .cast("long")
@@ -193,6 +197,7 @@ def pii_scrub_frame(docs: DataFrame) -> DataFrame:
     )
     c3 = c2.select(
         "doc_id",
+        *keep,
         "n_email",
         "n_ip",
         F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE_RE), 0))
@@ -202,6 +207,7 @@ def pii_scrub_frame(docs: DataFrame) -> DataFrame:
     )
     return c3.select(
         "doc_id",
+        *keep,
         "n_email",
         "n_ip",
         "n_phone",

@@ -826,12 +826,17 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_frame(table(spark, sf_dir, "documents"))
 
 
-def gopher_flags_frame(docs: DataFrame) -> DataFrame:
+def gopher_flags_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """The Gopher rule flags as a pure column transformation — shared
     verbatim by the batch query and the streaming ingest gate
     (streaming/gopher_gate via operators/streaming_queries.py): every
     rule is array/HOF map work with no aggregation, so the SAME frame
-    is append-mode-safe on an unbounded stream."""
+    is append-mode-safe on an unbounded stream.
+
+    ``keep`` threads extra input columns through to the output
+    unchanged — the composed single-pass ingest stream
+    (streaming/ingest_release.py) cannot join sibling frames of one
+    stream, so each stage must carry its successors' inputs."""
     words = F.split(F.col("text"), r"\s+")
     # split() emits a leading/trailing '' for boundary whitespace;
     # drop empties to match regexp_extract_all('\S+') semantics
@@ -839,6 +844,7 @@ def gopher_flags_frame(docs: DataFrame) -> DataFrame:
     lines = F.split(F.col("text"), r"\n", -1)
     t = docs.select(
         "doc_id",
+        *keep,
         words.alias("words"),
         lines.alias("lines"),
         F.length(F.regexp_replace("text", r"\s+", "")).alias("wchars"),
@@ -857,6 +863,7 @@ def gopher_flags_frame(docs: DataFrame) -> DataFrame:
     )
     c = t.select(
         "doc_id",
+        *keep,
         F.size("words").alias("nw"),
         F.size("lines").alias("nl"),
         "wchars",
@@ -894,6 +901,7 @@ def gopher_flags_frame(docs: DataFrame) -> DataFrame:
     ok_stop = F.col("n_stop") >= 2
     return c.select(
         "doc_id",
+        *keep,
         F.col("nw").cast("long").alias("n_words"),
         ok_wc.alias("ok_word_count"),
         ok_mwl.alias("ok_mean_word_len"),
