@@ -1048,11 +1048,19 @@ def _gopher_rep_oracle() -> str:
     "covers its position — the overlap-correct published definition, "
     "not the multiplicity sum that can exceed 1. Every rule is exact "
     "integer arithmetic (100*covered <= limit*total), so no ratio "
-    "double enters the hashed output. One Generate stages all nine "
-    "gram widths as (k, pos, gram) rows; counts, the per-(doc,k) "
-    "argmax, and coverage are ordinary partial-aggregated "
-    "groupBys/bounded windows — corpus work stays linear in tokens x "
-    "9 widths at any scale.",
+    "double enters the hashed output. Each branch Generates only its "
+    "own gram widths as (k, pos, gram) rows; counts and the "
+    "per-(doc,k) argmax are ordinary partial-aggregated "
+    "groupBys/bounded windows, and duplicated-gram coverage is an "
+    "interval-union fold: the (doc,k,g) count aggregation carries "
+    "each gram's occurrence positions, a second (doc,k) aggregation "
+    "merges the duplicated grams' sorted start positions, and "
+    "character coverage folds those starts against the doc's "
+    "token-length array JVM-side — the k covered positions per "
+    "occurrence never hit an exchange (no position explode, no "
+    "global distinct, no position-level length join), so corpus "
+    "work stays linear in tokens x 9 widths at any scale and the "
+    "shuffled bytes are one row per distinct gram.",
     tags=["textops", "llm-pipeline"],
 )
 def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,30 +1076,28 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.alias("g"),
         )
 
-    all_k = [*_GOPHER_TOP_LIMITS, *_GOPHER_DUP_LIMITS]
-    gram_structs = F.flatten(
-        F.array(
-            *[
-                F.transform(shingles_col(F.col("toks"), k), _tag(k))
-                for k in all_k
-            ]
+    def _gram_rows(ks: list) -> DataFrame:
+        structs = F.flatten(
+            F.array(
+                *[
+                    F.transform(shingles_col(F.col("toks"), k), _tag(k))
+                    for k in ks
+                ]
+            )
         )
-    )
-    grams = staged.select(
-        "doc_id", F.explode(gram_structs).alias("s")
-    ).select("doc_id", "s.k", "s.pos", "s.g")
-    tl = staged.select(
-        "doc_id", F.posexplode("toks").alias("p", "w")
-    ).select("doc_id", "p", F.length("w").alias("wl"))
-    den = tl.groupBy("doc_id").agg(F.sum("wl").alias("den"))
-    gc = grams.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+        return staged.select(
+            "doc_id", F.explode(structs).alias("s")
+        ).select("doc_id", "s.k", "s.pos", "s.g")
+
+    gc = _gram_rows(list(_GOPHER_TOP_LIMITS)).groupBy(
+        "doc_id", "k", "g"
+    ).agg(F.count("*").alias("c"))
 
     top_w = Window.partitionBy("doc_id", "k").orderBy(
         F.col("c").desc(), F.col("g").asc()
     )
     topk = (
-        gc.where(F.col("k").isin(list(_GOPHER_TOP_LIMITS)))
-        .withColumn("rn", F.row_number().over(top_w))
+        gc.withColumn("rn", F.row_number().over(top_w))
         .where(F.col("rn") == 1)
         .select(
             "doc_id",
@@ -1108,26 +1114,61 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    dup_min = min(_GOPHER_DUP_LIMITS)
-    dpos = (
-        grams.join(
-            gc.where((F.col("c") > 1) & (F.col("k") >= dup_min)),
-            ["doc_id", "k", "g"],
-        )
-        .select(
-            "doc_id",
-            "k",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("k") - 1)
-            ).alias("p"),
-        )
-        .distinct()
+    # Duplicated-gram character coverage. A position can host at most
+    # one k-gram, so the union of [pos, pos+k) over the duplicated
+    # grams' occurrence positions IS the covered-position set; summing
+    # token lengths over that union via a sorted-starts interval fold
+    # gives the identical result to the old explode-every-position +
+    # global-distinct + length-join plan with two fewer corpus-scale
+    # exchanges and ~k x fewer shuffled rows.
+    dup_occ = (
+        _gram_rows(list(_GOPHER_DUP_LIMITS))
+        .groupBy("doc_id", "k", "g")
+        .agg(F.count("*").alias("c"), F.collect_list("pos").alias("ps"))
+        .where(F.col("c") > 1)
     )
-    dcov = (
-        dpos.join(tl, ["doc_id", "p"])
-        .groupBy("doc_id", "k")
-        .agg(F.sum("wl").alias("cov"))
+    occ = dup_occ.groupBy("doc_id", "k").agg(
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("ps")))
+        ).alias("starts")
     )
+    wlen = staged.select(
+        "doc_id", F.transform("toks", F.length).alias("wls")
+    ).select(
+        "doc_id",
+        "wls",
+        F.aggregate(
+            "wls", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("den"),
+    )
+
+    def _step(acc, s):
+        # starts are sorted distinct ints with a shared k, so the new
+        # segment is [max(s, last), s + k) and s + k is the running
+        # max reach; its token chars come from a bounded array slice.
+        lo = F.greatest(s, acc["last"])
+        hi = s + F.col("k").cast("int")
+        seg = F.aggregate(
+            F.slice(F.col("wls"), lo + F.lit(1), hi - lo),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        return F.struct(
+            (acc["cov"] + seg).alias("cov"), hi.alias("last")
+        )
+
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("cov"),
+        F.lit(0).cast("int").alias("last"),
+    )
+    dcov = occ.join(wlen, "doc_id").select(
+        "doc_id",
+        "k",
+        F.aggregate(
+            "starts", zero, _step, lambda acc: acc["cov"]
+        ).alias("cov"),
+    )
+    den = wlen.select("doc_id", "den")
     dc = dcov.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("k") == k, F.col("cov"))).alias(f"cov{k}")
