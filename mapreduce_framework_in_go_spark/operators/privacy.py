@@ -176,7 +176,18 @@ def pii_scrub_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     the batch query and the streaming ingest twin (stateless map work,
     append-mode safe on an unbounded stream). ``keep`` threads extra
     input columns through unchanged (single-pass stream composition,
-    streaming/ingest_release.py)."""
+    streaming/ingest_release.py:ingest_release_stream); kept names
+    must not collide with the scrub's computed columns."""
+    reserved = {
+        "doc_id", "n_email", "t1", "n_ip", "t2", "n_phone", "t3",
+        "had_pii", "scrubbed_md5",
+    }
+    clash = reserved.intersection(keep)
+    if clash:
+        raise ValueError(
+            "pii_scrub_frame keep= collides with computed columns: "
+            f"{sorted(clash)}"
+        )
     t1 = F.regexp_replace("text", PII_EMAIL_RE, PII_MASKS[0])
     c = docs.select(
         "doc_id",

@@ -653,3 +653,83 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         pii_scrub_frame(_docs_stream(spark, sf_dir)), "append", "pii_scrub"
     )
+
+
+def _ingest_release_oracle() -> str:
+    # the composition's oracle composes the constituents' oracles: the
+    # registered gopher + pii SQL verbatim as derived tables, plus the
+    # NB model CTEs scoring EVERY document (the standalone gate scores
+    # only the holdout slice; the release ledger scores all arrivals,
+    # zero-token docs falling back to the priors-only argmax).
+    from . import privacy, textops  # noqa: F401  (ensures registration)
+    from ..registry import REGISTRY
+
+    g = REGISTRY["gopher_quality_flags"].oracle
+    p = REGISTRY["pii_scrub"].oracle
+    return f"""
+    WITH {_NB_CTES},
+    ntok AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+    ),
+    tsall AS (
+      SELECT t.doc_id, l.c, sum(l.sll) AS s
+      FROM tok t JOIN lik l USING (b) GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, c AS pred_source
+      FROM (SELECT d.doc_id, pr.c,
+                   row_number() OVER (
+                     PARTITION BY d.doc_id
+                     ORDER BY pr.sp + coalesce(ts.s, 0) DESC, pr.c) AS rn
+            FROM documents d
+            CROSS JOIN priors pr
+            LEFT JOIN tsall ts ON ts.doc_id = d.doc_id AND ts.c = pr.c)
+      WHERE rn = 1
+    )
+    SELECT g.doc_id, d.source, g.n_words, g.gopher_pass,
+           pi.n_email, pi.n_ip, pi.n_phone, pi.had_pii, pi.scrubbed_md5,
+           coalesce(nt.n, 0) AS n_tokens, pr.pred_source
+    FROM ({g}) g
+    JOIN ({p}) pi ON pi.doc_id = g.doc_id
+    JOIN documents d ON d.doc_id = g.doc_id
+    LEFT JOIN ntok nt ON nt.doc_id = g.doc_id
+    JOIN pred pr ON pr.doc_id = g.doc_id
+    """
+
+
+@register(
+    "stream_ingest_release",
+    oracle=_ingest_release_oracle(),
+    doc="The composed single-pass streaming ingest: every arriving "
+    "document leaves ONE stream with its full release-ledger row — "
+    "Gopher quality verdict, fixed-order PII scrub counts + "
+    "scrubbed-text digest, and the NB source verdict. The stages "
+    "chain as pure column transformations (each carries its "
+    "successors' inputs via the frame builders' keep= pass-through), "
+    "and the NB stage is re-expressed statelessly: the frozen "
+    "batch-trained likelihood table flattens to one bucket-major "
+    "array<long> row broadcast stream-static, and each document "
+    "folds its token buckets against it JVM-side — exact BIGINT "
+    "scaled-nat sums, (score DESC, class ASC) argmax, bitwise the "
+    "batch scorer's result with NO aggregation operator in the "
+    "stream plan: zero exchanges, zero state stores, no watermark. "
+    "Oracle = the gopher + pii registered oracles composed verbatim "
+    "plus the NB CTEs scoring every document. The reference's fixed "
+    "scan->map->shuffle->reduce chain (mr/worker.go:52-142) lifted "
+    "to a stream with shuffle/reduce eliminated.",
+    tags=["streaming", "pipeline", "llm-pipeline"],
+)
+def stream_ingest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import ingest_release as sir
+
+    _meta, priors, lik, _tc = _nb_model(spark, sf_dir)
+    # C-row model-hydration probe (the stream_nb_gate precedent)
+    pri = {r["c"]: r["sp"] for r in priors.collect()}
+    classes = sorted(pri)
+    model = sir.nb_model_row(lik)
+    docs = _docs_stream(spark, sf_dir)
+    return _run(
+        sir.ingest_release_stream(docs, model, classes, pri),
+        "append",
+        "ingest_release",
+    )

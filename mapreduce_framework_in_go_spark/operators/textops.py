@@ -835,8 +835,23 @@ def gopher_flags_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
 
     ``keep`` threads extra input columns through to the output
     unchanged — the composed single-pass ingest stream
-    (streaming/ingest_release.py) cannot join sibling frames of one
-    stream, so each stage must carry its successors' inputs."""
+    (streaming/ingest_release.py:ingest_release_stream) cannot join
+    sibling frames of one stream, so each stage must carry its
+    successors' inputs. Kept names must not collide with this frame's
+    computed or intermediate columns."""
+    reserved = {
+        "doc_id", "words", "lines", "wchars", "n_hash", "n_ell",
+        "nw", "nl", "n_alpha", "n_bullet", "n_ellend", "n_stop",
+        "n_words", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_stop_words", "gopher_pass",
+    }
+    clash = reserved.intersection(keep)
+    if clash:
+        raise ValueError(
+            "gopher_flags_frame keep= collides with computed columns: "
+            f"{sorted(clash)}"
+        )
     words = F.split(F.col("text"), r"\s+")
     # split() emits a leading/trailing '' for boundary whitespace;
     # drop empties to match regexp_extract_all('\S+') semantics

@@ -811,3 +811,117 @@ def test_events_stream_accepts_string_ts_layout(spark, tmp_path):
         outs[name] = sorted(tuple(r) for r in out.collect())
     assert outs["ntz"] == outs["str"]
     assert outs["ntz"][0][1] == t_us[0]
+
+
+def test_ingest_release_composition(spark, sf_dir, tmp_path):
+    """The composed single-pass ingest-release ledger: (a) the stream
+    over a 2-file source equals the identical builder applied to the
+    batch read row-for-row, (b) per-stage columns agree with the
+    standalone constituent frames, (c) the executed stream plan holds
+    ZERO stateful operators (the NB stage is a broadcast fold, not an
+    aggregation), and (d) holdout verdicts equal the batch scorer's
+    argmax."""
+    from mapreduce_framework_in_go_spark.operators.classifier import (
+        NB_FOLD,
+        _model,
+        _scored,
+    )
+    from mapreduce_framework_in_go_spark.operators.privacy import (
+        pii_scrub_frame,
+    )
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_flags_frame,
+    )
+    from mapreduce_framework_in_go_spark.streaming.ingest_release import (
+        ingest_release_stream,
+        nb_model_row,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _meta, priors, lik, _tc = _model(spark, sf_dir)
+    pri = {r["c"]: r["sp"] for r in priors.collect()}
+    classes = sorted(pri)
+    model = nb_model_row(lik)
+
+    pdf = docs.toPandas()
+    src = tmp_path / "release_stream"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "d0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "d1.parquet", index=False)
+    os.utime(src / "d0.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "d1.parquet", (1_700_000_001, 1_700_000_001))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ingest_release_stream(stream, model, classes, pri)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_release_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ingest_release_q")
+
+    # (c) stateless end to end: no state store in any executed batch
+    assert progress["stateOperators"] == []
+
+    # (a) stream == the same builder on the batch frame
+    batch = ingest_release_stream(docs, model, classes, pri)
+    assert rows_canonical(got.columns, got.collect()) == rows_canonical(
+        batch.columns, batch.collect()
+    )
+
+    # (b) per-stage agreement with the standalone frames
+    g = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_flags_frame(docs).collect()
+    }
+    p = {
+        r["doc_id"]: (r["n_email"], r["n_ip"], r["n_phone"], r["scrubbed_md5"])
+        for r in pii_scrub_frame(docs).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(pdf)
+    for r in rows:
+        assert r["gopher_pass"] == g[r["doc_id"]]
+        assert (r["n_email"], r["n_ip"], r["n_phone"], r["scrubbed_md5"]) == p[
+            r["doc_id"]
+        ]
+
+    # (d) holdout docs: the composed verdict is the batch scorer's argmax
+    want = {
+        r["doc_id"]: r["c"]
+        for r in _scored(spark, sf_dir).where("rn = 1").collect()
+    }
+    holdout = [r for r in rows if r["doc_id"] % NB_FOLD == 0]
+    assert holdout and all(
+        r["pred_source"] == want[r["doc_id"]] for r in holdout
+    )
+
+
+def test_keep_collision_guards(spark, sf_dir):
+    """keep= names that collide with a frame's computed/intermediate
+    columns must raise instead of silently shadowing."""
+    from mapreduce_framework_in_go_spark.operators.privacy import (
+        pii_scrub_frame,
+    )
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_flags_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="collide"):
+        gopher_flags_frame(docs, keep=("nw",))
+    with pytest.raises(ValueError, match="collide"):
+        pii_scrub_frame(docs, keep=("t1",))
