@@ -520,15 +520,20 @@ def write_corpus_release(
         path = release_artifact_path(spark, sf_dir)
     app_id = spark.sparkContext.applicationId
     key = (app_id, path)
-    if not force:
-        hit = _RELEASE_WRITES.get(key)
-        if hit is not None:
-            if hit != (n_shards, seed):
-                raise ValueError(
-                    f"release at {path} already written this application "
-                    f"with (n_shards, seed)={hit}; it is immutable — "
-                    f"requested {(n_shards, seed)}. Write a new path."
-                )
+    hit = _RELEASE_WRITES.get(key)
+    if hit is not None:
+        if hit != (n_shards, seed):
+            # the conflict check applies to FORCED rewrites too: force
+            # exists for committer-idempotence tests (same-params
+            # rewrite); changing the parameters of a consumed path
+            # would reintroduce the stale-file-index hazard the memo
+            # exists to prevent
+            raise ValueError(
+                f"release at {path} already written this application "
+                f"with (n_shards, seed)={hit}; it is immutable — "
+                f"requested {(n_shards, seed)}. Write a new path."
+            )
+        if not force:
             return path
     # evict dead-application keys only (the similarity._TRAINED_CACHE
     # precedent): never another live consumer's entry
@@ -544,8 +549,11 @@ def write_corpus_release(
             )
         ),
     )
+    # per-PATH rank slot: the S=8 and S=64 release queries write
+    # distinct paths in one application; one write's rebuild must not
+    # evict the other's still-referenced ranked frame (per-slot rule)
     ranked = two_level_global_rank(
-        manifest, ["h", "doc_id"], slot="corpus_release_write"
+        manifest, ["h", "doc_id"], slot=f"corpus_release_write:{path}"
     )
     # a release the loader can actually train from carries the TEXT;
     # the payload joins in AFTER the rank so the range exchange moves
@@ -574,9 +582,15 @@ def write_corpus_release(
     return path
 
 
-def _release_write_oracle() -> str:
+def _release_write_oracle(
+    n_shards: int | None = None, seed: int | None = None
+) -> str:
     from .training_prep import SHUFFLE_SEED, SHUFFLE_SHARDS
 
+    if n_shards is None:
+        n_shards = SHUFFLE_SHARDS
+    if seed is None:
+        seed = SHUFFLE_SEED
     return f"""
     SELECT r.doc_id, r.source, r.n_tokens, r.split,
            r.flag_ngram_contaminated, r.flag_semantic_contaminated,
@@ -584,10 +598,10 @@ def _release_write_oracle() -> str:
            CAST(row_number() OVER (ORDER BY r.h, r.doc_id) AS BIGINT)
              AS shuffle_pos,
            CAST((row_number() OVER (ORDER BY r.h, r.doc_id) - 1)
-                % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+                % {n_shards} AS BIGINT) AS shard
     FROM (
       SELECT rel.*,
-             ('0x' || substr(md5('shuffle:{SHUFFLE_SEED}:'
+             ('0x' || substr(md5('shuffle:{seed}:'
                                  || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                AS h
       FROM ({_release_oracle()}) rel
@@ -617,6 +631,45 @@ def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # written LONG so the schema check sees the declared contract; the
     # text payload is hashed so the round-trip check covers the bytes
     # without dragging full documents through the compare
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        "flag_ngram_contaminated",
+        "flag_semantic_contaminated",
+        F.md5("text").alias("text_md5"),
+        "shuffle_pos",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+RELEASE_S64_SHARDS = 64
+
+
+@register(
+    "corpus_release_write_s64",
+    oracle=_release_write_oracle(n_shards=RELEASE_S64_SHARDS),
+    doc="The loader-fleet-scale release: the SAME manifest + "
+    "permutation written at S=64 shards to its own immutable path "
+    "(one sorted file per shard=K/ hive dir, round-robin balanced "
+    "within one row), answered FROM THE WRITTEN ARTIFACT like the "
+    "S=8 write — so the reference's one-file-per-reduce-bucket sink "
+    "contract (mr/worker.go:115) is hash-checked at fleet shard "
+    "count, not just unit-tested: a 64-way loader fleet reads this "
+    "exact artifact with planning-time shard pruning. S is a "
+    "pure re-bucketing of the identical permutation (shard = "
+    "(pos-1) % S), which the oracle states directly.",
+    tags=["pipeline", "training_prep", "sink"],
+)
+def corpus_release_write_s64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_corpus_release(
+        spark,
+        sf_dir,
+        release_artifact_path(spark, sf_dir) + "_s64",
+        n_shards=RELEASE_S64_SHARDS,
+    )
+    out = spark.read.parquet(path)
     return out.select(
         "doc_id",
         "source",

@@ -259,3 +259,29 @@ def test_release_shard_read_prunes_partitions(spark, sf_dir, tmp_path):
         F.input_file_name().alias("f")
     ).distinct().count()
     assert n_files == 1
+
+
+def test_release_force_rewrite_param_conflict(spark, sf_dir, tmp_path):
+    """force= is the committer-idempotence path (same-params rewrite);
+    a FORCED rewrite with different (n_shards, seed) on a consumed
+    path must still raise — silently swapping the immutable file set
+    would reintroduce the stale-file-index hazard the write-once memo
+    exists to prevent."""
+    import pytest
+
+    from mapreduce_framework_in_go_spark.operators.pipeline import (
+        write_corpus_release,
+    )
+
+    out = str(tmp_path / "release_force")
+    write_corpus_release(spark, sf_dir, path=out, n_shards=4, seed=7)
+    # same params + force: allowed (idempotent rewrite)
+    write_corpus_release(spark, sf_dir, path=out, n_shards=4, seed=7, force=True)
+    with pytest.raises(ValueError, match="immutable"):
+        write_corpus_release(
+            spark, sf_dir, path=out, n_shards=8, seed=7, force=True
+        )
+    with pytest.raises(ValueError, match="immutable"):
+        write_corpus_release(
+            spark, sf_dir, path=out, n_shards=4, seed=8, force=True
+        )
