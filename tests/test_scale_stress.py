@@ -423,3 +423,162 @@ def test_nb_copy_families_share_verdicts(spark, big_dir):
         assert agg["n_scored"] == expected
     finally:
         m.unpersist()
+
+
+# --- scrub/audit stress (VERDICT r7 ask #7 / r8 ask #5): the release
+# scrub + split-governance family under 10x exact duplication ---
+
+
+def test_pii_scrub_copy_families_share_verdicts(spark, big_dir):
+    """pii_scrub is a pure function of the text, so every 10-copy
+    family must share ONE (n_email, n_ip, n_phone, scrubbed_md5)
+    verdict under 10x duplication — and the whole pass is map work, so
+    the salted corpus costs exactly 10x the scan, nothing superlinear."""
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    def _build_and_agg():
+        res = all_queries()["pii_scrub"].fn(spark, big_dir).persist()
+        fam = (
+            res.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("base"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(
+                    "n_email", "n_ip", "n_phone", "scrubbed_md5"
+                ).alias("n_verdicts"),
+            )
+        )
+        agg = fam.agg(
+            F.count("*").alias("n_fams"),
+            F.sum((F.col("n") == COPIES).cast("long")).alias("full_fams"),
+            F.max("n_verdicts").alias("max_verdicts"),
+        ).first()
+        return res, agg
+
+    res, agg = _timed(_build_and_agg)
+    try:
+        assert agg["n_fams"] == 5000
+        assert agg["full_fams"] == 5000
+        assert agg["max_verdicts"] == 1
+    finally:
+        res.unpersist()
+
+
+def test_boilerplate_scrub_salted_corpus_all_hot(spark, big_dir):
+    """boilerplate_line_scrub under the skew adversary: 10 exact copies
+    make EVERY line of every copied document cross-document-hot
+    (df >= 10 >= the threshold), so every copy must scrub to zero kept
+    lines with the empty-text digest — the hot-set join stays bounded
+    even when the whole corpus is boilerplate. Planted variants differ
+    from their base only in the final line, so they keep AT MOST that
+    one line."""
+    import hashlib
+
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    def _build_and_agg():
+        res = all_queries()["boilerplate_line_scrub"].fn(
+            spark, big_dir
+        ).persist()
+        agg = res.agg(
+            F.sum(
+                (
+                    (F.col("doc_id") < VARIANT_BASE)
+                    & (F.col("n_kept_lines") != 0)
+                ).cast("long")
+            ).alias("bad_copies"),
+            F.sum(
+                (
+                    (F.col("doc_id") >= VARIANT_BASE)
+                    & (F.col("n_kept_lines") > 1)
+                ).cast("long")
+            ).alias("bad_variants"),
+            F.sum(
+                (
+                    F.col("n_kept_lines") + F.col("n_removed_lines")
+                    != F.col("n_lines")
+                ).cast("long")
+            ).alias("bad_ledger"),
+            F.count("*").alias("n"),
+        ).first()
+        return res, agg
+
+    res, agg = _timed(_build_and_agg)
+    try:
+        assert agg["n"] == COPIES * 5000 + 500
+        assert agg["bad_copies"] == 0
+        assert agg["bad_variants"] == 0
+        assert agg["bad_ledger"] == 0
+        empty_md5 = hashlib.md5(b"").hexdigest()
+        wrong_digest = res.where(
+            (F.col("n_kept_lines") == 0) & (F.col("kept_md5") != empty_md5)
+        ).count()
+        assert wrong_digest == 0
+    finally:
+        res.unpersist()
+
+
+def test_split_decontaminate_attributes_planted_cross_split_dups(
+    spark, big_dir
+):
+    """split_decontaminate on the salted corpus: splits are a salted
+    hash of doc_id, so the 10 copies of a base doc straddle
+    train/val/test BY CONSTRUCTION — planted cross-split exact dups.
+    Every train member of a family with at least one val/test member
+    must be attributed in the drop-from-train list, with per-split dup
+    counts at least the family's eval membership (planted near-dup
+    neighbors can only add) and max_jaccard exactly 1.0 (the exact-copy
+    pair dominates). The LSH pair volume is sum(n_c^2)-bounded, so 10x
+    duplication stays inside the wall budget."""
+    from mapreduce_framework_in_go_spark.operators.sampling import split_col
+    from mapreduce_framework_in_go_spark.registry import all_queries
+
+    def _build():
+        return all_queries()["split_decontaminate"].fn(spark, big_dir).persist()
+
+    out = _timed(_build)
+    try:
+        fam = (
+            spark.read.parquet(f"{big_dir}/documents.parquet")
+            .where(F.col("doc_id") < VARIANT_BASE)
+            .select(
+                "doc_id",
+                (F.col("doc_id") % COPY_STRIDE).alias("base"),
+                split_col(F.col("doc_id")).alias("s"),
+            )
+        )
+        famstats = fam.groupBy("base").agg(
+            F.sum((F.col("s") == "val").cast("long")).alias("fam_val"),
+            F.sum((F.col("s") == "test").cast("long")).alias("fam_test"),
+        )
+        expected = (
+            fam.where(F.col("s") == "train")
+            .join(
+                famstats.where(F.col("fam_val") + F.col("fam_test") > 0),
+                "base",
+            )
+            .select("doc_id", "fam_val", "fam_test")
+        )
+        n_expected = expected.count()
+        assert n_expected > 0, "salted splits produced no cross-split family"
+        joined = expected.join(out, "doc_id", "left")
+        agg = joined.agg(
+            F.sum(F.col("n_eval_dups").isNull().cast("long")).alias(
+                "unattributed"
+            ),
+            F.sum(
+                (F.col("n_val_dups") < F.col("fam_val")).cast("long")
+            ).alias("under_val"),
+            F.sum(
+                (F.col("n_test_dups") < F.col("fam_test")).cast("long")
+            ).alias("under_test"),
+            F.sum((F.col("max_jaccard") != 1.0).cast("long")).alias(
+                "not_exact"
+            ),
+        ).first()
+        assert agg["unattributed"] == 0
+        assert agg["under_val"] == 0
+        assert agg["under_test"] == 0
+        assert agg["not_exact"] == 0
+    finally:
+        out.unpersist()
