@@ -114,6 +114,8 @@ HEADLINE = [
     "split_decontaminate",
     "quality_agreement_matrix",
     "training_shuffle_epoch2",
+    "stream_ingest_release",
+    "corpus_release_write_s64",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung
