@@ -925,3 +925,82 @@ def test_keep_collision_guards(spark, sf_dir):
         gopher_flags_frame(docs, keep=("nw",))
     with pytest.raises(ValueError, match="collide"):
         pii_scrub_frame(docs, keep=("t1",))
+
+
+def test_ingest_release_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """The composed ingest-release stream into a REAL parquet file sink
+    with a checkpoint: stop mid-stream, restart (the second half
+    arrives), then restart once more with nothing new. The file sink's
+    transaction log must yield exactly one ledger row per document —
+    no loss across the restart, no duplication from the idle restart —
+    equal to the batch builder's output. The streaming form of the
+    reference's crash-and-rerun-matches-oracle contract (C3) for the
+    release path; works precisely because the composition is
+    append-mode-safe (zero aggregations)."""
+    from mapreduce_framework_in_go_spark.operators.classifier import _model
+    from mapreduce_framework_in_go_spark.streaming.ingest_release import (
+        ingest_release_stream,
+        nb_model_row,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _meta, priors, lik, _tc = _model(spark, sf_dir)
+    pri = {r["c"]: r["sp"] for r in priors.collect()}
+    classes = sorted(pri)
+    model = nb_model_row(lik)
+
+    pdf = docs.toPandas()
+    src = tmp_path / "release_sink_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "release_sink_ckpt")
+    out_dir = str(tmp_path / "release_sink_out")
+    half = len(pdf) // 2
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            ingest_release_stream(stream, model, classes, pri)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    pdf.iloc[:half].to_parquet(src / "c0.parquet", index=False)
+    os.utime(src / "c0.parquet", (1_700_000_000, 1_700_000_000))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pdf.iloc[half:].to_parquet(src / "c1.parquet", index=False)
+    os.utime(src / "c1.parquet", (1_700_000_001, 1_700_000_001))
+    q = start()  # restart from checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    q = start()  # idle restart: nothing new, nothing re-emitted
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # reading the sink directory honors its _spark_metadata commit log:
+    # only committed files count, so a torn write can never double rows
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(pdf)
+    assert got.select("doc_id").distinct().count() == len(pdf)
+    want = ingest_release_stream(docs, model, classes, pri)
+    assert rows_canonical(got.columns, got.collect()) == rows_canonical(
+        want.columns, want.collect()
+    )
