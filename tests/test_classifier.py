@@ -163,3 +163,23 @@ def _sf_dir():
     import os
 
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_nb_model_memoized_outside_generation(spark, sf_dir):
+    """The trained model is memoized per (applicationId, dataset) and
+    excluded from the scored frame's one-generation eviction (the
+    trained-centroids precedent): repeat calls return the SAME
+    materialized frames, and evicting the generation — which any
+    scored rebuild does — must not unpersist them."""
+    m1 = classifier._model(spark, sf_dir)
+    m2 = classifier._model(spark, sf_dir)
+    assert all(a is b for a, b in zip(m1, m2))
+    meta, _priors, lik, tc = m1
+    classifier._evict_nb_generation()
+    for f in (meta, lik, tc):
+        assert f.storageLevel.useMemory, (
+            "memoized model frame evicted by the scored generation"
+        )
+    # and the model still serves the full (C x B) grid after eviction
+    n_classes = meta.select("source").distinct().count()
+    assert lik.count() == n_classes * classifier.NB_BUCKETS
