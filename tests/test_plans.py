@@ -378,3 +378,19 @@ def test_bpe_argmax_is_takeordered_and_plans_stay_linear(spark, sf_dir):
     merges = formatted_plan(SPECS["bpe_learn_merges"].fn(spark, sf_dir))
     assert "ExistingRDD" in merges or "LocalTableScan" in merges
     assert "Scan parquet" not in merges
+
+
+def test_gopher_repetition_interval_fold_shape(spark, sf_dir):
+    """The r9 rewrite's contract: duplicated-gram coverage is the
+    interval-union fold — the plan holds NO HashAggregate(keys=[...
+    p#...]) distinct over exploded positions and no position-level
+    length join; exchanges stay at the two bounded gram aggregations
+    plus the doc-level joins (<= 10 total), and the coverage fold
+    appears as an aggregate HOF in the projection, not an exchange."""
+    import re
+
+    plan = formatted_plan(SPECS["gopher_repetition_flags"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 10, f"{n_exchanges} exchanges — coverage path regressed"
+    assert "aggregate(" in plan  # the JVM-side interval fold
+    assert "Cartesian" not in plan
