@@ -1063,163 +1063,260 @@ def _gopher_rep_oracle() -> str:
     "covers its position — the overlap-correct published definition, "
     "not the multiplicity sum that can exceed 1. Every rule is exact "
     "integer arithmetic (100*covered <= limit*total), so no ratio "
-    "double enters the hashed output. Each branch Generates only its "
-    "own gram widths as (k, pos, gram) rows; counts and the "
-    "per-(doc,k) argmax are ordinary partial-aggregated "
-    "groupBys/bounded windows, and duplicated-gram coverage is an "
-    "interval-union fold: the (doc,k,g) count aggregation carries "
-    "each gram's occurrence positions, a second (doc,k) aggregation "
-    "merges the duplicated grams' sorted start positions, and "
-    "character coverage folds those starts against the doc's "
-    "token-length array JVM-side — the k covered positions per "
-    "occurrence never hit an exchange (no position explode, no "
-    "global distinct, no position-level length join), so corpus "
-    "work stays linear in tokens x 9 widths at any scale and the "
-    "shuffled bytes are one row per distinct gram.",
+    "double enters the hashed output. Every statistic is a function "
+    "of ONE document, so the whole query is map-only — ZERO "
+    "exchanges, the embarrassingly-parallel shape a per-document "
+    "filter should have at 100 TB (plan-asserted in test_plans.py). "
+    "Per row: each gram width's (gram, pos) structs are array_sorted "
+    "so equal grams are adjacent; a gram is duplicated iff it equals "
+    "a sorted neighbor (an O(1) index probe, never a count groupBy), "
+    "and the duplicated occurrences' re-sorted start positions feed "
+    "the interval-union coverage fold against the doc's token-length "
+    "array. The top-k-gram argmax and the line/paragraph "
+    "distinct/duplicate stats are single O(units) folds over the "
+    "same sorted arrays — run-length walks with scalar accumulators. "
+    "Shared HOF-derived arrays are staged through explode(array(...)) "
+    "Generates (lambda bodies are excluded from subexpression "
+    "elimination), so tokenization and each sort run once per doc.",
     tags=["textops", "llm-pipeline"],
 )
 def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", F.explode(F.array(tokens_col("text"))).alias("toks")
-    )
-
-    def _tag(k: int):
-        return lambda g, i: F.struct(
-            F.lit(k).alias("k"),
-            i.cast("int").alias("pos"),
-            g.alias("g"),
-        )
-
-    def _gram_rows(ks: list) -> DataFrame:
-        structs = F.flatten(
+    # Stage 1 (one Generate): tokenization + unit splits, each computed
+    # once per doc. Sorted unit arrays replace the (doc, unit) count
+    # shuffle: run lengths in a sorted array ARE the per-unit counts.
+    s1 = docs.select(
+        "doc_id",
+        F.explode(
             F.array(
-                *[
-                    F.transform(shingles_col(F.col("toks"), k), _tag(k))
-                    for k in ks
-                ]
+                F.struct(
+                    tokens_col("text").alias("toks"),
+                    F.array_sort(F.split("text", r"\n", -1)).alias("lsort"),
+                    F.array_sort(F.split("text", r"\n\n", -1)).alias(
+                        "psort"
+                    ),
+                )
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.toks", "u.lsort", "u.psort")
+
+    def _gram_pos_sorted(k: int) -> Column:
+        # (gram, pos) structs sorted by (gram, pos): equal grams become
+        # adjacent runs, positions ascending within a run.
+        return F.array_sort(
+            F.transform(
+                shingles_col(F.col("toks"), k),
+                lambda g, i: F.struct(g.alias("g"), i.cast("int").alias("pos")),
             )
         )
-        return staged.select(
-            "doc_id", F.explode(structs).alias("s")
-        ).select("doc_id", "s.k", "s.pos", "s.g")
 
-    gc = _gram_rows(list(_GOPHER_TOP_LIMITS)).groupBy(
-        "doc_id", "k", "g"
-    ).agg(F.count("*").alias("c"))
-
-    top_w = Window.partitionBy("doc_id", "k").orderBy(
-        F.col("c").desc(), F.col("g").asc()
-    )
-    topk = (
-        gc.withColumn("rn", F.row_number().over(top_w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "k",
-            (
-                F.col("c") * F.length(F.regexp_replace("g", " ", ""))
-            ).alias("cov"),
-        )
-    )
-    tp = topk.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("k") == k, F.col("cov"))).alias(f"cov{k}")
-            for k in _GOPHER_TOP_LIMITS
-        ]
-    )
-
-    # Duplicated-gram character coverage. A position can host at most
-    # one k-gram, so the union of [pos, pos+k) over the duplicated
-    # grams' occurrence positions IS the covered-position set; summing
-    # token lengths over that union via a sorted-starts interval fold
-    # gives the identical result to the old explode-every-position +
-    # global-distinct + length-join plan with two fewer corpus-scale
-    # exchanges and ~k x fewer shuffled rows.
-    dup_occ = (
-        _gram_rows(list(_GOPHER_DUP_LIMITS))
-        .groupBy("doc_id", "k", "g")
-        .agg(F.count("*").alias("c"), F.collect_list("pos").alias("ps"))
-        .where(F.col("c") > 1)
-    )
-    occ = dup_occ.groupBy("doc_id", "k").agg(
-        F.sort_array(
-            F.array_distinct(F.flatten(F.collect_list("ps")))
-        ).alias("starts")
-    )
-    wlen = staged.select(
-        "doc_id", F.transform("toks", F.length).alias("wls")
+    # Stage 2 (one Generate): every shared HOF-derived array
+    # materialized once — token lengths plus the nine sorted gram
+    # arrays the folds below read repeatedly.
+    s2 = s1.select(
+        "doc_id",
+        "lsort",
+        "psort",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.transform("toks", F.length).alias("wls"),
+                    *[
+                        F.array_sort(
+                            shingles_col(F.col("toks"), k)
+                        ).alias(f"tg{k}")
+                        for k in _GOPHER_TOP_LIMITS
+                    ],
+                    *[
+                        _gram_pos_sorted(k).alias(f"sg{k}")
+                        for k in _GOPHER_DUP_LIMITS
+                    ],
+                )
+            )
+        ).alias("u"),
     ).select(
         "doc_id",
-        "wls",
-        F.aggregate(
-            "wls", F.lit(0).cast("bigint"), lambda a, x: a + x
-        ).alias("den"),
+        "lsort",
+        "psort",
+        "u.wls",
+        *[F.col(f"u.tg{k}").alias(f"tg{k}") for k in _GOPHER_TOP_LIMITS],
+        *[F.col(f"u.sg{k}").alias(f"sg{k}") for k in _GOPHER_DUP_LIMITS],
     )
 
-    def _step(acc, s):
-        # starts are sorted distinct ints with a shared k, so the new
-        # segment is [max(s, last), s + k) and s + k is the running
-        # max reach; its token chars come from a bounded array slice.
-        lo = F.greatest(s, acc["last"])
-        hi = s + F.col("k").cast("int")
-        seg = F.aggregate(
-            F.slice(F.col("wls"), lo + F.lit(1), hi - lo),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
-        )
-        return F.struct(
-            (acc["cov"] + seg).alias("cov"), hi.alias("last")
-        )
+    long0 = F.lit(0).cast("bigint")
+    nulls = F.lit(None).cast("string")
 
-    zero = F.struct(
-        F.lit(0).cast("bigint").alias("cov"),
-        F.lit(0).cast("int").alias("last"),
-    )
-    dcov = occ.join(wlen, "doc_id").select(
-        "doc_id",
-        "k",
-        F.aggregate(
-            "starts", zero, _step, lambda acc: acc["cov"]
-        ).alias("cov"),
-    )
-    den = wlen.select("doc_id", "den")
-    dc = dcov.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("k") == k, F.col("cov"))).alias(f"cov{k}")
-            for k in _GOPHER_DUP_LIMITS
-        ]
-    )
-
-    def _unit_stats(sep: str, n: str, d: str, c: str, dup: str):
-        # ONE pass per unit type: the (doc, unit) count table yields
-        # every statistic — row count, distinct count, total chars,
-        # duplicated chars — without re-scanning the corpus (plan-lint
-        # scan budget).
-        parts = F.split(F.col("text"), sep, -1)
-        ln = docs.select("doc_id", F.explode(parts).alias("x"))
-        return (
-            ln.groupBy("doc_id", "x")
-            .agg(F.count("*").alias("cnt"))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("cnt").alias(n),
-                F.count("*").alias(d),
-                F.sum(F.col("cnt") * F.length("x")).alias(c),
-                F.sum((F.col("cnt") - 1) * F.length("x")).alias(dup),
+    def _run_better(acc) -> Column:
+        # does the just-closed run (acc.prev x acc.run) beat the best
+        # under (count DESC, gram ASC)?
+        return acc["prev"].isNotNull() & (
+            (acc["run"] > acc["bc"])
+            | (
+                (acc["run"] == acc["bc"])
+                & (acc["bg"].isNull() | (acc["prev"] < acc["bg"]))
             )
         )
 
-    la = _unit_stats(r"\n", "nl", "dl", "lc", "ldup")
-    pa = _unit_stats(r"\n\n", "np", "dp", "pc", "pdup")
+    def _top_cov(col: str) -> Column:
+        # argmax over runs of the sorted gram array: most-frequent gram
+        # by (count DESC, gram ASC), cov = count * non-space chars.
+        def step(acc, g):
+            same = acc["prev"].isNotNull() & (g == acc["prev"])
+            better = ~same & _run_better(acc)
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.when(better, acc["run"]).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, acc["prev"]).otherwise(acc["bg"]).alias("bg"),
+            )
 
-    out = (
-        docs.select("doc_id")
-        .join(la, "doc_id")
-        .join(pa, "doc_id")
-        .join(den, "doc_id", "left")
-        .join(tp, "doc_id", "left")
-        .join(dc, "doc_id", "left")
+        def finish(acc):
+            better = _run_better(acc)
+            bc = F.when(better, acc["run"]).otherwise(acc["bc"])
+            bg = F.when(better, acc["prev"]).otherwise(acc["bg"])
+            return F.coalesce(
+                bc
+                * F.length(F.regexp_replace(bg, " ", "")).cast("bigint"),
+                long0,
+            )
+
+        acc0 = F.struct(
+            nulls.alias("prev"),
+            long0.alias("run"),
+            long0.alias("bc"),
+            nulls.alias("bg"),
+        )
+        return F.aggregate(col, acc0, step, finish)
+
+    def _cov_fold(starts: Column, k: int) -> Column:
+        # Interval-union coverage: starts are sorted distinct ints with
+        # a shared k, so each new segment is [max(s, last), s + k) and
+        # s + k is the running max reach; its token chars come from a
+        # bounded slice of the staged token-length array.
+        def step(acc, s):
+            lo = F.greatest(s, acc["last"])
+            hi = s + F.lit(k)
+            seg = F.aggregate(
+                F.slice(F.col("wls"), lo + F.lit(1), hi - lo),
+                long0,
+                lambda a, x: a + x,
+            )
+            return F.struct(
+                (acc["cov"] + seg).alias("cov"), hi.alias("last")
+            )
+
+        zero = F.struct(
+            long0.alias("cov"), F.lit(0).cast("int").alias("last")
+        )
+        return F.aggregate(starts, zero, step, lambda acc: acc["cov"])
+
+    def _dup_cov(k: int) -> Column:
+        # A gram is duplicated iff it equals a neighbor in the sorted
+        # array — an O(1) probe per element against the staged column
+        # (1-indexed: prev of 0-based i is element i, next is i + 2;
+        # nullif/overflow make the boundary probes NULL -> not kept).
+        sg = F.col(f"sg{k}")
+
+        def is_dup(s, i):
+            prev = F.try_element_at(sg, F.nullif(i, F.lit(0)))
+            nxt = F.try_element_at(sg, i + F.lit(2))
+            return (s["g"] == prev["g"]) | (s["g"] == nxt["g"])
+
+        starts = F.array_sort(
+            F.transform(F.filter(sg, is_dup), lambda s: s["pos"])
+        )
+        return _cov_fold(starts, k)
+
+    def _unit_fold(col: str):
+        # one O(units) walk over the sorted unit array: run lengths are
+        # per-unit counts, so distinct units and duplicated chars
+        # ((count-1) * len per distinct unit) fall out of run closes.
+        def step(acc, x):
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            closed_dup = F.when(
+                acc["prev"].isNotNull(),
+                (acc["run"] - 1) * F.length(acc["prev"]).cast("bigint"),
+            ).otherwise(long0)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
+                F.when(same, acc["dup"]).otherwise(
+                    acc["dup"] + closed_dup
+                ).alias("dup"),
+            )
+
+        def finish(acc):
+            tail = F.when(
+                acc["prev"].isNotNull(),
+                (acc["run"] - 1) * F.length(acc["prev"]).cast("bigint"),
+            ).otherwise(long0)
+            return F.struct(
+                acc["d"].alias("d"), (acc["dup"] + tail).alias("dup")
+            )
+
+        acc0 = F.struct(
+            nulls.alias("prev"),
+            long0.alias("run"),
+            long0.alias("d"),
+            long0.alias("dup"),
+        )
+        return F.aggregate(col, acc0, step, finish)
+
+    def _chars(col: str) -> Column:
+        return F.aggregate(
+            col, long0, lambda a, x: a + F.length(x).cast("bigint")
+        )
+
+    # Stage 3 (one Generate): EVERY per-doc statistic staged behind a
+    # Generate before the flag layer. The flag expressions below each
+    # appear twice (as an output column and inside rep_pass), and
+    # project collapse would re-inline — and so re-run — each fold per
+    # reference; behind the Generate they are plain attribute reads.
+    out = s2.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.size("lsort").cast("bigint").alias("n"),
+                        _chars("lsort").alias("c"),
+                        _unit_fold("lsort").alias("f"),
+                    ).alias("l"),
+                    F.struct(
+                        F.size("psort").cast("bigint").alias("n"),
+                        _chars("psort").alias("c"),
+                        _unit_fold("psort").alias("f"),
+                    ).alias("p"),
+                    F.aggregate(
+                        "wls", long0, lambda a, x: a + x
+                    ).alias("den"),
+                    *[
+                        _top_cov(f"tg{k}").alias(f"cov{k}")
+                        for k in _GOPHER_TOP_LIMITS
+                    ],
+                    *[
+                        _dup_cov(k).alias(f"cov{k}")
+                        for k in _GOPHER_DUP_LIMITS
+                    ],
+                )
+            )
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        F.col("st.l.n").alias("nl"),
+        F.col("st.l.f.d").alias("dl"),
+        F.col("st.l.c").alias("lc"),
+        F.col("st.l.f.dup").alias("ldup"),
+        F.col("st.p.n").alias("np"),
+        F.col("st.p.f.d").alias("dp"),
+        F.col("st.p.c").alias("pc"),
+        F.col("st.p.f.dup").alias("pdup"),
+        F.col("st.den").alias("den"),
+        *[
+            F.col(f"st.cov{k}").alias(f"cov{k}")
+            for k in [*_GOPHER_TOP_LIMITS, *_GOPHER_DUP_LIMITS]
+        ],
     )
     flags = {
         "ok_dup_line_frac": F.lit(10) * (F.col("nl") - F.col("dl"))

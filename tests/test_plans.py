@@ -381,16 +381,17 @@ def test_bpe_argmax_is_takeordered_and_plans_stay_linear(spark, sf_dir):
 
 
 def test_gopher_repetition_interval_fold_shape(spark, sf_dir):
-    """The r9 rewrite's contract: duplicated-gram coverage is the
-    interval-union fold — the plan holds NO HashAggregate(keys=[...
-    p#...]) distinct over exploded positions and no position-level
-    length join; exchanges stay at the two bounded gram aggregations
-    plus the doc-level joins (<= 10 total), and the coverage fold
-    appears as an aggregate HOF in the projection, not an exchange."""
+    """The r9 rewrite's contract: every repetition statistic is a
+    function of ONE document, so the plan is pure map work — ZERO
+    exchanges, no joins, a single documents scan. Duplicate detection
+    is sorted-neighbor equality per row and coverage is the
+    interval-union aggregate HOF, both in the projection."""
     import re
 
     plan = formatted_plan(SPECS["gopher_repetition_flags"].fn(spark, sf_dir))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges <= 10, f"{n_exchanges} exchanges — coverage path regressed"
+    assert n_exchanges == 0, f"{n_exchanges} exchanges — map-only shape regressed"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
     assert "aggregate(" in plan  # the JVM-side interval fold
     assert "Cartesian" not in plan
