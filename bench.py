@@ -116,6 +116,7 @@ HEADLINE = [
     "training_shuffle_epoch2",
     "stream_ingest_release",
     "corpus_release_write_s64",
+    "stream_gopher_repetition",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung
@@ -125,6 +126,7 @@ HEADLINE = [
 # and a third timed run so the reported min converges (r5 ask #6).
 HEAVY_3RUN = {
     "pretrain_corpus_yield",
+    "stream_gopher_repetition",
     "triangle_count",
     "dedup_clusters_lsh",
     "stream_substring_probe",

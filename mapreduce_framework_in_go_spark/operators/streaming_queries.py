@@ -628,6 +628,40 @@ def stream_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(flags, "append", "gopher_flags")
 
 
+def _gopher_rep_oracle() -> str:
+    # the stream's oracle IS the batch query's oracle, verbatim
+    from . import textops  # noqa: F401  (ensures registration)
+    from ..registry import REGISTRY
+
+    return REGISTRY["gopher_repetition_flags"].oracle
+
+
+@register(
+    "stream_gopher_repetition",
+    oracle=_gopher_rep_oracle(),
+    doc="The repetition half of the published Gopher filter at INGEST "
+    "— possible precisely because the batch rewrite made it map-only: "
+    "every repetition statistic (duplicate line/paragraph fractions, "
+    "top-gram share, duplicated-gram position-coverage) is a function "
+    "of ONE document, computed per row by sorted-array folds "
+    "(textops.gopher_repetition_frame), so the stream is stateless, "
+    "append-mode, needs no watermark or state store, and adds zero "
+    "exchanges to the microbatch plan. Together with "
+    "stream_gopher_flags this puts the COMPLETE published Gopher "
+    "filter (quality + repetition, Rae et al. 2021 Table A1) on the "
+    "ingest path. Oracle = the batch SQL verbatim: verdicts match the "
+    "batch pass doc-for-doc, flag-for-flag.",
+    tags=["streaming", "textops", "llm-pipeline"],
+)
+def stream_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import gopher_repetition_frame
+
+    flags = gopher_repetition_frame(
+        _docs_stream(spark, sf_dir), stage_widths=True
+    )
+    return _run(flags, "append", "gopher_repetition")
+
+
 def _pii_oracle() -> str:
     from . import privacy  # noqa: F401  (ensures registration)
     from ..registry import REGISTRY
