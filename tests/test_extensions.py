@@ -704,6 +704,26 @@ def test_gopher_repetition_rules_flip_on_crafted_docs(spark, tmp_path):
         assert not rows[i].rep_pass
 
 
+def test_gopher_repetition_stagings_agree(spark, sf_dir):
+    """The two physical stagings of gopher_repetition_frame (batch's
+    one-Generate wide tree vs the stream's per-width staged chain) are
+    the SAME semantics — row-for-row identical flags on real data."""
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_repetition_frame,
+    )
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, gopher_repetition_frame(docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            gopher_repetition_frame(docs, stage_widths=True).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_bestfit_packing_invariants(spark, tmp_path):
     """No bin overflows CTX, the packed-bin count meets the volume
     lower bound, and oversize docs take exactly their dedicated full
