@@ -645,8 +645,10 @@ def _gopher_rep_oracle() -> str:
     "top-gram share, duplicated-gram position-coverage) is a function "
     "of ONE document, computed per row by sorted-array folds "
     "(textops.gopher_repetition_frame), so the stream is stateless, "
-    "append-mode, needs no watermark or state store, and adds zero "
-    "exchanges to the microbatch plan. Together with "
+    "append-mode, and needs no watermark or state store. One "
+    "round-robin repartition per microbatch spreads the CPU-heavy "
+    "per-doc folds across cores (a small microbatch is otherwise one "
+    "task; never a key shuffle, no state). Together with "
     "stream_gopher_flags this puts the COMPLETE published Gopher "
     "filter (quality + repetition, Rae et al. 2021 Table A1) on the "
     "ingest path. Oracle = the batch SQL verbatim: verdicts match the "
@@ -656,10 +658,12 @@ def _gopher_rep_oracle() -> str:
 def stream_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import gopher_repetition_frame
 
-    flags = gopher_repetition_frame(
-        _docs_stream(spark, sf_dir), stage_widths=True
+    docs = _docs_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return _run(flags, "append", "gopher_repetition")
+    return _run(
+        gopher_repetition_frame(docs), "append", "gopher_repetition"
+    )
 
 
 def _pii_oracle() -> str:

@@ -1081,29 +1081,29 @@ def _gopher_rep_oracle() -> str:
     tags=["textops", "llm-pipeline"],
 )
 def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_repetition_frame(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    # Map-only work parallelizes by INPUT SPLITS; a small local corpus
+    # is one unsplittable row group = one core for every per-doc fold.
+    # Rescue the degenerate case with one cardinality-preserving
+    # round-robin exchange of the raw (doc_id, text) rows — trivial
+    # bytes here, and on a cluster (where scans have thousands of
+    # splits) the condition never fires, keeping the plan exchange-free.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 < par:
+        docs = docs.repartition(par)
+    return gopher_repetition_frame(docs)
 
 
-def gopher_repetition_frame(
-    docs: DataFrame, stage_widths: bool = False
-) -> DataFrame:
+def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     """The Gopher repetition rule vector over a ``(doc_id, text)``
-    frame — pure stateless column work (zero exchanges), so the same
-    builder serves the batch query and the ingest stream
-    (``stream_gopher_repetition``).
+    frame — pure stateless column work, so the same builder serves the
+    batch query and the ingest stream (``stream_gopher_repetition``).
 
-    ``stage_widths`` picks the gram-construction strategy — identical
-    semantics, different physical staging (measured on sf0.1):
-
-    - False (batch): ONE Generate builds all nine sorted gram arrays
-      via per-width zip_with chains. Fastest batch execution (~2-3 s);
-      the wide expression tree costs only one-off query planning.
-    - True (stream): each width extends the previous staged width
-      (g_k = zip_with(g_{k-1}, toks shifted by k, concat)), one
-      Generate per width. The microbatch path executes this shape ~3x
-      faster than the wide tree (9.6 s -> 6.6 s) while the batch path
-      executes it SLOWER (extra Generate stages re-serialize carried
-      arrays) — so each surface gets its own staging.
+    Timing note: measure this frame with a noop WRITE, never
+    ``count()`` — nested-column pruning strips the unreferenced struct
+    fields out of the staging Generates under a count, silently
+    skipping most of the fold work (a count 'converges' ~3x faster
+    than the honest full execution).
     """
     # Stage 1 (one Generate): tokenization + unit splits, each computed
     # once per doc. Sorted unit arrays replace the (doc, unit) count
@@ -1133,104 +1133,41 @@ def gopher_repetition_frame(
             )
         )
 
-    # Stage 2: the token-length array plus the nine sorted gram arrays
-    # the folds below read repeatedly, materialized behind Generates.
-    if not stage_widths:
-        # batch shape: ONE Generate, per-width zip_with chains inline
-        s2b = s1.select(
-            "doc_id",
-            "lsort",
-            "psort",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.transform("toks", F.length).alias("wls"),
-                        *[
-                            F.array_sort(
-                                shingles_col(F.col("toks"), k)
-                            ).alias(f"tg{k}")
-                            for k in _GOPHER_TOP_LIMITS
-                        ],
-                        *[
-                            _gram_pos_sorted(k).alias(f"sg{k}")
-                            for k in _GOPHER_DUP_LIMITS
-                        ],
-                    )
+    # Stage 2 (one Generate): every shared HOF-derived array
+    # materialized once — token lengths plus the nine sorted gram
+    # arrays the folds below read repeatedly. (An alternative staging
+    # that builds each width from the previous one behind its own
+    # Generate measures identically under honest noop-write timing —
+    # one Generate is simply the smaller plan.)
+    s2b = s1.select(
+        "doc_id",
+        "lsort",
+        "psort",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.transform("toks", F.length).alias("wls"),
+                    *[
+                        F.array_sort(
+                            shingles_col(F.col("toks"), k)
+                        ).alias(f"tg{k}")
+                        for k in _GOPHER_TOP_LIMITS
+                    ],
+                    *[
+                        _gram_pos_sorted(k).alias(f"sg{k}")
+                        for k in _GOPHER_DUP_LIMITS
+                    ],
                 )
-            ).alias("u"),
-        ).select(
-            "doc_id",
-            "lsort",
-            "psort",
-            "u.wls",
-            *[
-                F.col(f"u.tg{k}").alias(f"tg{k}")
-                for k in _GOPHER_TOP_LIMITS
-            ],
-            *[
-                F.col(f"u.sg{k}").alias(f"sg{k}")
-                for k in _GOPHER_DUP_LIMITS
-            ],
-        )
-    else:
-        # stream shape: one Generate per width, each extending the
-        # previous staged width with one concat pass
-        def _stage(frame: DataFrame, keep: list, **cols: Column) -> DataFrame:
-            return frame.select(
-                *keep,
-                F.explode(
-                    F.array(
-                        F.struct(*[c.alias(n) for n, c in cols.items()])
-                    )
-                ).alias("u"),
-            ).select(
-                *keep, *[F.col(f"u.{n}").alias(n) for n in cols]
             )
-
-        def _extend(k: int) -> Column:
-            m = F.size("toks") - (k - 1)
-            prev = F.col("toks") if k == 2 else F.col(f"g{k - 1}")
-            return F.when(
-                F.size("toks") >= k,
-                F.zip_with(
-                    F.slice(prev, 1, m),
-                    F.slice(F.col("toks"), k, m),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-
-        k_max = max(_GOPHER_DUP_LIMITS)
-        base = ["doc_id", "lsort", "psort"]
-        cur = _stage(
-            s1,
-            base + ["toks"],
-            wls=F.transform("toks", F.length),
-            g2=_extend(2),
-        )
-        for k in range(3, k_max + 1):
-            keep = base + ["toks", "wls"] + [
-                f"g{j}" for j in range(2, k)
-            ]
-            cur = _stage(cur, keep, **{f"g{k}": _extend(k)})
-        s2b = _stage(
-            cur,
-            base + ["wls"],
-            **{
-                f"tg{k}": F.array_sort(F.col(f"g{k}"))
-                for k in _GOPHER_TOP_LIMITS
-            },
-            **{
-                f"sg{k}": F.array_sort(
-                    F.transform(
-                        f"g{k}",
-                        lambda g, i: F.struct(
-                            g.alias("g"), i.cast("int").alias("pos")
-                        ),
-                    )
-                )
-                for k in _GOPHER_DUP_LIMITS
-            },
-        )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        "lsort",
+        "psort",
+        "u.wls",
+        *[F.col(f"u.tg{k}").alias(f"tg{k}") for k in _GOPHER_TOP_LIMITS],
+        *[F.col(f"u.sg{k}").alias(f"sg{k}") for k in _GOPHER_DUP_LIMITS],
+    )
 
     long0 = F.lit(0).cast("bigint")
     nulls = F.lit(None).cast("string")

@@ -704,21 +704,29 @@ def test_gopher_repetition_rules_flip_on_crafted_docs(spark, tmp_path):
         assert not rows[i].rep_pass
 
 
-def test_gopher_repetition_stagings_agree(spark, sf_dir):
-    """The two physical stagings of gopher_repetition_frame (batch's
-    one-Generate wide tree vs the stream's per-width staged chain) are
-    the SAME semantics — row-for-row identical flags on real data."""
+def test_gopher_repetition_rescue_partitioning(spark, sf_dir):
+    """Per-doc map work parallelizes by input splits; the registered
+    query rescues a single-split local scan with one round-robin
+    repartition (never a key shuffle), and the rescued frame's flags
+    equal the unrescued builder's row-for-row."""
     from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_repetition_flags,
         gopher_repetition_frame,
     )
     from mapreduce_framework_in_go_spark.sources.tables import table
 
-    docs = table(spark, sf_dir, "documents")
-    a = sorted(map(tuple, gopher_repetition_frame(docs).collect()))
+    rescued = gopher_repetition_flags(spark, sf_dir)
+    assert (
+        rescued.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism // 2
+    )
+    a = sorted(map(tuple, rescued.collect()))
     b = sorted(
         map(
             tuple,
-            gopher_repetition_frame(docs, stage_widths=True).collect(),
+            gopher_repetition_frame(
+                table(spark, sf_dir, "documents")
+            ).collect(),
         )
     )
     assert a == b

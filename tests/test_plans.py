@@ -390,7 +390,11 @@ def test_gopher_repetition_interval_fold_shape(spark, sf_dir):
 
     plan = formatted_plan(SPECS["gopher_repetition_flags"].fn(spark, sf_dir))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == 0, f"{n_exchanges} exchanges — map-only shape regressed"
+    # at most the single-split parallelism rescue (a round-robin
+    # repartition of the raw doc rows that only fires when the local
+    # scan yields too few input splits); never a key shuffle
+    assert n_exchanges <= 1, f"{n_exchanges} exchanges — map-only shape regressed"
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
     assert "aggregate(" in plan  # the JVM-side interval fold
