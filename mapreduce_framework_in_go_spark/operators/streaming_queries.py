@@ -695,7 +695,8 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ingest_release_oracle() -> str:
     # the composition's oracle composes the constituents' oracles: the
-    # registered gopher + pii SQL verbatim as derived tables, plus the
+    # registered gopher quality + repetition + pii SQL verbatim as
+    # derived tables, plus the
     # NB model CTEs scoring EVERY document (the standalone gate scores
     # only the holdout slice; the release ledger scores all arrivals,
     # zero-token docs falling back to the priors-only argmax).
@@ -704,6 +705,7 @@ def _ingest_release_oracle() -> str:
 
     g = REGISTRY["gopher_quality_flags"].oracle
     p = REGISTRY["pii_scrub"].oracle
+    r = REGISTRY["gopher_repetition_flags"].oracle
     return f"""
     WITH {_NB_CTES},
     ntok AS (
@@ -724,10 +726,11 @@ def _ingest_release_oracle() -> str:
             LEFT JOIN tsall ts ON ts.doc_id = d.doc_id AND ts.c = pr.c)
       WHERE rn = 1
     )
-    SELECT g.doc_id, d.source, g.n_words, g.gopher_pass,
+    SELECT g.doc_id, d.source, g.n_words, g.gopher_pass, r.rep_pass,
            pi.n_email, pi.n_ip, pi.n_phone, pi.had_pii, pi.scrubbed_md5,
            coalesce(nt.n, 0) AS n_tokens, pr.pred_source
     FROM ({g}) g
+    JOIN ({r}) r ON r.doc_id = g.doc_id
     JOIN ({p}) pi ON pi.doc_id = g.doc_id
     JOIN documents d ON d.doc_id = g.doc_id
     LEFT JOIN ntok nt ON nt.doc_id = g.doc_id
@@ -740,7 +743,8 @@ def _ingest_release_oracle() -> str:
     oracle=_ingest_release_oracle(),
     doc="The composed single-pass streaming ingest: every arriving "
     "document leaves ONE stream with its full release-ledger row — "
-    "Gopher quality verdict, fixed-order PII scrub counts + "
+    "the COMPLETE published Gopher filter (quality verdict + "
+    "repetition verdict), fixed-order PII scrub counts + "
     "scrubbed-text digest, and the NB source verdict. The stages "
     "chain as pure column transformations (each carries its "
     "successors' inputs via the frame builders' keep= pass-through), "
@@ -750,8 +754,11 @@ def _ingest_release_oracle() -> str:
     "folds its token buckets against it JVM-side — exact BIGINT "
     "scaled-nat sums, (score DESC, class ASC) argmax, bitwise the "
     "batch scorer's result with NO aggregation operator in the "
-    "stream plan: zero exchanges, zero state stores, no watermark. "
-    "Oracle = the gopher + pii registered oracles composed verbatim "
+    "stream plan: zero state stores, no watermark, no key shuffle "
+    "(one round-robin repartition per microbatch spreads the "
+    "repetition folds across cores). "
+    "Oracle = the gopher quality + repetition + pii registered "
+    "oracles composed verbatim "
     "plus the NB CTEs scoring every document. The reference's fixed "
     "scan->map->shuffle->reduce chain (mr/worker.go:52-142) lifted "
     "to a stream with shuffle/reduce eliminated.",
@@ -765,7 +772,9 @@ def stream_ingest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri = {r["c"]: r["sp"] for r in priors.collect()}
     classes = sorted(pri)
     model = sir.nb_model_row(lik)
-    docs = _docs_stream(spark, sf_dir)
+    docs = _docs_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return _run(
         sir.ingest_release_stream(docs, model, classes, pri),
         "append",

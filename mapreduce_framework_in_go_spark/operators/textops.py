@@ -1094,10 +1094,34 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_frame(docs)
 
 
-def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
+_GOPHER_REP_RESERVED = frozenset(
+    ["doc_id", "toks", "lsort", "psort", "u", "st", "wls"]
+    + [f"tg{k}" for k in _GOPHER_TOP_LIMITS]
+    + [f"sg{k}" for k in _GOPHER_DUP_LIMITS]
+    + ["nl", "dl", "lc", "ldup", "np", "dp", "pc", "pdup", "den"]
+    + [f"cov{k}" for k in [*_GOPHER_TOP_LIMITS, *_GOPHER_DUP_LIMITS]]
+    + ["rep_pass"]
+    + [
+        f"ok_top{k}gram_chars" for k in _GOPHER_TOP_LIMITS
+    ]
+    + [f"ok_dup{k}gram_chars" for k in _GOPHER_DUP_LIMITS]
+    + [
+        "ok_dup_line_frac",
+        "ok_dup_para_frac",
+        "ok_dup_line_chars",
+        "ok_dup_para_chars",
+    ]
+)
+
+
+def gopher_repetition_frame(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """The Gopher repetition rule vector over a ``(doc_id, text)``
     frame — pure stateless column work, so the same builder serves the
-    batch query and the ingest stream (``stream_gopher_repetition``).
+    batch query and the ingest stream (``stream_gopher_repetition``),
+    and composed pipelines chain it (``streaming/ingest_release.py``)
+    with successors' input columns carried through ``keep``.
 
     Timing note: measure this frame with a noop WRITE, never
     ``count()`` — nested-column pruning strips the unreferenced struct
@@ -1105,11 +1129,18 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     skipping most of the fold work (a count 'converges' ~3x faster
     than the honest full execution).
     """
+    clash = set(keep) & _GOPHER_REP_RESERVED
+    if clash:
+        raise ValueError(
+            f"keep columns collide with computed/intermediate names: "
+            f"{sorted(clash)}"
+        )
     # Stage 1 (one Generate): tokenization + unit splits, each computed
     # once per doc. Sorted unit arrays replace the (doc, unit) count
     # shuffle: run lengths in a sorted array ARE the per-unit counts.
     s1 = docs.select(
         "doc_id",
+        *keep,
         F.explode(
             F.array(
                 F.struct(
@@ -1121,7 +1152,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
                 )
             )
         ).alias("u"),
-    ).select("doc_id", "u.toks", "u.lsort", "u.psort")
+    ).select("doc_id", *keep, "u.toks", "u.lsort", "u.psort")
 
     def _gram_pos_sorted(k: int) -> Column:
         # (gram, pos) structs sorted by (gram, pos): equal grams become
@@ -1141,6 +1172,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     # one Generate is simply the smaller plan.)
     s2b = s1.select(
         "doc_id",
+        *keep,
         "lsort",
         "psort",
         F.explode(
@@ -1162,6 +1194,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         ).alias("u"),
     ).select(
         "doc_id",
+        *keep,
         "lsort",
         "psort",
         "u.wls",
@@ -1301,6 +1334,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
     # reference; behind the Generate they are plain attribute reads.
     out = s2b.select(
         "doc_id",
+        *keep,
         F.explode(
             F.array(
                 F.struct(
@@ -1330,6 +1364,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         ).alias("st"),
     ).select(
         "doc_id",
+        *keep,
         F.col("st.l.n").alias("nl"),
         F.col("st.l.f.d").alias("dl"),
         F.col("st.l.c").alias("lc"),
@@ -1370,6 +1405,7 @@ def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
         rep_pass = expr if rep_pass is None else (rep_pass & expr)
     return out.select(
         "doc_id",
+        *keep,
         *[expr.alias(name) for name, expr in flags.items()],
         rep_pass.alias("rep_pass"),
     )

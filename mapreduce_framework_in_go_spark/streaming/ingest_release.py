@@ -4,8 +4,9 @@ The per-gate streaming twins (stream_gopher_flags, stream_pii_scrub,
 stream_nb_gate) each prove ONE stage of the ingest pipeline against its
 batch oracle; this module composes them into the production shape — one
 stream, one pass, every arriving document leaving with its full release
-ledger row: Gopher quality verdict, PII scrub counts + scrubbed-text
-digest, and the Naive-Bayes source verdict.
+ledger row: the COMPLETE published Gopher filter (quality verdict +
+repetition verdict, Rae et al. 2021 Table A1), PII scrub counts +
+scrubbed-text digest, and the Naive-Bayes source verdict.
 
 A stream cannot join sibling frames of itself, so the stages CHAIN:
 each stage is a pure column transformation that carries its successors'
@@ -22,7 +23,9 @@ tie-broken by (score DESC, class ASC) — bitwise identical to the batch
 scorer, with NO aggregation operator in the stream plan.
 
 Scale notes (100 TB/day ingest): the whole composition is map work —
-zero exchanges, zero state stores, no watermark; the one broadcast is
+zero state stores, no watermark, no key shuffle (the registered query
+adds one round-robin repartition per microbatch so a small batch's
+CPU-heavy repetition folds spread across cores); the one broadcast is
 the (C x B)-bounded model row (~20k longs) plus C prior literals. Per
 document the fold costs O(tokens x C) long-adds, the same arithmetic
 the batch scorer's join+sum performs, without materializing a token
@@ -39,7 +42,7 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_long32, tokens_col
 from ..operators.classifier import NB_BUCKETS
 from ..operators.privacy import pii_scrub_frame
-from ..operators.textops import gopher_flags_frame
+from ..operators.textops import gopher_flags_frame, gopher_repetition_frame
 
 
 def nb_model_row(lik: DataFrame) -> DataFrame:
@@ -73,8 +76,8 @@ def ingest_release_stream(
     priors: dict[str, int],
 ) -> DataFrame:
     """The composed ledger stream: one output row per arriving document
-    with (doc_id, source, n_words, gopher_pass, n_email, n_ip, n_phone,
-    had_pii, scrubbed_md5, n_tokens, pred_source).
+    with (doc_id, source, n_words, gopher_pass, rep_pass, n_email,
+    n_ip, n_phone, had_pii, scrubbed_md5, n_tokens, pred_source).
 
     ``model_row`` is :func:`nb_model_row` of the batch-trained
     likelihoods; ``classes`` the sorted class list and ``priors`` the
@@ -85,8 +88,15 @@ def ingest_release_stream(
     """
     n_classes = len(classes)
     gated = gopher_flags_frame(docs, keep=("text", "source"))
-    scrubbed = pii_scrub_frame(
+    # the repetition half runs on the RAW text (pre-scrub), its twelve
+    # per-rule columns reduced to the gating conjunction for the ledger
+    rep = gopher_repetition_frame(
         gated, keep=("text", "source", "n_words", "gopher_pass")
+    ).select(
+        "doc_id", "text", "source", "n_words", "gopher_pass", "rep_pass"
+    )
+    scrubbed = pii_scrub_frame(
+        rep, keep=("text", "source", "n_words", "gopher_pass", "rep_pass")
     )
 
     def _score_step(acc: Column, w: Column) -> Column:
@@ -111,6 +121,7 @@ def ingest_release_stream(
         "source",
         "n_words",
         "gopher_pass",
+        "rep_pass",
         "n_email",
         "n_ip",
         "n_phone",
@@ -136,6 +147,7 @@ def ingest_release_stream(
         "source",
         "n_words",
         "gopher_pass",
+        "rep_pass",
         "n_email",
         "n_ip",
         "n_phone",

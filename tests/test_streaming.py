@@ -831,6 +831,7 @@ def test_ingest_release_composition(spark, sf_dir, tmp_path):
     )
     from mapreduce_framework_in_go_spark.operators.textops import (
         gopher_flags_frame,
+        gopher_repetition_frame,
     )
     from mapreduce_framework_in_go_spark.streaming.ingest_release import (
         ingest_release_stream,
@@ -891,10 +892,15 @@ def test_ingest_release_composition(spark, sf_dir, tmp_path):
         r["doc_id"]: (r["n_email"], r["n_ip"], r["n_phone"], r["scrubbed_md5"])
         for r in pii_scrub_frame(docs).collect()
     }
+    rep = {
+        r["doc_id"]: r["rep_pass"]
+        for r in gopher_repetition_frame(docs).collect()
+    }
     rows = got.collect()
     assert len(rows) == len(pdf)
     for r in rows:
         assert r["gopher_pass"] == g[r["doc_id"]]
+        assert r["rep_pass"] == rep[r["doc_id"]]
         assert (r["n_email"], r["n_ip"], r["n_phone"], r["scrubbed_md5"]) == p[
             r["doc_id"]
         ]
@@ -920,11 +926,17 @@ def test_keep_collision_guards(spark, sf_dir):
         gopher_flags_frame,
     )
 
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_repetition_frame,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="collide"):
         gopher_flags_frame(docs, keep=("nw",))
     with pytest.raises(ValueError, match="collide"):
         pii_scrub_frame(docs, keep=("t1",))
+    with pytest.raises(ValueError, match="collide"):
+        gopher_repetition_frame(docs, keep=("wls",))
 
 
 def test_ingest_release_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
