@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",
     "dedup_embedding_ivf",
+    "dedup_embedding_ivf",
     "ann_topk_bruteforce",
     "ann_ivf_trained",
     "kv_linearizability",
@@ -125,10 +126,15 @@ HEADLINE = [
 # vs ~4.5 s converged for triangle_count — plus generation-cache build)
 # and a third timed run so the reported min converges (r5 ask #6).
 HEAVY_3RUN = {
+    # first headline query: absorbs residual session init (text-corpus
+    # scan + applyInPandas worker spin-up) that the generic warmup misses
+    "mr_wordcount",
     "pretrain_corpus_yield",
     "stream_gopher_repetition",
+    "stream_ingest_release",
     "triangle_count",
     "dedup_clusters_lsh",
+    "dedup_embedding_ivf",
     "stream_substring_probe",
     "dedup_containment",
 }
