@@ -582,3 +582,44 @@ def test_split_decontaminate_attributes_planted_cross_split_dups(
         assert agg["not_exact"] == 0
     finally:
         out.unpersist()
+
+
+# --- round-9 family: the map-only Gopher repetition filter -----------
+
+
+def test_gopher_repetition_copy_families_share_flags(spark, big_dir):
+    """gopher_repetition_flags on the 55,500-doc salted corpus: every
+    statistic is a function of ONE document, so the 10 exact copies of
+    each base doc must report the IDENTICAL full flag vector, and the
+    whole pass stays linear (map-only over input splits — the salted
+    corpus is ~11x the scan, nothing superlinear, no key shuffle)."""
+    from mapreduce_framework_in_go_spark.operators.textops import (
+        gopher_repetition_flags,
+    )
+
+    def _build_and_agg():
+        out = gopher_repetition_flags(spark, big_dir)
+        flag_cols = [c for c in out.columns if c != "doc_id"]
+        fams = (
+            out.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("base"))
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct(F.struct(*flag_cols)).alias("n_variants"),
+            )
+        )
+        return fams.agg(
+            F.count("*").alias("n_fams"),
+            F.sum((F.col("n") != COPIES).cast("long")).alias("bad_size"),
+            F.sum((F.col("n_variants") != 1).cast("long")).alias(
+                "disagreeing"
+            ),
+        ).first()
+
+    agg = _timed(_build_and_agg)
+    assert agg["n_fams"] > 0
+    assert agg["bad_size"] == 0, "a copy family lost members"
+    assert agg["disagreeing"] == 0, (
+        "exact copies disagreed on repetition flags — per-doc determinism "
+        "broke under the salted corpus"
+    )
