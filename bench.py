@@ -47,7 +47,6 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",
     "dedup_embedding_ivf",
-    "dedup_embedding_ivf",
     "ann_topk_bruteforce",
     "ann_ivf_trained",
     "kv_linearizability",

@@ -579,6 +579,13 @@ def write_corpus_release(
     )
     _WRITE_COUNT += 1
     _RELEASE_WRITES[key] = (n_shards, seed)
+    # The artifact is now the source of truth: every consumer re-READS
+    # the parquet (write-once memo), so the ranked frame can never be
+    # needed again — release its persisted slot instead of leaking one
+    # pinned frame per distinct release path for the app lifetime.
+    from .relational import _evict_previous_rank
+
+    _evict_previous_rank(f"corpus_release_write:{path}")
     return path
 
 
@@ -609,6 +616,25 @@ def _release_write_oracle(
     """
 
 
+def _read_release(spark: SparkSession, path: str) -> DataFrame:
+    """The release read-back contract shared by every write variant:
+    partition-column discovery types `shard` as INT — restore the
+    written LONG so the schema check sees the declared contract; the
+    text payload is hashed so the round-trip check covers the bytes
+    without dragging full documents through the compare."""
+    return spark.read.parquet(path).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "split",
+        "flag_ngram_contaminated",
+        "flag_semantic_contaminated",
+        F.md5("text").alias("text_md5"),
+        "shuffle_pos",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
 @register(
     "corpus_release_write",
     oracle=_release_write_oracle(),
@@ -625,23 +651,7 @@ def _release_write_oracle(
     tags=["pipeline", "training_prep", "sink"],
 )
 def corpus_release_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = write_corpus_release(spark, sf_dir)
-    out = spark.read.parquet(path)
-    # partition-column discovery types `shard` as INT — restore the
-    # written LONG so the schema check sees the declared contract; the
-    # text payload is hashed so the round-trip check covers the bytes
-    # without dragging full documents through the compare
-    return out.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "split",
-        "flag_ngram_contaminated",
-        "flag_semantic_contaminated",
-        F.md5("text").alias("text_md5"),
-        "shuffle_pos",
-        F.col("shard").cast("long").alias("shard"),
-    )
+    return _read_release(spark, write_corpus_release(spark, sf_dir))
 
 
 RELEASE_S64_SHARDS = 64
@@ -669,18 +679,7 @@ def corpus_release_write_s64(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_artifact_path(spark, sf_dir) + "_s64",
         n_shards=RELEASE_S64_SHARDS,
     )
-    out = spark.read.parquet(path)
-    return out.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "split",
-        "flag_ngram_contaminated",
-        "flag_semantic_contaminated",
-        F.md5("text").alias("text_md5"),
-        "shuffle_pos",
-        F.col("shard").cast("long").alias("shard"),
-    )
+    return _read_release(spark, path)
 
 
 RELEASE_READ_SHARD = 0
