@@ -75,6 +75,13 @@ _MD5_32_SQL = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
 # dedup_minhash_lsh for the rationale)
 _CACHE_GENERATION: list[DataFrame] = []
 
+# Driver-side observability for the iterative dedup pipeline (round-9
+# verdict ask: "instrument the round count and cache hits per run").
+# connected_components and _lsh_pair_frame overwrite these keys on each
+# invocation; zero steady-state cost (a handful of dict writes on the
+# driver). Read by tests/test_components.py and scripts/probe_lsh.py.
+RUN_STATS: dict = {}
+
 
 def _evict_previous_generation() -> None:
     """Best-effort unpersist of the previous invocation's cached frames
@@ -311,12 +318,15 @@ def _lsh_pair_frame(
         gen = _CACHE_GENERATION
     if sh is None:
         _evict_previous_generation()
+        RUN_STATS["lsh_shingles_built"] = RUN_STATS.get("lsh_shingles_built", 0) + 1
         sh = (
             _shingle_rows_from(docs)
             .withColumn("h", md5_long32(F.col("s")))
             .persist()
         )
         gen.append(sh)
+    else:
+        RUN_STATS["lsh_shingles_reused"] = RUN_STATS.get("lsh_shingles_reused", 0) + 1
     sig = _minhash_sig(sh).cache()
     gen.append(sig)
     bands = _band_frame(sig)
@@ -882,6 +892,9 @@ def connected_components(
     Both steps preserve connectivity; the unique fixpoint is the star
     forest where every node points at its component minimum.
     """
+    import time as _time
+
+    _t0 = _time.monotonic()
     e = (
         edges.select(
             F.greatest("src", "dst").alias("u"),
@@ -891,7 +904,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    RUN_STATS["cc_edges_sec"] = round(_time.monotonic() - _t0, 3)
+    RUN_STATS["cc_rounds"] = 0
+    RUN_STATS["cc_round_secs"] = []
     for _ in range(max_rounds):
+        _tr = _time.monotonic()
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -948,6 +965,8 @@ def connected_components(
         )
         converged = probe.n_union == probe.n_old == probe.n_new
         e = small
+        RUN_STATS["cc_rounds"] += 1
+        RUN_STATS["cc_round_secs"].append(round(_time.monotonic() - _tr, 3))
         if converged:
             break
     else:
@@ -1100,7 +1119,15 @@ def _exact_collapse(
 def _clusters_lsh_frame(docs: DataFrame) -> DataFrame:
     """Clusters-from-sketch over a ``(doc_id, text)`` frame — the
     engine core of dedup_clusters_lsh, parametrized so tests can feed
-    adversarial fixtures (e.g. an all-identical corpus)."""
+    adversarial fixtures (e.g. an all-identical corpus).
+
+    Timing note (probe_lsh.py, r10): the digest/group frames are NOT
+    persisted — measured, caching them made the converged run ~25%
+    SLOWER at sf0.1 (the synchronous columnar cache build of the
+    full-corpus digest frame costs more than the ~3 repeated cheap
+    md5 scans it saves). At 100 TB the trade flips (a corpus scan is
+    the dominant cost) — there the digest frame would be a DISK_ONLY
+    persist or a checkpoint, as :func:`_exact_collapse` notes."""
     digests, groups, rep_docs = _exact_collapse(docs)
     pairs = _lsh_pair_frame(rep_docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1478,6 +1505,254 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("nr_jaccard"))
             .alias("jaccard"),
         )
+    )
+
+
+# --- incremental cluster maintenance (VERDICT r9 ask #3) ---------------
+
+# Own generation slot (per-slot rule): the delta merge persists its
+# control frames + delta sketch here, never in dedup's shared slot.
+_CLUSTERS_DELTA_GENERATION = GenerationSlot()
+
+
+def _evict_clusters_delta_generation() -> None:
+    _CLUSTERS_DELTA_GENERATION.evict()
+
+
+def clusters_delta_frame(
+    base_docs: DataFrame, delta_docs: DataFrame, base_labels: DataFrame
+) -> DataFrame:
+    """Merge a crawl delta into a FROZEN base cluster assignment without
+    recomputing the base: the incremental-maintenance counterpart of
+    ``dedup_clusters_lsh`` (as ``ann_ivf_incremental`` is to the trained
+    IVF). Returns the UNION corpus assignment ``(doc_id, cluster_rep,
+    cluster_size)`` — provably equal to a from-scratch
+    ``_clusters_lsh_frame(base ∪ delta)`` (pinned in
+    tests/test_components.py and by the registered query's oracle).
+
+    Inputs: ``base_docs``/``delta_docs`` are disjoint ``(doc_id,
+    text)`` frames; ``base_labels`` is the frozen ``(doc_id,
+    cluster_rep)`` member-level base assignment (at deployment: read
+    from storage; the registered query derives it in-session).
+
+    Work is bounded by the delta + touched clusters:
+
+    - only NEW-digest delta group reps are sketched (exact-dup delta
+      docs inherit their base rep's connectivity — identical text ⇒
+      identical signature ⇒ identical band buckets);
+    - candidate joins are delta×base and delta×delta band equi-joins —
+      NEVER base×base (base-base connectivity is exactly what
+      ``base_labels`` froze; the empty-delta test pins that no base
+      pair is ever rediscovered);
+    - connected components runs on the CONTRACTED graph: each verified
+      edge's base endpoint is replaced by its base cluster label, so
+      the CC input is (delta edges + touched base cluster ids), not
+      the corpus.
+
+    Exactness sketch: adding documents only ADDS edges, so base
+    components can merge but never split; contracting a frozen base
+    component to its label preserves connectivity; and the final
+    ``min(doc_id)``-per-component labeling over EXPANDED members equals
+    the from-scratch labels because every digest-group rep is the min
+    of its group and every group's docs are expanded (a delta doc with
+    a smaller id than its exact-dup base rep therefore correctly
+    becomes the merged cluster's rep). Membership mirrors the
+    from-scratch rule ``in_comp OR grp_n > 1`` on UNION digest groups:
+    frozen base members persist, groups grown past size 1 by exact
+    delta dups join, and new-digest groups join iff dn > 1 or their
+    rep gained a verified edge.
+    """
+    gen = _CLUSTERS_DELTA_GENERATION
+    gen.evict()
+    bd = base_docs.select("doc_id", F.md5("text").alias("dig"))
+    dd = delta_docs.select("doc_id", F.md5("text").alias("dig"))
+    bg = gen.adopt(
+        bd.groupBy("dig")
+        .agg(F.min("doc_id").alias("brep"), F.count("*").alias("bn"))
+        .persist()
+    )
+    dg = gen.adopt(
+        dd.groupBy("dig")
+        .agg(F.min("doc_id").alias("drep"), F.count("*").alias("dn"))
+        .persist()
+    )
+    attach = gen.adopt(dg.join(bg, "dig").persist())  # mixed digest groups
+    dnew = gen.adopt(dg.join(bg, "dig", "left_anti").persist())
+    # the frozen assignment is referenced by three membership branches;
+    # materialize BEFORE caching — its lineage may root in the dedup
+    # family's evictable generation slot (CLAUDE.md rule)
+    base_labels = gen.adopt(
+        base_labels.select("doc_id", "cluster_rep").persist()
+    )
+    base_labels.count()
+
+    # sketch set: all base group reps + new-digest delta reps (the
+    # union rep set modulo id-contraction)
+    rep_ids = bg.select(F.col("brep").alias("doc_id")).union(
+        dnew.select(F.col("drep").alias("doc_id"))
+    )
+    rep_docs = base_docs.unionByName(delta_docs).join(
+        rep_ids, "doc_id", "left_semi"
+    )
+    sh = gen.adopt(
+        _shingle_rows_from(rep_docs)
+        .withColumn("h", md5_long32(F.col("s")))
+        .persist()
+    )
+    sig = gen.adopt(_minhash_sig(sh).cache())
+    bands = _band_frame(sig)
+    bands_d = bands.join(
+        dnew.select(F.col("drep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    bands_b = bands.join(
+        bg.select(F.col("brep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    cand_db = (
+        bands_d.select("band_id", "band_sig", F.col("doc_id").alias("doc_a"))
+        .join(
+            bands_b.select(
+                "band_id", "band_sig", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_dd = (
+        bands_d.alias("a")
+        .join(bands_d.alias("b"), ["band_id", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand = cand_db.union(cand_dd)  # disjoint by construction
+
+    # exact-Jaccard verification restricted to candidates (the same
+    # verify discipline as _lsh_pair_frame)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    vpairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    # contract base endpoints to their frozen cluster label (delta ids
+    # never appear in base_labels, so coalesce is the identity there)
+    edges = vpairs.join(
+        base_labels.select(
+            F.col("doc_id").alias("doc_b"), F.col("cluster_rep").alias("lbl_b")
+        ),
+        "doc_b",
+        "left",
+    ).select(
+        F.col("doc_a").alias("src"),
+        F.coalesce("lbl_b", "doc_b").alias("dst"),
+    )
+    cm = connected_components(edges).withColumnRenamed("doc_id", "node")
+
+    # membership assembly (see exactness sketch above)
+    base_nodes = (
+        bd.join(
+            base_labels.withColumnRenamed("cluster_rep", "bl"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "dig",
+            F.coalesce("bl", F.col("doc_id")).alias("node"),
+            F.col("bl").isNotNull().alias("was_member"),
+        )
+        .join(attach.select("dig", F.lit(True).alias("grew")), "dig", "left")
+        .join(cm, "node", "left")
+    )
+    base_sel = base_nodes.where(
+        F.col("was_member") | F.col("grew").isNotNull() | F.col("label").isNotNull()
+    ).select("doc_id", F.coalesce("label", "node").alias("key"))
+    d_mixed = (
+        dd.join(attach.select("dig", "brep"), "dig")
+        .join(
+            base_labels.select(
+                F.col("doc_id").alias("brep"), F.col("cluster_rep").alias("bl")
+            ),
+            "brep",
+            "left",
+        )
+        .select("doc_id", F.coalesce("bl", "brep").alias("node"))
+        .join(cm, "node", "left")
+        .select("doc_id", F.coalesce("label", "node").alias("key"))
+    )
+    d_new = (
+        dd.join(dnew.select("dig", "drep", "dn"), "dig")
+        .select("doc_id", F.col("drep").alias("node"), "dn")
+        .join(cm, "node", "left")
+        .where((F.col("dn") > 1) | F.col("label").isNotNull())
+        .select("doc_id", F.coalesce("label", "node").alias("key"))
+    )
+    members = base_sel.union(d_mixed).union(d_new)
+    grp = members.groupBy("key").agg(
+        F.min("doc_id").alias("cluster_rep"), F.count("*").alias("n")
+    )
+    return members.join(grp, "key").select(
+        "doc_id",
+        "cluster_rep",
+        F.col("n").cast("long").alias("cluster_size"),
+    )
+
+
+_CLUSTERS_DELTA_ORACLE = f"""
+    SELECT r.doc_id, r.cluster_rep, r.cluster_size,
+           r.doc_id % {DELTA_MOD} = {DELTA_REM} AS from_delta
+    FROM ({_CLUSTERS_LSH_ORACLE}) r
+"""
+
+
+@register(
+    "dedup_clusters_delta",
+    oracle=_CLUSTERS_DELTA_ORACLE,
+    doc="Incremental CLUSTER maintenance: merge a crawl delta "
+    f"(doc_id % {DELTA_MOD} = {DELTA_REM}) into the frozen base "
+    "cluster assignment without recomputing the base — the missing "
+    "sibling of dedup_incremental (which only classifies the delta) "
+    "and ann_ivf_incremental (the FAISS-add precedent). Only "
+    "new-digest delta reps are sketched; candidates are delta×base "
+    "and delta×delta band joins (never base×base — pinned by the "
+    "empty-delta test); components run on the CONTRACTED graph "
+    "(delta edges + touched base cluster labels), so per-increment "
+    "cost scales with the delta + touched clusters, not the corpus. "
+    "The result is provably the from-scratch union clustering — the "
+    "oracle IS dedup_clusters_lsh's recursive-CTE oracle over all "
+    "documents, plus the from_delta flag.",
+    tags=["dedup"],
+)
+def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
+    base = docs.where(~is_delta)
+    delta = docs.where(is_delta)
+    # the frozen assignment (at deployment: a stored table; here
+    # derived in-session, which doubles as the merge-exactness proof —
+    # the oracle MATCH requires base + delta-merge == from-scratch)
+    base_labels = _clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    out = clusters_delta_frame(base, delta, base_labels)
+    return out.withColumn(
+        "from_delta", F.col("doc_id") % DELTA_MOD == DELTA_REM
     )
 
 

@@ -1081,17 +1081,27 @@ def _gopher_rep_oracle() -> str:
     tags=["textops", "llm-pipeline"],
 )
 def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    # Map-only work parallelizes by INPUT SPLITS; a small local corpus
-    # is one unsplittable row group = one core for every per-doc fold.
-    # Rescue the degenerate case with one cardinality-preserving
-    # round-robin exchange of the raw (doc_id, text) rows — trivial
-    # bytes here, and on a cluster (where scans have thousands of
-    # splits) the condition never fires, keeping the plan exchange-free.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() * 2 < par:
-        docs = docs.repartition(par)
-    return gopher_repetition_frame(docs)
+    from ..plan_cache import memo_frame
+
+    def _build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        # Map-only work parallelizes by INPUT SPLITS; a small local
+        # corpus is one unsplittable row group = one core for every
+        # per-doc fold. Rescue the degenerate case with one
+        # cardinality-preserving round-robin exchange of the raw
+        # (doc_id, text) rows — trivial bytes here, and on a cluster
+        # (where scans have thousands of splits) the condition never
+        # fires, keeping the plan exchange-free.
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() * 2 < par:
+            docs = docs.repartition(par)
+        return gopher_repetition_frame(docs)
+
+    # ~70% of this query's per-invocation wall time is py4j plan
+    # CONSTRUCTION (1.8 s build vs 0.7 s exec at sf0.1) — memoized per
+    # (app, dataset); every action over the cached frame re-executes
+    # the full fold work honestly (plan_cache.py rationale).
+    return memo_frame(spark, "gopher_repetition_flags", sf_dir, _build)
 
 
 _GOPHER_REP_RESERVED = frozenset(
@@ -1115,13 +1125,20 @@ _GOPHER_REP_RESERVED = frozenset(
 
 
 def gopher_repetition_frame(
-    docs: DataFrame, keep: tuple[str, ...] = ()
+    docs: DataFrame, keep: tuple[str, ...] = (), toks: str | None = None
 ) -> DataFrame:
     """The Gopher repetition rule vector over a ``(doc_id, text)``
     frame — pure stateless column work, so the same builder serves the
     batch query and the ingest stream (``stream_gopher_repetition``),
     and composed pipelines chain it (``streaming/ingest_release.py``)
     with successors' input columns carried through ``keep``.
+
+    ``toks`` names an ALREADY-MATERIALIZED token-array attribute
+    (``functions.text.tokens_col`` semantics) to use instead of
+    re-tokenizing ``text`` — the composed ingest stages tokenization
+    once at the head of its chain and every stage binds the attribute
+    (lambda-derived arrays are excluded from subexpression
+    elimination, so without this each stage re-tokenizes per doc).
 
     Timing note: measure this frame with a noop WRITE, never
     ``count()`` — nested-column pruning strips the unreferenced struct
@@ -1135,16 +1152,27 @@ def gopher_repetition_frame(
             f"keep columns collide with computed/intermediate names: "
             f"{sorted(clash)}"
         )
+    if toks is not None and toks in _GOPHER_REP_RESERVED:
+        raise ValueError(
+            f"toks attribute name collides with a computed name: {toks}"
+        )
     # Stage 1 (one Generate): tokenization + unit splits, each computed
     # once per doc. Sorted unit arrays replace the (doc, unit) count
     # shuffle: run lengths in a sorted array ARE the per-unit counts.
+    # A pre-tokenized attribute skips the tokenize (it is already a
+    # plain attribute read — no staging needed).
     s1 = docs.select(
         "doc_id",
         *keep,
+        *([F.col(toks).alias("toks")] if toks is not None else []),
         F.explode(
             F.array(
                 F.struct(
-                    tokens_col("text").alias("toks"),
+                    *(
+                        []
+                        if toks is not None
+                        else [tokens_col("text").alias("toks")]
+                    ),
                     F.array_sort(F.split("text", r"\n", -1)).alias("lsort"),
                     F.array_sort(F.split("text", r"\n\n", -1)).alias(
                         "psort"
@@ -1152,7 +1180,13 @@ def gopher_repetition_frame(
                 )
             )
         ).alias("u"),
-    ).select("doc_id", *keep, "u.toks", "u.lsort", "u.psort")
+    ).select(
+        "doc_id",
+        *keep,
+        *(["toks"] if toks is not None else ["u.toks"]),
+        "u.lsort",
+        "u.psort",
+    )
 
     def _gram_pos_sorted(k: int) -> Column:
         # (gram, pos) structs sorted by (gram, pos): equal grams become

@@ -87,16 +87,37 @@ def ingest_release_stream(
     documents deterministically get the priors-only argmax.
     """
     n_classes = len(classes)
-    gated = gopher_flags_frame(docs, keep=("text", "source"))
+    # Tokenize ONCE: the token array feeds the repetition folds, the NB
+    # fold, and n_tokens — three consumers that would each re-tokenize
+    # per document if handed the expression (lambda-derived arrays are
+    # excluded from subexpression elimination). One single-element
+    # Generate at the head materializes it as the `pre_toks` attribute
+    # and every stage downstream binds the attribute via keep=.
+    toked = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.explode(F.array(tokens_col("text"))).alias("pre_toks"),
+    )
+    gated = gopher_flags_frame(toked, keep=("text", "source", "pre_toks"))
     # the repetition half runs on the RAW text (pre-scrub), its twelve
     # per-rule columns reduced to the gating conjunction for the ledger
     rep = gopher_repetition_frame(
-        gated, keep=("text", "source", "n_words", "gopher_pass")
+        gated,
+        keep=("text", "source", "pre_toks", "n_words", "gopher_pass"),
+        toks="pre_toks",
     ).select(
-        "doc_id", "text", "source", "n_words", "gopher_pass", "rep_pass"
+        "doc_id",
+        "text",
+        "source",
+        "pre_toks",
+        "n_words",
+        "gopher_pass",
+        "rep_pass",
     )
     scrubbed = pii_scrub_frame(
-        rep, keep=("text", "source", "n_words", "gopher_pass", "rep_pass")
+        rep,
+        keep=("source", "pre_toks", "n_words", "gopher_pass", "rep_pass"),
     )
 
     def _score_step(acc: Column, w: Column) -> Column:
@@ -109,7 +130,7 @@ def ingest_release_stream(
         return F.zip_with(acc, seg, lambda a, x: a + x)
 
     sums = F.aggregate(
-        tokens_col("text"),
+        F.col("pre_toks"),
         F.array_repeat(F.lit(0).cast("bigint"), n_classes),
         _score_step,
     )
@@ -127,7 +148,7 @@ def ingest_release_stream(
         "n_phone",
         "had_pii",
         "scrubbed_md5",
-        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        F.size("pre_toks").cast("bigint").alias("n_tokens"),
         F.explode(F.array(sums)).alias("cls_sums"),
     )
     scored_arr = F.array(

@@ -1,6 +1,12 @@
 """Simulate the grading driver: load __spark_entry__ from an arbitrary
 cwd, run every queries() entry at sf0.01 (or $SIM_SF_DIR), compare with
 oracle_sql() via DuckDB. Usage: python scripts/driver_sim.py [names...]
+
+Full (unfiltered) runs also write REGISTRY_TIMES.json — engine-side
+seconds for EVERY registered query — so the two-thirds of the registry
+outside bench.HEADLINE has per-round timing visibility
+(tests/test_registry_times.py gates the artifact against
+tests/registry_times_ref.json; VERDICT r9 ask #4).
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ def main() -> int:
 
     qs, osql = m.queries(), m.oracle_sql()
     failures = 0
+    engine_secs: dict[str, float] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -52,6 +59,7 @@ def main() -> int:
             print(f"FAIL  {name}: engine error {type(ex).__name__}: {str(ex)[:200]}")
             failures += 1
             continue
+        engine_secs[name] = round(time.perf_counter() - t0, 3)
         if name not in osql:
             print(f"ok?   {name}: rows-only, {len(er)} rows ({time.perf_counter()-t0:.1f}s)")
             continue
@@ -73,6 +81,25 @@ def main() -> int:
             failures += 1
         else:
             print(f"MATCH {name}: {len(er)} rows ({time.perf_counter()-t0:.1f}s)")
+    if not only and engine_secs:
+        import json
+
+        with open(os.path.join(REPO, "REGISTRY_TIMES.json"), "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                    "load_avg_start": float(
+                        open("/proc/loadavg").read().split()[0]
+                    ),
+                    "engine_secs": engine_secs,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote REGISTRY_TIMES.json ({len(engine_secs)} queries)")
     print(f"\n{'ALL MATCH' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -61,6 +61,31 @@ def test_budget_table_covers_headline_set() -> None:
     )
 
 
+def test_slack_overrides_cite_mechanism() -> None:
+    """Every slack override names a headline query AND has a measured
+    mechanism documented in SCALE.md's 'Bench slack mechanisms' section
+    (VERDICT r9 ask #5: an override without a mechanism is the
+    regression gate looking away from the suite's slowest queries)."""
+    budget = _budget()
+    overrides = budget.get("slack_overrides", {})
+    with open(os.path.join(REPO_ROOT, "SCALE.md")) as f:
+        scale = f.read()
+    marker = "## Bench slack mechanisms"
+    assert marker in scale, "SCALE.md lost its slack-mechanism section"
+    section = scale.split(marker, 1)[1]
+    undocumented = [
+        name for name in overrides if f"`{name}`" not in section
+    ]
+    assert not undocumented, (
+        "slack_overrides entries without a SCALE.md mechanism: "
+        f"{undocumented} — measure the wobble (scripts/probe_lsh.py "
+        "pattern), write the mechanism under 'Bench slack mechanisms', "
+        "or delete the override."
+    )
+    stale = [n for n in overrides if n not in budget["minima"]]
+    assert not stale, f"slack_overrides for non-headline queries: {stale}"
+
+
 def test_budget_minima_are_positive_numbers() -> None:
     budget = _budget()
     assert budget["sf"] == 0.1

@@ -382,3 +382,115 @@ def test_split_decontaminate_consistent_with_audit(spark, sf_dir):
     for r in decon:
         assert r.n_eval_dups == r.n_val_dups + r.n_test_dups
         assert r.n_eval_dups >= 1
+
+
+# --- incremental cluster maintenance (dedup_clusters_delta, r10) --------
+
+
+def _range_doc(lo: int, hi: int) -> str:
+    """Words w<lo>..w<hi-1> — overlapping ranges give controllable
+    shingle-Jaccard between fixture docs."""
+    return " ".join(f"w{_alpha(i)}" for i in range(lo, hi))
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _assignment(frame):
+    return {(r.doc_id, r.cluster_rep, r.cluster_size) for r in frame.collect()}
+
+
+def test_clusters_delta_agrees_with_scratch_on_corpus(spark, sf_dir):
+    """The registered delta merge (base = doc_id %% 10 != 9 frozen,
+    delta = the rest) must reproduce the from-scratch union clustering
+    doc-for-doc — the merge is exact, not approximate."""
+    scratch = _assignment(SPECS["dedup_clusters_lsh"].fn(spark, sf_dir))
+    merged = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in SPECS["dedup_clusters_delta"].fn(spark, sf_dir).collect()
+    }
+    assert scratch, "corpus should contain dup clusters"
+    assert merged == scratch
+
+
+def test_clusters_delta_trusts_frozen_base(spark):
+    """Base-base pairs are NEVER rediscovered: two true near-dup base
+    docs with an (adversarially) empty frozen assignment and an empty
+    delta yield an empty merge — the delta path must not run base x
+    base candidate generation."""
+    base = _docs_df(
+        spark, [(10, _range_doc(0, 100)), (20, _range_doc(2, 102))]
+    )
+    empty_labels = spark.createDataFrame(
+        [], "doc_id long, cluster_rep long"
+    )
+    out = dedup.clusters_delta_frame(base, _empty_docs(spark), empty_labels)
+    assert out.count() == 0
+
+
+def test_clusters_delta_empty_delta_is_identity(spark):
+    """An empty crawl increment reproduces the frozen base assignment
+    exactly (labels and sizes)."""
+    base = _docs_df(
+        spark,
+        [
+            (10, _range_doc(0, 100)),
+            (20, _range_doc(2, 102)),
+            (50, _range_doc(500, 600)),
+        ],
+    )
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+    out = dedup.clusters_delta_frame(base, _empty_docs(spark), base_labels)
+    assert _assignment(out) == _assignment(dedup._clusters_lsh_frame(base))
+
+
+def test_clusters_delta_merges_two_base_clusters(spark):
+    """A delta doc near-dup to BOTH frozen clusters merges them under
+    the global min label — and the result equals from-scratch over the
+    union."""
+    a1, a2 = _range_doc(0, 80), _range_doc(2, 82)      # cluster A
+    b1, b2 = _range_doc(20, 100), _range_doc(22, 102)  # cluster B
+    bridge = _range_doc(0, 100)                        # ~0.79 to both
+    base = _docs_df(spark, [(10, a1), (11, a2), (30, b1), (31, b2)])
+    delta = _docs_df(spark, [(99, bridge)])
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+    # preflight: the frozen base really is TWO clusters
+    assert {r.cluster_rep for r in base_labels.collect()} == {10, 30}
+    out = dedup.clusters_delta_frame(base, delta, base_labels)
+    scratch = dedup._clusters_lsh_frame(base.unionByName(delta))
+    assert _assignment(out) == _assignment(scratch)
+    rows = _assignment(out)
+    assert rows == {(i, 10, 5) for i in (10, 11, 30, 31, 99)}
+
+
+def test_clusters_delta_exact_dup_rep_takeover(spark):
+    """A delta doc with a SMALLER id exact-duplicating a clustered base
+    doc becomes the merged cluster's representative (min doc_id over
+    members — the from-scratch labeling), and a delta exact-dup of a
+    base SINGLETON births a new size-2 cluster."""
+    t_a, t_b = _range_doc(0, 100), _range_doc(2, 102)
+    t_single = _range_doc(500, 600)
+    base = _docs_df(spark, [(10, t_a), (20, t_b), (50, t_single)])
+    delta = _docs_df(spark, [(7, t_b), (9, t_single)])
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+    out = dedup.clusters_delta_frame(base, delta, base_labels)
+    scratch = dedup._clusters_lsh_frame(base.unionByName(delta))
+    assert _assignment(out) == _assignment(scratch)
+    assert _assignment(out) == {
+        (7, 7, 3),
+        (10, 7, 3),
+        (20, 7, 3),
+        (9, 9, 2),
+        (50, 9, 2),
+    }
