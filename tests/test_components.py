@@ -494,3 +494,42 @@ def test_clusters_delta_exact_dup_rep_takeover(spark):
         (9, 9, 2),
         (50, 9, 2),
     }
+
+
+def test_clusters_delta_increments_compose(spark):
+    """Two successive increments — each merging into the PREVIOUS
+    merge's output as the new frozen base — equal one combined merge
+    AND the from-scratch union clustering: the weekly-ingest loop
+    never needs a recompute-the-world pass."""
+    base = _docs_df(
+        spark,
+        [
+            (10, _range_doc(0, 80)),
+            (11, _range_doc(2, 82)),
+            (30, _range_doc(20, 100)),
+            (31, _range_doc(22, 102)),
+            (50, _range_doc(500, 600)),
+        ],
+    )
+    d1 = _docs_df(spark, [(99, _range_doc(0, 100))])  # bridges A and B
+    d2 = _docs_df(
+        spark,
+        [
+            (77, _range_doc(500, 600)),  # exact dup of singleton 50
+            (78, _range_doc(700, 800)),  # genuinely new singleton
+        ],
+    )
+    labels0 = dedup._clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    step1 = dedup.clusters_delta_frame(base, d1, labels0)
+    labels1 = step1.select("doc_id", "cluster_rep")
+    step2 = dedup.clusters_delta_frame(
+        base.unionByName(d1), d2, labels1
+    )
+    scratch = dedup._clusters_lsh_frame(
+        base.unionByName(d1).unionByName(d2)
+    )
+    assert _assignment(step2) == _assignment(scratch)
+    combined = dedup.clusters_delta_frame(
+        base, d1.unionByName(d2), labels0
+    )
+    assert _assignment(combined) == _assignment(scratch)

@@ -1,0 +1,73 @@
+"""Full-registry timing gate (VERDICT r9 ask #4).
+
+bench.py covers the ~98 headline queries; the other two-thirds of the
+registry had correctness gates but zero perf visibility — which is how
+round 8's 15.7 s query went unnoticed. scripts/driver_sim.py now writes
+REGISTRY_TIMES.json (engine-side seconds for every registered query at
+sf0.01) on each full run; this gate compares the latest artifact
+against the committed per-query reference in
+tests/registry_times_ref.json and fails on any new outlier.
+
+The reference updates like bench_budget.json: elementwise min over
+clean full runs; a new query gets its first measured value in the same
+commit that registers it (the sync test enforces coverage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_PATH = os.path.join(REPO_ROOT, "tests", "registry_times_ref.json")
+LATEST_PATH = os.path.join(REPO_ROOT, "REGISTRY_TIMES.json")
+
+# driver_sim runs on 8 cpus at sf0.01 where fixed per-action overhead
+# (job scheduling, Python<->JVM chatter on collect) dominates small
+# queries; the ratio gate only means something above the floor.
+SLACK = 4.0
+FLOOR_SEC = 3.0
+
+
+def _ref() -> dict:
+    with open(REF_PATH) as f:
+        return json.load(f)
+
+
+def test_reference_covers_registry() -> None:
+    """Every registered query has a reference timing row (and no stale
+    rows linger) — a new query cannot be registered perf-invisible."""
+    from mapreduce_framework_in_go_spark import registry
+
+    registry.load_all_operators()
+    ref = set(_ref()["engine_secs"])
+    reg = set(registry.REGISTRY)
+    assert ref == reg, (
+        "tests/registry_times_ref.json out of sync with the registry: "
+        f"missing={sorted(reg - ref)} stale={sorted(ref - reg)} — run "
+        "scripts/driver_sim.py (full) and fold REGISTRY_TIMES.json into "
+        "the reference in the same commit that changes the registry."
+    )
+
+
+def test_latest_full_run_within_reference() -> None:
+    if not os.path.exists(LATEST_PATH):
+        pytest.skip("no REGISTRY_TIMES.json artifact (full driver_sim not run here)")
+    with open(LATEST_PATH) as f:
+        latest = json.load(f)
+    ref = _ref()["engine_secs"]
+    over = {}
+    for name, sec in latest["engine_secs"].items():
+        if name not in ref:
+            continue  # new query: the sync test forces the ref update
+        cap = max(SLACK * ref[name], FLOOR_SEC)
+        if sec > cap:
+            over[name] = (sec, round(cap, 3))
+    assert not over, (
+        f"registered queries regressed past {SLACK}x their sf0.01 "
+        f"reference (query: (latest_sec, cap_sec)): {over} — intentional "
+        "plan changes refresh tests/registry_times_ref.json in the same "
+        "commit."
+    )

@@ -623,3 +623,67 @@ def test_gopher_repetition_copy_families_share_flags(spark, big_dir):
         "exact copies disagreed on repetition flags — per-doc determinism "
         "broke under the salted corpus"
     )
+
+
+def test_clusters_delta_merge_at_scale(spark, big_dir):
+    """The incremental merge under 10x skew: base = the 5,000 originals
+    (frozen clustering), delta = 45,000 exact copies + 500 near-dup
+    variants. The attach path must absorb the exact-dup flood with ZERO
+    delta sketching for those docs (they are digest matches — only the
+    500 new-digest variant reps ever reach the band join), families must
+    never split, and variants must merge into their base's cluster
+    through the bands."""
+    from mapreduce_framework_in_go_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{big_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.where(F.col("doc_id") < COPY_STRIDE)
+    delta = docs.where(F.col("doc_id") >= COPY_STRIDE)
+
+    def _build():
+        base_labels = dedup._clusters_lsh_frame(base).select(
+            "doc_id", "cluster_rep"
+        )
+        out = dedup.clusters_delta_frame(base, delta, base_labels).persist()
+        agg = out.agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.col("doc_id")
+                .between(COPY_STRIDE, VARIANT_BASE - 1)
+                .cast("long")
+            ).alias("n_copies"),
+        ).first()
+        return out, agg
+
+    out, agg = _timed(_build)
+    try:
+        # every exact copy merged via the digest-attach path
+        assert agg["n_copies"] == (COPIES - 1) * 5000
+        # copy families co-clustered with their original, never split
+        fam = (
+            out.where(F.col("doc_id") < VARIANT_BASE)
+            .groupBy((F.col("doc_id") % COPY_STRIDE).alias("b"))
+            .agg(
+                F.count_distinct("cluster_rep").alias("n_labels"),
+                F.count("*").alias("n"),
+            )
+        )
+        bad = fam.where(
+            (F.col("n_labels") > 1) | (F.col("n") < COPIES)
+        ).count()
+        assert bad == 0
+        # new-digest variants reach their base's cluster through bands
+        base_label = out.where(F.col("doc_id") < COPY_STRIDE).select(
+            F.col("doc_id").alias("b"), F.col("cluster_rep").alias("base_rep")
+        )
+        n_joined = (
+            out.where(F.col("doc_id") >= VARIANT_BASE)
+            .select((F.col("doc_id") - VARIANT_BASE).alias("b"), "cluster_rep")
+            .join(base_label, "b")
+            .where(F.col("cluster_rep") == F.col("base_rep"))
+            .count()
+        )
+        assert n_joined >= 0.95 * 500
+    finally:
+        out.unpersist()
