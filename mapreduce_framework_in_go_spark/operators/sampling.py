@@ -245,3 +245,65 @@ def dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+FAMILY_SALT = "fam"
+
+
+def _cluster_split_oracle() -> str:
+    from .dedup import _CLUSTERS_LSH_ORACLE
+
+    fam_bucket = (
+        f"('0x' || substr(md5('{FAMILY_SALT}' || CAST(family AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {SPLIT_BUCKETS}"
+    )
+    return f"""
+    SELECT doc_id, family,
+           CASE WHEN {fam_bucket} < {TRAIN_PCT} THEN 'train'
+                WHEN {fam_bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS family
+      FROM documents d
+      LEFT JOIN ({_CLUSTERS_LSH_ORACLE}) c ON c.doc_id = d.doc_id
+    )
+    """
+
+
+@register(
+    "dataset_split_cluster",
+    oracle=_cluster_split_oracle(),
+    doc="Duplicate-CLUSTER-aware train/val/test split — the concrete "
+    "near-dup instance dataset_split_grouped's docstring promises: the "
+    "split hash is taken over each document's dedup FAMILY key (its "
+    "dedup_clusters_lsh cluster rep; singletons key on themselves), so "
+    "every exact or near duplicate of a document lands in the SAME "
+    "split by construction — zero cross-split near-dup leakage, the "
+    "property split_leakage_audit can only measure after the fact and "
+    "split_decontaminate can only repair. Output is the full "
+    "(doc_id, family, split) assignment. At 100 TB the family key "
+    "comes from the standing cluster assignment (maintained "
+    "incrementally by dedup_clusters_delta), so the split itself is "
+    "one hash-predicate map pass + one hash join on doc_id — and "
+    "because the assignment is content-keyed, re-crawled duplicates "
+    "can never drift into eval. Zero-leak + naive-split-leaks "
+    "contrast pinned in tests/test_components.py.",
+    tags=["sampling", "training_prep", "dedup"],
+)
+def dataset_split_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _clusters_lsh_frame
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = _clusters_lsh_frame(docs).select("doc_id", "cluster_rep")
+    fam = F.coalesce("cluster_rep", "doc_id").alias("family")
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            fam,
+            split_col(
+                F.coalesce("cluster_rep", "doc_id"), salt=FAMILY_SALT
+            ).alias("split"),
+        )
+    )

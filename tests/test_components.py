@@ -12,6 +12,8 @@ corpus the dedup.py docstring warns about: all-identical boilerplate.
 import random
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from mapreduce_framework_in_go_spark.operators import dedup
 from mapreduce_framework_in_go_spark.registry import all_queries
 
@@ -533,3 +535,32 @@ def test_clusters_delta_increments_compose(spark):
         base, d1.unionByName(d2), labels0
     )
     assert _assignment(combined) == _assignment(scratch)
+
+
+def test_cluster_split_zero_near_dup_leakage(spark):
+    """dataset_split_cluster's construction guarantee: every verified
+    near-dup pair (and every exact-dup pair) shares a split — while the
+    naive per-doc hash split demonstrably leaks on the same corpus."""
+    from mapreduce_framework_in_go_spark.operators.sampling import split_col
+    from mapreduce_framework_in_go_spark.sources.tables import table as _table
+
+    assign = {
+        r.doc_id: r.split
+        for r in SPECS["dataset_split_cluster"].fn(spark, SF_DIR_T2).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR_T2).collect()
+    ]
+    assert pairs, "corpus should contain near-dup pairs"
+    assert all(assign[a] == assign[b] for a, b in pairs)
+    naive = {
+        r.doc_id: r.split
+        for r in _table(spark, SF_DIR_T2, "documents")
+        .select("doc_id", split_col(F.col("doc_id")).alias("split"))
+        .collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in pairs), (
+        "fixture lost its power: the per-doc split no longer leaks, so "
+        "the zero-leak assertion above is vacuous"
+    )
