@@ -1738,7 +1738,10 @@ _CLUSTERS_DELTA_ORACLE = f"""
     "cost scales with the delta + touched clusters, not the corpus. "
     "The result is provably the from-scratch union clustering — the "
     "oracle IS dedup_clusters_lsh's recursive-CTE oracle over all "
-    "documents, plus the from_delta flag.",
+    "documents, plus the from_delta flag. The incremental-not-"
+    "recompute discipline is the reference's own design center: its "
+    "master re-schedules only incomplete tasks, never completed work "
+    "(reference mr/master.go:93-114).",
     tags=["dedup"],
 )
 def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,20 @@ def pytest_configure(config):
     )
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plan_cache():
+    """Plan tests must explain FRESH, unexecuted frames: an executed
+    memoized frame's AQE explain lists final + initial trees (the
+    documented gotcha), doubling Exchange counts. Clearing the
+    per-application plan cache before every test guarantees each
+    registered-fn call builds anew (rebuild cost is ~2 s for the
+    heaviest frame — negligible against the suite)."""
+    from mapreduce_framework_in_go_spark import plan_cache
+
+    plan_cache._PLANS.clear()
+    yield
+
+
 @pytest.fixture(scope="session")
 def spark():
     from mapreduce_framework_in_go_spark.session import get_spark

@@ -61,6 +61,17 @@ SCAN_WHITELIST = {
     "dedup_clusters_lsh": (12, "iterative star-contraction: bounded "
                                "O(log n) rounds, each referencing the "
                                "persisted edge frame"),
+    "dedup_clusters_delta": (40, "composition of the frozen base "
+                                 "clustering (its whole lineage prints "
+                                 "inside the persisted base_labels "
+                                 "InMemoryRelation, materialized once at "
+                                 "build) + the delta merge, whose "
+                                 "persisted control frames (digest "
+                                 "groups, attach/new splits) likewise "
+                                 "re-print their stored subtrees per "
+                                 "consumer; executed scans per action "
+                                 "are the membership assembly's ~6 "
+                                 "digest passes"),
     "dedup_lsh_recall": (10, "sketch path + exact ground-truth path share "
                              "one persisted shingle frame; the remaining "
                              "scans are dimension-sized"),
