@@ -564,3 +564,50 @@ def test_cluster_split_zero_near_dup_leakage(spark):
         "fixture lost its power: the per-doc split no longer leaks, so "
         "the zero-leak assertion above is vacuous"
     )
+
+
+def test_clusters_delta_hypothesis_model_check(spark):
+    """Property-based exactness: for arbitrary corpora drawn from
+    overlapping templates (exact dups, near-dups at several Jaccard
+    levels, unrelated docs) under arbitrary base/delta splits —
+    including an empty base and an empty delta — the incremental merge
+    equals the from-scratch union clustering. Band recall does not
+    matter for the property: both paths share the same bands, so the
+    agreement is sketch-configuration-invariant."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # offsets {0,2} and {10,12} form two near-dup families (J≈0.84);
+    # 30 is unrelated; equal offsets are exact dups
+    docs_strategy = st.lists(
+        st.tuples(st.sampled_from([0, 2, 10, 12, 30]), st.booleans()),
+        min_size=1,
+        max_size=10,
+    )
+
+    def _text(o: int) -> str:
+        return " ".join(f"w{_alpha(o + j)}" for j in range(25))
+
+    @given(docs_strategy)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(raw):
+        base_rows, delta_rows = [], []
+        for i, (off, is_delta) in enumerate(raw):
+            (delta_rows if is_delta else base_rows).append(
+                (100 + i, _text(off))
+            )
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame(base_rows, schema)
+        delta = spark.createDataFrame(delta_rows, schema)
+        base_labels = dedup._clusters_lsh_frame(base).select(
+            "doc_id", "cluster_rep"
+        )
+        merged = dedup.clusters_delta_frame(base, delta, base_labels)
+        scratch = dedup._clusters_lsh_frame(base.unionByName(delta))
+        assert _assignment(merged) == _assignment(scratch)
+
+    check()
