@@ -799,3 +799,47 @@ def stream_ingest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "ingest_release",
     )
+
+
+def _cluster_maintenance_oracle() -> str:
+    from .dedup import _CLUSTERS_DELTA_ORACLE
+
+    return _CLUSTERS_DELTA_ORACLE
+
+
+@register(
+    "stream_cluster_maintenance",
+    oracle=_cluster_maintenance_oracle(),
+    doc="Continuous cluster maintenance on the ingest stream: every "
+    "arriving microbatch of crawl documents is folded into the "
+    "standing duplicate-cluster assignment via the incremental merge "
+    "(streaming/cluster_maintenance.py -> dedup.clusters_delta_frame) "
+    "— the streaming form of dedup_clusters_delta, legal because "
+    "increments provably compose (two merges == one == from-scratch, "
+    "pinned in test_components.py). Per batch only new-digest reps "
+    "are sketched and components run on the contracted touched "
+    "graph, so steady-state ingest cost tracks the batch, never the "
+    "standing corpus. Oracle = the from-scratch union clustering "
+    "(dedup_clusters_lsh's recursive CTE + the from_delta flag) — "
+    "the stream's final state must land exactly there. Multi-"
+    "microbatch composition exercised in test_streaming.py.",
+    tags=["streaming", "dedup", "llm-pipeline"],
+)
+def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import DELTA_MOD, DELTA_REM, _clusters_lsh_frame
+    from ..sources.tables import table
+    from ..streaming.cluster_maintenance import run_cluster_maintenance
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
+    base = docs.where(~is_delta)
+    base_labels = _clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    stream = _docs_stream(spark, sf_dir).where(
+        F.col("doc_id") % DELTA_MOD == DELTA_REM
+    )
+    out = run_cluster_maintenance(
+        stream, base.select("doc_id", "text"), base_labels
+    )
+    return out.withColumn(
+        "from_delta", F.col("doc_id") % DELTA_MOD == DELTA_REM
+    )

@@ -1016,3 +1016,59 @@ def test_ingest_release_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     assert rows_canonical(got.columns, got.collect()) == rows_canonical(
         want.columns, want.collect()
     )
+
+
+def test_cluster_maintenance_multi_microbatch(spark, tmp_path):
+    """Three microbatches fold into the standing assignment one at a
+    time (maxFilesPerTrigger=1, one file per batch) and the final state
+    equals the from-scratch union clustering: the streaming form of the
+    increments-compose property, across real microbatch boundaries."""
+    from mapreduce_framework_in_go_spark.operators import dedup
+    from mapreduce_framework_in_go_spark.streaming.cluster_maintenance import (
+        run_cluster_maintenance,
+    )
+
+    def _alpha(i):
+        return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+    def _doc(lo):
+        return " ".join(f"w{_alpha(lo + j)}" for j in range(25))
+
+    schema = "doc_id long, text string"
+    base_rows = [(10, _doc(0)), (11, _doc(2)), (30, _doc(40)), (50, _doc(90))]
+    batches = [
+        [(101, _doc(0))],                   # near family A
+        [(102, _doc(40)), (103, _doc(42))],  # joins 30's family
+        [(104, _doc(90)), (105, _doc(200))],  # exact dup of 50 + new
+    ]
+    src = tmp_path / "delta_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    base = spark.createDataFrame(base_rows, schema)
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    got = run_cluster_maintenance(stream, base, base_labels)
+    from mapreduce_framework_in_go_spark.streaming.cluster_maintenance import (
+        LAST_RUN_BATCHES,
+    )
+
+    assert LAST_RUN_BATCHES["n"] == 3, (
+        "fixture lost its power: expected 3 non-empty microbatches, "
+        f"got {LAST_RUN_BATCHES['n']} — composition not exercised"
+    )
+    union = base
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, schema))
+    want = dedup._clusters_lsh_frame(union)
+    assert {
+        (r.doc_id, r.cluster_rep, r.cluster_size) for r in got.collect()
+    } == {(r.doc_id, r.cluster_rep, r.cluster_size) for r in want.collect()}
