@@ -1759,6 +1759,63 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_SAVINGS_ORACLE = f"""
+    WITH fam AS (
+      SELECT d.doc_id, d.source,
+             len(regexp_extract_all(d.text, '[\\p{{L}}]+')) AS n_toks,
+             coalesce(c.cluster_rep, d.doc_id) AS family
+      FROM documents d
+      LEFT JOIN ({_CLUSTERS_LSH_ORACLE}) c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = family THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id = family THEN n_toks ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(sum(n_toks)
+                - sum(CASE WHEN doc_id = family THEN n_toks ELSE 0 END)
+                AS BIGINT) AS tokens_saved
+    FROM fam
+    GROUP BY source
+"""
+
+
+@register(
+    "dedup_token_savings",
+    oracle=_TOKEN_SAVINGS_ORACLE,
+    doc="The token economics of deduplication, per source: what a "
+    "keep-one-per-cluster pass (dedup_clusters_lsh families; "
+    "singletons keep themselves) buys in training tokens — docs/"
+    "tokens before, kept (family reps only — the rep IS the family "
+    "key, the min member id), and saved. This is the decision "
+    "artifact that justifies running the 100 TB dedup at all, and "
+    "the per-source attribution shows WHERE the duplication lives "
+    "(mirrors, boilerplate-heavy crawls). Map work + one hash join "
+    "on doc_id over the cluster assignment + one groupBy(source).",
+    tags=["dedup", "llm-pipeline"],
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    clusters = _clusters_lsh_frame(docs).select("doc_id", "cluster_rep")
+    fam = docs.join(clusters, "doc_id", "left").select(
+        "source",
+        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+        (
+            F.col("doc_id") == F.coalesce("cluster_rep", "doc_id")
+        ).alias("is_rep"),
+    )
+    kept = F.when(F.col("is_rep"), F.col("n_toks")).otherwise(F.lit(0))
+    return fam.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_rep").cast("long")).alias("n_kept"),
+        F.sum("n_toks").alias("tokens_total"),
+        F.sum(kept).alias("tokens_kept"),
+        (F.sum("n_toks") - F.sum(kept)).alias("tokens_saved"),
+    )
+
+
 BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # bands x rows over 16 slots
 
 
