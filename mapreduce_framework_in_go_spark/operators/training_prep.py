@@ -878,3 +878,227 @@ def pack_bestfit_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("own_bins").alias("n_own_bins"),
         "pack_bin",
     )
+
+
+_PACK_BOUNDARY_ORACLE = f"""
+    WITH {_SHINGLE_5_SQL},
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    t0 AS (
+      SELECT doc_id, regexp_extract_all(text, '[\\p{{L}}]+') AS tk
+      FROM documents WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    t AS (SELECT doc_id, tk, len(tk) AS n FROM t0 WHERE len(tk) > 0),
+    c AS (
+      SELECT doc_id, tk, n,
+             sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+      FROM t
+    ),
+    j AS (
+      SELECT doc_id AS prev_id, tk AS ptk, n AS pn,
+             lead(doc_id) OVER w AS next_id,
+             lead(tk) OVER w AS ntk,
+             lead(n) OVER w AS nn,
+             lead(off) OVER w AS junction
+      FROM c WINDOW w AS (ORDER BY doc_id)
+    ),
+    cand AS (
+      SELECT prev_id, next_id, junction, k,
+             array_to_string(
+               list_concat(ptk[pn - k + 1 : pn], ntk[1 : {DECON_NGRAM} - k]),
+               ' ') AS s
+      FROM j, unnest(range(1, {DECON_NGRAM})) u(k)
+      WHERE next_id IS NOT NULL
+        AND k <= pn AND ({DECON_NGRAM} - k) <= nn
+        AND (junction - k) // {CTX_TOKENS}
+            = (junction - k + {DECON_NGRAM - 1}) // {CTX_TOKENS}
+    ),
+    counts AS (
+      SELECT prev_id, next_id, junction, count(*) AS ncand
+      FROM cand GROUP BY 1, 2, 3
+    ),
+    hits AS (
+      SELECT prev_id, next_id, count(*) AS nh
+      FROM cand JOIN ev USING (s) GROUP BY 1, 2
+    )
+    SELECT counts.prev_id AS prev_doc_id,
+           counts.next_id AS next_doc_id,
+           CAST(junction AS BIGINT) AS junction_offset,
+           CAST(ncand AS BIGINT) AS n_boundary_grams,
+           CAST(coalesce(nh, 0) AS BIGINT) AS n_eval_hits
+    FROM counts LEFT JOIN hits USING (prev_id, next_id)
+"""
+
+
+@register(
+    "pack_boundary_contamination",
+    oracle=_PACK_BOUNDARY_ORACLE,
+    doc=f"The contamination channel doc-level decontamination cannot "
+    f"see: concat-then-chunk packing (pack_sequences) lays train "
+    f"documents end to end, so a {DECON_NGRAM}-gram of the eval split "
+    "can MATERIALIZE at the junction between two adjacent train docs "
+    "— its tokens exist in no single document. For every junction in "
+    "the packed train corpus (doc_id order, eval split excluded, "
+    "empty docs skipped) this enumerates the boundary-crossing "
+    f"{DECON_NGRAM}-token windows that stay inside ONE "
+    f"{CTX_TOKENS}-token context bin (a window split by a bin edge "
+    "never co-attends in training), and counts those present in the "
+    "eval n-gram set. Scale shape: the eval gram set broadcasts; the "
+    "junction frame carries only each doc's first/last "
+    f"{DECON_NGRAM - 1} tokens (never the corpus text); adjacency is "
+    "two-level (within-group lead + a groups-sized boundary join), "
+    "never a global single-partition window. Planted-junction "
+    "detection pinned in tests/test_properties_spark — see "
+    "test_streaming/test pack boundary test.",
+    tags=["training_prep", "llm-pipeline"],
+)
+def pack_boundary_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    k_head = DECON_NGRAM - 1
+    # eval gram set (the decontaminate_ngram broadcast side)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), DECON_NGRAM))
+        ).alias("s"),
+    )
+    ev = sh.where(F.col("doc_id") % EVAL_MOD == 0).select("s").distinct()
+
+    toks = tokens_col("text")
+    t = (
+        docs.where(F.col("doc_id") % EVAL_MOD != 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") / PACK_GROUP_SPAN).cast("long").alias("g"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.size(toks).alias("n"),
+                        F.slice(toks, 1, k_head).alias("head"),
+                        F.slice(
+                            toks,
+                            F.greatest(F.size(toks) - (k_head - 1), F.lit(1)),
+                            F.least(F.size(toks), F.lit(k_head)),
+                        ).alias("tail"),
+                    )
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "g", "u.n", "u.head", "u.tail")
+        .where(F.col("n") > 0)
+    )
+    # two-level global token offsets (the pack_sequences shape)
+    w_local = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n").over(w_local))
+    g_tot = t.groupBy("g").agg(F.sum("n").alias("g_tokens"))
+    w_g = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g_off = g_tot.select(
+        "g", (F.sum("g_tokens").over(w_g) - F.col("g_tokens")).alias("g_offset")
+    )
+    frame = local.join(F.broadcast(g_off), "g").select(
+        "doc_id",
+        "g",
+        "n",
+        "head",
+        "tail",
+        (F.col("g_offset") + F.col("local_cum") - F.col("n")).alias("off"),
+    )
+    # adjacency: within-group lead + a groups-sized cross-boundary join
+    # (rank present groups; group r's last doc precedes group r+1's first)
+    w_adj = Window.partitionBy("g").orderBy("doc_id")
+    local_pairs = frame.select(
+        F.col("doc_id").alias("prev_id"),
+        F.col("tail").alias("ptail"),
+        F.col("n").alias("pn"),
+        F.lead("doc_id").over(w_adj).alias("next_id"),
+        F.lead("head").over(w_adj).alias("nhead"),
+        F.lead("n").over(w_adj).alias("nn"),
+        F.lead("off").over(w_adj).alias("junction"),
+    ).where(F.col("next_id").isNotNull())
+    w_rank = Window.orderBy("g")  # groups-sized frame: tiny by design
+    ranked = g_tot.select("g", F.row_number().over(w_rank).alias("r"))
+    lasts = (
+        frame.join(
+            frame.groupBy("g").agg(F.max("doc_id").alias("doc_id")),
+            ["g", "doc_id"],
+            "left_semi",
+        )
+        .join(ranked, "g")
+        .select(
+            "r",
+            F.col("doc_id").alias("prev_id"),
+            F.col("tail").alias("ptail"),
+            F.col("n").alias("pn"),
+        )
+    )
+    firsts = (
+        frame.join(
+            frame.groupBy("g").agg(F.min("doc_id").alias("doc_id")),
+            ["g", "doc_id"],
+            "left_semi",
+        )
+        .join(ranked, "g")
+        .select(
+            (F.col("r") - 1).alias("r"),
+            F.col("doc_id").alias("next_id"),
+            F.col("head").alias("nhead"),
+            F.col("n").alias("nn"),
+            F.col("off").alias("junction"),
+        )
+    )
+    cross_pairs = lasts.join(firsts, "r").select(
+        "prev_id", "ptail", "pn", "next_id", "nhead", "nn", "junction"
+    )
+    pairs = local_pairs.unionByName(cross_pairs)
+
+    k = F.col("k")
+    s_start = F.col("junction") - k
+    gram = F.array_join(
+        F.concat(
+            F.slice("ptail", F.size("ptail") - k + F.lit(1), k),
+            F.slice("nhead", F.lit(1), F.lit(DECON_NGRAM) - k),
+        ),
+        " ",
+    )
+    cand = (
+        pairs.select(
+            "prev_id",
+            "next_id",
+            "junction",
+            F.explode(F.sequence(F.lit(1), F.lit(k_head))).alias("k"),
+            "ptail",
+            "pn",
+            "nhead",
+            "nn",
+        )
+        .where(
+            (k <= F.col("pn"))
+            & (F.lit(DECON_NGRAM) - k <= F.col("nn"))
+            & (
+                F.floor(s_start / CTX_TOKENS)
+                == F.floor((s_start + DECON_NGRAM - 1) / CTX_TOKENS)
+            )
+        )
+        .select("prev_id", "next_id", "junction", gram.alias("s"))
+    )
+    counts = cand.groupBy("prev_id", "next_id", "junction").agg(
+        F.count("*").alias("ncand")
+    )
+    hits = (
+        cand.join(F.broadcast(ev), "s")
+        .groupBy("prev_id", "next_id")
+        .agg(F.count("*").alias("nh"))
+    )
+    return counts.join(hits, ["prev_id", "next_id"], "left").select(
+        F.col("prev_id").alias("prev_doc_id"),
+        F.col("next_id").alias("next_doc_id"),
+        F.col("junction").cast("long").alias("junction_offset"),
+        F.col("ncand").cast("long").alias("n_boundary_grams"),
+        F.coalesce("nh", F.lit(0)).cast("long").alias("n_eval_hits"),
+    )

@@ -837,3 +837,60 @@ def test_boilerplate_line_scrub_on_crafted_corpus(spark, tmp_path):
     assert rows[3].n_removed_lines == 0
     assert rows[3].kept_md5 == hashlib.md5(docs[3][1].encode()).hexdigest()
     assert rows[4].n_removed_lines == 0
+
+
+def test_pack_boundary_contamination_planted(spark, tmp_path):
+    """Planted junction leak: an eval 5-gram whose tokens exist in NO
+    single train document materializes at the junction between two
+    adjacent packed train docs — and a junction that falls exactly on
+    a context-bin edge is correctly exempt (the window never co-attends
+    in training)."""
+    from mapreduce_framework_in_go_spark.operators.training_prep import (
+        CTX_TOKENS,
+        pack_boundary_contamination,
+    )
+
+    def words(tag, n):
+        # pure-letter tokens (the tokenizer keeps Unicode letter runs
+        # only — a digit would split one word into two tokens)
+        def alpha(i):
+            return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+        return " ".join(f"{tag}{alpha(i)}" for i in range(n))
+
+    # doc 1 ends "... leakaa leakbb"; doc 2 starts "leakcc leakdd leakee"
+    d1 = words("p", 30) + " leakaa leakbb"
+    d2 = "leakcc leakdd leakee " + words("q", 30)
+    # eval doc 20 contains the junction-spanning 5-gram verbatim
+    ev = words("e", 10) + " leakaa leakbb leakcc leakdd leakee " + words("f", 5)
+    # docs 3/4: the junction between them lands EXACTLY on a bin edge
+    n_so_far = 32 + 33  # doc1 + doc2 token counts
+    d3 = words("r", CTX_TOKENS - n_so_far)  # junction(3->4) = CTX_TOKENS
+    d4 = words("s", 40)
+    rows = [
+        (1, d1, "en", "src", 1),
+        (2, d2, "en", "src", 1),
+        (3, d3, "en", "src", 1),
+        (4, d4, "en", "src", 1),
+        (20, ev, "en", "src", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.prev_doc_id, r.next_doc_id): (
+            r.junction_offset,
+            r.n_boundary_grams,
+            r.n_eval_hits,
+        )
+        for r in pack_boundary_contamination(spark, str(tmp_path)).collect()
+    }
+    # the planted leak is found at the 1->2 junction (exactly one of
+    # the four boundary windows matches the eval gram)
+    assert got[(1, 2)] == (32, 4, 1)
+    # doc2 -> doc3: ordinary junction, no eval hit
+    assert got[(2, 3)] == (65, 4, 0)
+    # doc3 -> doc4 junction sits ON the bin edge: every crossing window
+    # straddles two training contexts, so the junction has no candidate
+    # windows at all (absent from the output)
+    assert (3, 4) not in got
