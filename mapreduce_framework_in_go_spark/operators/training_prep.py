@@ -930,6 +930,19 @@ _PACK_BOUNDARY_ORACLE = f"""
 """
 
 
+# Own generation slot (per-slot rule, CLAUDE.md): the junction frame is
+# referenced by four consumers (local pairs, group heads/tails x2, and
+# through them both candidate aggregates) — unpersisted, each re-plans
+# the corpus scan + offset windows.
+from ..cache import GenerationSlot  # noqa: E402
+
+_PACK_BOUNDARY_GENERATION = GenerationSlot()
+
+
+def _evict_pack_boundary_generation() -> None:
+    _PACK_BOUNDARY_GENERATION.evict()
+
+
 @register(
     "pack_boundary_contamination",
     oracle=_PACK_BOUNDARY_ORACLE,
@@ -1001,13 +1014,22 @@ def pack_boundary_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_off = g_tot.select(
         "g", (F.sum("g_tokens").over(w_g) - F.col("g_tokens")).alias("g_offset")
     )
-    frame = local.join(F.broadcast(g_off), "g").select(
-        "doc_id",
-        "g",
-        "n",
-        "head",
-        "tail",
-        (F.col("g_offset") + F.col("local_cum") - F.col("n")).alias("off"),
+    # persisted: four consumers (within-group lead, group heads/tails,
+    # and both candidate aggregates through them) would otherwise each
+    # re-plan the corpus scan + offset windows. Tiny rows — doc_id,
+    # group, count, first/last 4 tokens — never the document text.
+    _evict_pack_boundary_generation()
+    frame = _PACK_BOUNDARY_GENERATION.adopt(
+        local.join(F.broadcast(g_off), "g")
+        .select(
+            "doc_id",
+            "g",
+            "n",
+            "head",
+            "tail",
+            (F.col("g_offset") + F.col("local_cum") - F.col("n")).alias("off"),
+        )
+        .persist()
     )
     # adjacency: within-group lead + a groups-sized cross-boundary join
     # (rank present groups; group r's last doc precedes group r+1's first)
