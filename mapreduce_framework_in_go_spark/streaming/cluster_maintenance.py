@@ -9,65 +9,299 @@ tests/test_components.py::test_clusters_delta_increments_compose). The
 final state after a bounded stream therefore equals the from-scratch
 union clustering, which is what the registered query's oracle checks.
 
+Two state tiers:
+
+- ``state_dir=None`` (the registered query): driver-held state —
+  labels localCheckpointed per batch. Fast, session-scoped; state
+  dies with the driver.
+- ``state_dir=...``: the STORAGE-TABLE form (r10 verdict ask #2) —
+  the reference's declared state tier is exactly crash-surviving
+  state (reference raft/persister.go:53-58 atomic save;
+  kvraft/test_test.go restart matrix). Standing state lives in
+  parquet under ``state_dir``: the frozen base (labels + the
+  groups/sketch/bands index of ``dedup.build_cluster_index``) written
+  once, then per microbatch an APPEND-ONLY index increment (sketch/
+  band rows for new-digest reps, group upserts) plus the LABEL
+  UPSERTS (rows whose assignment changed — bounded by delta + touched
+  clusters). The stream runs with a real ``checkpointLocation`` under
+  the same dir, so restarts resume from the last committed offset and
+  re-seed the fold from the stored tables.
+
+Exactly-once across crashes: within a batch the label-upsert write is
+LAST, and its ``_SUCCESS`` marker is the commit point. Recovery seeding
+reads only batches whose labels committed; if the driver died between
+the sink write and the checkpoint commit, the re-delivered batch (same
+batch_id — Spark's foreachBatch replay contract) is detected by its
+existing ``_SUCCESS`` and skipped, so a batch can never be applied
+twice (the ``_spark_metadata`` discipline of the ingest parquet sink,
+one level up). Current state is the LATEST row per key across base +
+committed batch upserts (``max_by`` on the batch id).
+
 Scale notes (100 TB standing corpus, continuous crawl): per microbatch
-the work is the delta-merge bound — only new-digest batch reps are
-sketched, candidates are batch×base band probes, components run on the
-contracted touched graph. The standing state here is driver-held
-(labels localCheckpointed per batch so the next merge's generation
-eviction can never unroot them); on a real cluster the labels and the
-band/shingle index live in a storage table (Delta/Iceberg) that each
-batch upserts — the same foreachBatch body writing MERGE INTO instead
-of swapping in-memory frames. The reference's master applies the same
-discipline one tier down: completed work is never re-executed, only
-the incomplete increment is scheduled (reference mr/master.go:93-114).
+the heavy work is delta-bounded — only new-digest batch reps are
+sketched (the stored index replaces base re-sketching), candidates are
+batch-bands x stored-band-index probes, components run on the
+contracted touched graph, and the state writes are bounded upserts.
+At warehouse scale the parquet batch dirs become a Delta/Iceberg MERGE
+INTO and the latest-per-key read is the table's own snapshot; a
+compaction job (operators/compaction.py's pattern) folds old batch
+dirs into the base periodically. The reference's master applies the
+same discipline one tier down: completed work is never re-executed,
+only the incomplete increment is scheduled (reference
+mr/master.go:93-114).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # driver-side observability: non-empty microbatches folded by the last
-# run (tests assert the multi-batch path actually exercised composition)
-LAST_RUN_BATCHES = {"n": 0}
+# run (tests assert the multi-batch path actually exercised
+# composition) and batches skipped as already-applied replays
+LAST_RUN_BATCHES = {"n": 0, "skipped": 0}
+
+_INDEX_PARTS = ("groups", "sketch", "bands")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _committed_batches(state_dir: str) -> list[int]:
+    """Batch ids whose label upserts committed (the batch's _SUCCESS)."""
+    root = os.path.join(state_dir, "batches")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d)
+        for d in os.listdir(root)
+        if d.isdigit() and _done(os.path.join(root, d, "labels"))
+    )
+
+
+def _write_base_state(
+    spark: SparkSession,
+    state_dir: str,
+    base_labels: DataFrame,
+    base_index: dict[str, DataFrame],
+) -> None:
+    """First-start initialization: persist the frozen base tables.
+    Idempotent — a re-run (or a crash during a later batch) never
+    rewrites a committed part."""
+    for name, frame in [
+        ("labels", base_labels.select("doc_id", "cluster_rep")),
+        *[(p, base_index[p]) for p in _INDEX_PARTS],
+    ]:
+        path = os.path.join(state_dir, "base", name)
+        if not _done(path):
+            frame.write.mode("overwrite").parquet(path)
+
+
+def load_cluster_state(
+    spark: SparkSession, state_dir: str, base_docs: DataFrame
+) -> dict:
+    """Seed the fold state from the stored tables: latest-per-key
+    labels/groups across base + committed batch upserts, append-union
+    sketch/bands, and the standing docs (base + committed batch docs).
+    Frames are localCheckpointed so the per-batch merge reads
+    materialized state, not a growing union lineage."""
+    ids = _committed_batches(state_dir)
+
+    def _read(kind: str, batch: int | None) -> DataFrame:
+        sub = (
+            os.path.join(state_dir, "base", kind)
+            if batch is None
+            else os.path.join(state_dir, "batches", str(batch), kind)
+        )
+        return spark.read.parquet(sub).withColumn(
+            "_b", F.lit(-1 if batch is None else batch)
+        )
+
+    def _stack(kind: str) -> DataFrame:
+        out = _read(kind, None)
+        for b in ids:
+            out = out.unionByName(_read(kind, b))
+        return out
+
+    labels = (
+        _stack("labels")
+        .groupBy("doc_id")
+        .agg(F.max_by("cluster_rep", "_b").alias("cluster_rep"))
+    )
+    groups = (
+        _stack("groups")
+        .groupBy("dig")
+        .agg(F.max_by(F.struct("rep", "n"), "_b").alias("g"))
+        .select("dig", "g.rep", "g.n")
+    )
+    index = {
+        "groups": groups.localCheckpoint(),
+        "sketch": _stack("sketch").drop("_b").localCheckpoint(),
+        "bands": _stack("bands").drop("_b").localCheckpoint(),
+    }
+    docs = base_docs.select("doc_id", "text")
+    for b in ids:
+        docs = docs.unionByName(
+            spark.read.parquet(
+                os.path.join(state_dir, "batches", str(b), "docs")
+            ).select("doc_id", "text")
+        )
+    return {
+        "labels": labels.localCheckpoint(),
+        "index": index,
+        "docs": docs.localCheckpoint(),
+    }
+
+
+def read_cluster_assignment(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The standing assignment ``(doc_id, cluster_rep, cluster_size)``
+    straight from the stored tables — what a consumer (or a restarted
+    maintainer) sees without any stream running. Sizes derive from the
+    label table (labels-only state: a cluster's size is not stored, so
+    size churn never writes upsert rows)."""
+    from ..operators.dedup import _label_clusters
+
+    ids = _committed_batches(state_dir)
+    stack = spark.read.parquet(
+        os.path.join(state_dir, "base", "labels")
+    ).withColumn("_b", F.lit(-1))
+    for b in ids:
+        stack = stack.unionByName(
+            spark.read.parquet(
+                os.path.join(state_dir, "batches", str(b), "labels")
+            ).withColumn("_b", F.lit(b))
+        )
+    latest = stack.groupBy("doc_id").agg(
+        F.max_by("cluster_rep", "_b").alias("label")
+    )
+    return _label_clusters(latest.select("doc_id", "label"))
 
 
 def run_cluster_maintenance(
     docs_stream: DataFrame,
     base_docs: DataFrame,
     base_labels: DataFrame,
+    *,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Drive a bounded ``(doc_id, text)`` stream to completion, folding
     each microbatch into the standing assignment; returns the final
     ``(doc_id, cluster_rep, cluster_size)`` batch frame.
 
     ``base_docs``/``base_labels`` seed the standing state (the frozen
-    corpus + its member-level assignment)."""
-    from ..operators.dedup import _label_clusters, clusters_delta_frame
+    corpus + its member-level assignment). With ``state_dir`` the
+    standing state is a crash-surviving storage table (module
+    docstring); without, it is driver-held (session-scoped)."""
+    from ..operators.dedup import (
+        _label_clusters,
+        advance_cluster_index,
+        build_cluster_index,
+        clusters_delta_frame,
+    )
 
     spark = docs_stream.sparkSession
-    # Driver-held standing state. The labels are localCheckpointed
-    # after every merge: clusters_delta_frame evicts its generation
-    # slot at entry, so the NEXT batch's merge would otherwise unroot
-    # the previous batch's (lazy) output lineage mid-stream.
-    state = {
-        "docs": base_docs.select("doc_id", "text"),
-        "labels": base_labels.select("doc_id", "cluster_rep")
-        .localCheckpoint(),
-    }
     LAST_RUN_BATCHES["n"] = 0
+    LAST_RUN_BATCHES["skipped"] = 0
+
+    if state_dir is None:
+        # Driver-held standing state. The labels are localCheckpointed
+        # after every merge: clusters_delta_frame evicts its generation
+        # slot at entry, so the NEXT batch's merge would otherwise
+        # unroot the previous batch's (lazy) output lineage mid-stream.
+        state = {
+            "docs": base_docs.select("doc_id", "text"),
+            "labels": base_labels.select("doc_id", "cluster_rep")
+            .localCheckpoint(),
+        }
+
+        def _fold(batch_df: DataFrame, batch_id: int) -> None:
+            batch = batch_df.select("doc_id", "text").localCheckpoint()
+            if not batch.head(1):
+                return
+            LAST_RUN_BATCHES["n"] += 1
+            merged = clusters_delta_frame(
+                state["docs"], batch, state["labels"]
+            )
+            state["labels"] = merged.select(
+                "doc_id", "cluster_rep"
+            ).localCheckpoint()
+            state["docs"] = state["docs"].unionByName(batch)
+
+        q = (
+            docs_stream.writeStream.outputMode("append")
+            .foreachBatch(_fold)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return _label_clusters(
+            state["labels"].select(
+                "doc_id", F.col("cluster_rep").alias("label")
+            )
+        )
+
+    # --- storage-table mode -------------------------------------------
+    _write_base_state(
+        spark, state_dir, base_labels, build_cluster_index(base_docs)
+    )
+    state = load_cluster_state(spark, state_dir, base_docs)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(state_dir, "batches", str(batch_id))
+        if _done(os.path.join(bdir, "labels")):
+            # crash-window replay: the batch's effects committed but
+            # the checkpoint didn't — the seed already includes it
+            LAST_RUN_BATCHES["skipped"] += 1
+            return
         batch = batch_df.select("doc_id", "text").localCheckpoint()
         if not batch.head(1):
             return
         LAST_RUN_BATCHES["n"] += 1
-        merged = clusters_delta_frame(state["docs"], batch, state["labels"])
-        state["labels"] = merged.select("doc_id", "cluster_rep").localCheckpoint()
+        # 1. the batch rows themselves (recovery needs the standing
+        #    corpus; at deployment the crawl store already has them)
+        batch.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
+        # 2. append-only index increment (new-digest rep sketch/bands,
+        #    bounded group upserts)
+        new_index, appends = advance_cluster_index(state["index"], batch)
+        for part in _INDEX_PARTS:
+            appends[part].write.mode("overwrite").parquet(
+                os.path.join(bdir, part)
+            )
+        # 3. the merge against the stored index, then the label
+        #    upserts — the LAST write; its _SUCCESS is the commit point
+        merged = clusters_delta_frame(
+            state["docs"], batch, state["labels"],
+            base_index=state["index"],
+        )
+        new_labels = merged.select("doc_id", "cluster_rep").localCheckpoint()
+        prev = state["labels"].withColumnRenamed("cluster_rep", "_old")
+        ups = (
+            new_labels.join(prev, "doc_id", "left")
+            .where(
+                F.col("_old").isNull()
+                | (F.col("_old") != F.col("cluster_rep"))
+            )
+            .select("doc_id", "cluster_rep")
+        )
+        ups.write.mode("overwrite").parquet(os.path.join(bdir, "labels"))
+        state["labels"] = new_labels
         state["docs"] = state["docs"].unionByName(batch)
+        state["index"] = {
+            k: v.localCheckpoint() for k, v in new_index.items()
+        }
 
     q = (
         docs_stream.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "checkpoint")
+        )
         .foreachBatch(_fold)
         .start()
     )
@@ -76,7 +310,5 @@ def run_cluster_maintenance(
     finally:
         q.stop()
     return _label_clusters(
-        state["labels"].select(
-            "doc_id", F.col("cluster_rep").alias("label")
-        )
+        state["labels"].select("doc_id", F.col("cluster_rep").alias("label"))
     )

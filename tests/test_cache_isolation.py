@@ -41,6 +41,61 @@ def test_pipeline_frames_survive_dedup_eviction(spark, sf_dir):
     )
 
 
+def test_clusters_delta_slot_survives_dedup_eviction(spark, sf_dir):
+    """The delta-merge family has its OWN generation (r10 advice):
+    dedup-family builds must not evict its in-flight control frames,
+    and a delta build must not evict dedup's shingles."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = dedup._clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    dedup_frames = list(dedup._CACHE_GENERATION)
+    assert dedup_frames
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup.clusters_delta_frame(base, empty, labels)
+    delta_frames = list(dedup._CLUSTERS_DELTA_GENERATION)
+    assert delta_frames and all(
+        f.storageLevel.useMemory for f in delta_frames
+    )
+    assert all(f.storageLevel.useMemory for f in dedup_frames), (
+        "delta-merge build evicted dedup's generation — per-slot rule"
+    )
+    dedup._evict_previous_generation()
+    assert all(f.storageLevel.useMemory for f in delta_frames), (
+        "dedup eviction reached the delta-merge slot — per-slot rule"
+    )
+
+
+def test_delta_base_artifact_survives_slot_evictions(spark, sf_dir):
+    """The merge-only frozen-base artifact lives OUTSIDE every
+    generation slot: both the dedup and the delta-merge evictions must
+    leave it materialized (a silent rebuild would re-pay the full
+    base clustering on the next weekly increment)."""
+    labels, idx = dedup._delta_base_artifact(spark, sf_dir)
+    dedup._evict_previous_generation()
+    dedup._evict_clusters_delta_generation()
+    for f in (labels, *idx.values()):
+        assert f.storageLevel.useMemory, (
+            "frozen-base artifact evicted by a generation slot"
+        )
+
+
+def test_pack_boundary_slot_survives_neighbor_evictions(spark, sf_dir):
+    """pack_boundary_contamination's junction frame has its own slot
+    (r10 advice): pipeline and training-prep neighbors must not evict
+    it mid-build."""
+    from mapreduce_framework_in_go_spark.operators import training_prep
+
+    from mapreduce_framework_in_go_spark.registry import REGISTRY
+
+    REGISTRY["pack_boundary_contamination"].fn(spark, sf_dir)
+    frames = list(training_prep._PACK_BOUNDARY_GENERATION)
+    assert frames and all(f.storageLevel.useMemory for f in frames)
+    pipeline._evict_pipeline_generation()
+    dedup._evict_previous_generation()
+    assert all(f.storageLevel.useMemory for f in frames), (
+        "pack-boundary junction frame evicted by a neighbor family"
+    )
+
+
 def test_emb_ivf_assignment_survives_similarity_eviction(spark, sf_dir):
     df = dedup.dedup_embedding_ivf(spark, sf_dir)
     frames = list(dedup._EMB_IVF_GENERATION)

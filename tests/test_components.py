@@ -537,6 +537,95 @@ def test_clusters_delta_increments_compose(spark):
     assert _assignment(combined) == _assignment(scratch)
 
 
+def test_clusters_delta_indexed_equals_plain(spark):
+    """The stored-index merge path (base_index=) is id-for-id equal to
+    the in-session path AND to from-scratch — across two chained
+    increments with the index advanced between them — and its appends
+    are delta-bounded: sketch/band rows only for NEW-digest delta reps
+    (an exact-dup flood appends nothing), group upserts only for delta
+    digests."""
+    base = _docs_df(
+        spark,
+        [
+            (10, _range_doc(0, 80)),
+            (11, _range_doc(2, 82)),
+            (30, _range_doc(20, 100)),
+            (31, _range_doc(22, 102)),
+            (50, _range_doc(500, 600)),
+        ],
+    )
+    d1 = _docs_df(spark, [(99, _range_doc(0, 100)), (98, _range_doc(2, 82))])
+    d2 = _docs_df(
+        spark, [(77, _range_doc(500, 600)), (78, _range_doc(700, 800))]
+    )
+    labels0 = dedup._clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    idx0 = dedup.build_cluster_index(base)
+
+    plain = _assignment(dedup.clusters_delta_frame(base, d1, labels0))
+    assert dedup.RUN_STATS.get("delta_sketch_scope") == "union_reps"
+    indexed = dedup.clusters_delta_frame(base, d1, labels0, base_index=idx0)
+    got1 = _assignment(indexed)
+    assert dedup.RUN_STATS.get("delta_sketch_scope") == "delta_new_reps"
+    assert got1 == plain
+    assert got1 == _assignment(dedup._clusters_lsh_frame(base.unionByName(d1)))
+
+    # appends are delta-bounded: 98 exact-dups 11, so only 99 (the one
+    # new digest) is sketched; group upserts = the two delta digests
+    idx1, app1 = dedup.advance_cluster_index(idx0, d1)
+    assert {r.doc_id for r in app1["sketch"].select("doc_id").distinct().collect()} == {99}
+    assert {r.doc_id for r in app1["bands"].select("doc_id").distinct().collect()} == {99}
+    assert app1["groups"].count() == 2
+    # grown group keeps min-rep and summed size
+    grown = {
+        (r.rep, r.n)
+        for r in app1["groups"].where(F.col("rep") != 99).collect()
+    }
+    assert grown == {(11, 2)}
+
+    # chained increment over the ADVANCED index still equals scratch
+    idx1 = {k: v.localCheckpoint() for k, v in idx1.items()}
+    labels1 = indexed.select("doc_id", "cluster_rep").localCheckpoint()
+    got2 = _assignment(
+        dedup.clusters_delta_frame(
+            base.unionByName(d1), d2, labels1, base_index=idx1
+        )
+    )
+    assert got2 == _assignment(
+        dedup._clusters_lsh_frame(
+            base.unionByName(d1).unionByName(d2)
+        )
+    )
+
+
+def test_clusters_delta_merge_only_matches_scratch(spark, sf_dir):
+    """The registered deployment-shape query: frozen-base artifact
+    memoized per (app, dataset) — second call reuses it (no rebuild)
+    — and the merged assignment equals the from-scratch clustering."""
+    from mapreduce_framework_in_go_spark.operators.dedup import (
+        _DELTA_BASE_CACHE,
+    )
+
+    scratch = _assignment(SPECS["dedup_clusters_lsh"].fn(spark, sf_dir))
+    got = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in SPECS["dedup_clusters_delta_merge_only"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == scratch
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    n_keys = len(_DELTA_BASE_CACHE)
+    labels, idx = _DELTA_BASE_CACHE[key]
+    SPECS["dedup_clusters_delta_merge_only"].fn(spark, sf_dir).count()
+    assert len(_DELTA_BASE_CACHE) == n_keys
+    assert labels.storageLevel.useMemory, (
+        "frozen-base artifact evicted by a repeat merge — the memo "
+        "must live outside the generation slot"
+    )
+
+
 def test_cluster_split_zero_near_dup_leakage(spark):
     """dataset_split_cluster's construction guarantee: every verified
     near-dup pair (and every exact-dup pair) shares a split — while the

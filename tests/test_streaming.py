@@ -1072,3 +1072,112 @@ def test_cluster_maintenance_multi_microbatch(spark, tmp_path):
     assert {
         (r.doc_id, r.cluster_rep, r.cluster_size) for r in got.collect()
     } == {(r.doc_id, r.cluster_rep, r.cluster_size) for r in want.collect()}
+
+
+def test_cluster_maintenance_state_table_restart(spark, tmp_path):
+    """The storage-table state tier (r10 verdict ask #2): standing
+    labels + the band/shingle index live in parquet under state_dir
+    with a REAL checkpoint. Kill-and-resume matrix: (1) process one
+    batch, stop; (2) simulate a crash in the window between the state
+    write and the checkpoint commit (delete the commit marker) and
+    restart with two more files — the re-delivered batch must be
+    detected as already applied (its _SUCCESS) and skipped, the new
+    batches folded; (3) idle restart changes nothing. The state read
+    back FROM DISK by a fresh consumer equals the from-scratch union
+    clustering — the reference's crash-surviving state contract
+    (raft/persister.go:53-58, kvraft restart matrix) at corpus scale."""
+    import os as _os
+
+    from mapreduce_framework_in_go_spark.operators import dedup
+    from mapreduce_framework_in_go_spark.streaming.cluster_maintenance import (
+        LAST_RUN_BATCHES,
+        read_cluster_assignment,
+        run_cluster_maintenance,
+    )
+
+    def _alpha(i):
+        return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+    def _doc(lo):
+        return " ".join(f"w{_alpha(lo + j)}" for j in range(25))
+
+    schema = "doc_id long, text string"
+    base_rows = [(10, _doc(0)), (11, _doc(2)), (30, _doc(40)), (50, _doc(90))]
+    batches = [
+        [(101, _doc(0))],                    # near family A
+        [(102, _doc(40)), (103, _doc(42))],  # joins 30's family
+        [(104, _doc(90)), (105, _doc(200))],  # exact dup of 50 + new
+    ]
+    src = tmp_path / "state_stream"
+    src.mkdir()
+    sd = str(tmp_path / "cluster_state")
+    base = spark.createDataFrame(base_rows, schema)
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+
+    def _write_file(i):
+        spark.createDataFrame(batches[i], schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _os.utime(
+            src / f"b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*.parquet"))
+        )
+
+    # phase 1: one batch, then stop
+    _write_file(0)
+    run_cluster_maintenance(_stream(), base, base_labels, state_dir=sd)
+    assert LAST_RUN_BATCHES["n"] == 1
+    want1 = dedup._clusters_lsh_frame(
+        base.unionByName(spark.createDataFrame(batches[0], schema))
+    )
+    got1 = read_cluster_assignment(spark, sd)
+    assert {
+        (r.doc_id, r.cluster_rep, r.cluster_size) for r in got1.collect()
+    } == {(r.doc_id, r.cluster_rep, r.cluster_size) for r in want1.collect()}
+
+    # phase 2: crash window — state committed, checkpoint commit lost.
+    # Spark re-delivers batch 0 on restart; the fold must skip it.
+    commit0 = _os.path.join(sd, "checkpoint", "commits", "0")
+    assert _os.path.exists(commit0), "checkpoint layout changed"
+    _os.remove(commit0)
+    crc0 = _os.path.join(sd, "checkpoint", "commits", ".0.crc")
+    if _os.path.exists(crc0):
+        _os.remove(crc0)
+    _write_file(1)
+    _write_file(2)
+    run_cluster_maintenance(_stream(), base, base_labels, state_dir=sd)
+    assert LAST_RUN_BATCHES["skipped"] >= 1, (
+        "re-delivered batch was not detected as already applied"
+    )
+    assert LAST_RUN_BATCHES["n"] == 2
+
+    # phase 3: idle restart — nothing new, nothing re-applied
+    final = run_cluster_maintenance(
+        _stream(), base, base_labels, state_dir=sd
+    )
+    assert LAST_RUN_BATCHES["n"] == 0
+    assert LAST_RUN_BATCHES["skipped"] == 0
+
+    union = base
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, schema))
+    want = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in dedup._clusters_lsh_frame(union).collect()
+    }
+    # the in-flight return AND a fresh from-disk read both land there
+    assert {
+        (r.doc_id, r.cluster_rep, r.cluster_size) for r in final.collect()
+    } == want
+    assert {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in read_cluster_assignment(spark, sd).collect()
+    } == want
