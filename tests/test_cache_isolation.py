@@ -66,15 +66,22 @@ def test_clusters_delta_slot_survives_dedup_eviction(spark, sf_dir):
 
 def test_delta_base_artifact_survives_slot_evictions(spark, sf_dir):
     """The merge-only frozen-base artifact lives OUTSIDE every
-    generation slot: both the dedup and the delta-merge evictions must
-    leave it materialized (a silent rebuild would re-pay the full
-    base clustering on the next weekly increment)."""
+    generation slot: a silent rebuild would re-pay the full base
+    clustering on the next weekly increment. The artifact is
+    localCheckpoint-ed, not persisted (its sketch shares a logical
+    plan with the in-slot shingle frame, so CacheManager would dedupe
+    the cache entries and eviction WOULD reach it — see
+    _delta_base_artifact) — so the contract here is lineage
+    truncation: every artifact frame must scan an ExistingRDD, with no
+    upstream plan an eviction could force back into execution."""
     labels, idx = dedup._delta_base_artifact(spark, sf_dir)
     dedup._evict_previous_generation()
     dedup._evict_clusters_delta_generation()
     for f in (labels, *idx.values()):
-        assert f.storageLevel.useMemory, (
-            "frozen-base artifact evicted by a generation slot"
+        plan = f._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan and "Scan parquet" not in plan, (
+            "frozen-base artifact still carries lineage — a slot "
+            "eviction could force a silent full rebuild"
         )
 
 
