@@ -1604,7 +1604,11 @@ def clusters_delta_frame(
     gen = _CLUSTERS_DELTA_GENERATION
     gen.evict()
     bd = base_docs.select("doc_id", F.md5("text").alias("dig"))
-    dd = delta_docs.select("doc_id", F.md5("text").alias("dig"))
+    # the delta digest map feeds three consumers (digest groups, the
+    # mixed and new membership branches) — delta-sized, persist once
+    dd = gen.adopt(
+        delta_docs.select("doc_id", F.md5("text").alias("dig")).persist()
+    )
     if base_index is not None:
         # the stored digest-group table replaces the corpus-wide
         # digest groupBy (bd stays: the per-doc digest map feeds the
@@ -1793,7 +1797,16 @@ def clusters_delta_frame(
         .where((F.col("dn") > 1) | F.col("label").isNotNull())
         .select("doc_id", F.coalesce("label", "node").alias("key"))
     )
-    members = base_sel.union(d_mixed).union(d_new)
+    # (doc_id, key) membership is consumed twice (the size rollup and
+    # the final label join); without a persist the whole assembly —
+    # including the corpus-wide md5 digest map bd — re-plans and
+    # re-executes per consumer (plan lint caught 27 scans on the
+    # merge-only variant). At deployment this is the output label
+    # table being written anyway; locally it is one (id, id) pair per
+    # member.
+    members = gen.adopt(
+        base_sel.union(d_mixed).union(d_new).persist()
+    )
     grp = members.groupBy("key").agg(
         F.min("doc_id").alias("cluster_rep"), F.count("*").alias("n")
     )

@@ -248,6 +248,39 @@ def _level_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def _level_frame_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT level frame, memoized per (application, dataset) —
+    the plan_cache discipline (gopher/stream_ingest precedent).
+
+    Why (r10 verdict ask #1, probed in scripts/probe_funnel.py): the
+    funnel's per-invocation wall decomposes as ~1.8 s py4j plan
+    construction + ~2.6 s pair-pipeline execution + ~1.2 s CC rounds +
+    ~0.3 s final agg, with ZERO generation-cache churn across repeats
+    (RUN_STATS: built=0/reused=1, always 2 star rounds) — the r10
+    "eviction churn" suspicion was wrong. The r10 regression is that
+    the shared expression builders grew (fold staging) while their
+    OTHER consumers hid the build behind plan_cache; the funnel kept
+    re-paying construction AND re-deriving the checkpointed edge set
+    every invocation. Deployment compiles the pipeline once and runs
+    it per corpus drop, so the three pipeline queries now share one
+    built plan per dataset: repeats re-execute the frame honestly
+    (flags/shingles stay persisted in the pipeline slot; the CC edge
+    set is localCheckpoint-ed inside connected_components, lineage
+    already truncated). A second DATASET in the same app builds its
+    own entry and evicts the first's generation frames — that first
+    plan then silently recomputes its unpersisted intermediates on a
+    later action (deterministic, correct, slower); single-dataset
+    sessions (bench, driver, deployment) never hit this."""
+    from ..plan_cache import memo_frame
+
+    return memo_frame(
+        spark,
+        "pipeline_level",
+        sf_dir,
+        lambda: _level_frame(table(spark, sf_dir, "documents")),
+    )
+
+
 @register(
     "pretrain_corpus_yield",
     oracle=f"""
@@ -273,7 +306,7 @@ def _level_frame(docs: DataFrame) -> DataFrame:
     tags=["pipeline"],
 )
 def pretrain_corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lev = _level_frame(table(spark, sf_dir, "documents"))
+    lev = _level_frame_memo(spark, sf_dir)
     agg = lev.agg(
         *[
             F.count(F.when(F.col("level") >= k, True)).alias(f"d{k}")
@@ -315,7 +348,7 @@ def pretrain_corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["pipeline"],
 )
 def pretrain_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lev = _level_frame(table(spark, sf_dir, "documents"))
+    lev = _level_frame_memo(spark, sf_dir)
     return lev.where(F.col("level") == 4).select(
         "doc_id", "source", "n_tokens"
     )
@@ -393,7 +426,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     surv = (
-        _level_frame(table(spark, sf_dir, "documents"))
+        _level_frame_memo(spark, sf_dir)
         .where((F.col("level") == 4) & (F.col("doc_id") % EVAL_MOD != 0))
         .select("doc_id", "source", "n_tokens")
     )

@@ -78,6 +78,20 @@ SCAN_WHITELIST = {
                                  "consumer; executed scans per action "
                                  "are the membership assembly's ~6 "
                                  "digest passes"),
+    "dedup_clusters_delta_merge_only": (14, "deployment-shape merge: the "
+                                            "frozen base is checkpointed "
+                                            "(zero scans), and the "
+                                            "remaining scans are the "
+                                            "persisted delta control "
+                                            "frames (digest map, new-rep "
+                                            "sketch, candidates, "
+                                            "membership) each printing "
+                                            "their column-pruned doc scan "
+                                            "once, plus the corpus-wide "
+                                            "digest map inside the "
+                                            "persisted membership frame — "
+                                            "a stored column at "
+                                            "deployment"),
     "dedup_lsh_recall": (10, "sketch path + exact ground-truth path share "
                              "one persisted shingle frame; the remaining "
                              "scans are dimension-sized"),
