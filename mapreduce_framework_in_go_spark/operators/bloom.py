@@ -21,10 +21,15 @@ action this codebase bans from hot paths):
 
 - build: k=3 positions per key via ``xxhash64(key, seed)``; positions
   fold into 64-bit words by ``bit_or`` (one shuffle of <= 3n position
-  rows down to <= M/64 = 2048 words), then one row: ``map<word, bits>``.
-- probe: broadcast the 1-row map; a fact row survives iff all k bits
-  are set (``try_element_at``; absent word = no bits). Pure map-side —
-  the plan shows BroadcastNestedLoopJoin over one row, then Filter.
+  rows down to <= M/64 = 2048 words), then one row: a DENSE
+  ``array<long>`` of all M/64 words (absent word = 0).
+- probe: broadcast the 1-row array; a fact row survives iff all k bits
+  are set. Pure map-side — the plan shows BroadcastNestedLoopJoin over
+  one row, then Filter. The word vector must be an ARRAY, not a
+  ``map<long, long>``: Spark's MapData is array-backed with O(entries)
+  linear-scan lookup, so a 2048-word map costs 3 x 2048 comparisons
+  per fact row (measured ~1.5 s of the query's wall at sf0.1 — the r10
+  2x-floor mystery); array ``element_at`` is O(1) indexing.
 
 Sizing: 2^17 bits / 3 hashes ~= 2.5% false positives at 15k keys (the
 sf0.1 build density); at real scale pick ~10 bits per key — still KBs
@@ -51,8 +56,11 @@ def _pos_sql(key: str, seed: int) -> str:
 
 
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
-    """1-row frame ``bf: map<long, long>`` — the Bloom filter's 64-bit
-    words, built by pure aggregation (nothing touches the driver)."""
+    """1-row frame ``bf: array<long>`` — the Bloom filter's M/64 64-bit
+    words as a dense 1-indexed array (position w at element w+1, unset
+    words 0), built by pure aggregation (nothing touches the driver).
+    Densifying costs one M/64-element fold in the 1-row aggregate;
+    probing becomes O(1) array indexing per hash."""
     entries = keys.selectExpr(
         f"explode(array({', '.join(_pos_sql(key_col, s) for s in range(1, BLOOM_K + 1))})) AS _pos"
     )
@@ -61,16 +69,22 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
         "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT)) AS m",
     ).groupBy("w").agg(F.bit_or("m").alias("bits"))
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bf")
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bfm")
+    ).selectExpr(
+        f"transform(sequence(0, {BLOOM_M // 64 - 1}), "
+        "w -> coalesce(try_element_at(bfm, CAST(w AS BIGINT)), "
+        "CAST(0 AS BIGINT))) AS bf"
     )
 
 
 def bloom_filtered(facts: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     """Fact rows whose key has all k Bloom bits set: broadcast the 1-row
-    word map and filter map-side — this is the pre-shuffle prune."""
+    word array and filter map-side — this is the pre-shuffle prune.
+    ``element_at`` on the dense array is O(1); positions are in range
+    by construction (pmod < M), so the lookup cannot go out of bounds
+    under ANSI."""
     checks = " AND ".join(
-        f"(coalesce(try_element_at(bf, shiftright({_pos_sql(key_col, s)}, 6)),"
-        f" CAST(0 AS BIGINT))"
+        f"(element_at(bf, CAST(shiftright({_pos_sql(key_col, s)}, 6) AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({_pos_sql(key_col, s)}, 64) AS INT))"
         f") != 0"
         for s in range(1, BLOOM_K + 1)
