@@ -826,14 +826,22 @@ def _cluster_maintenance_oracle() -> str:
     tags=["streaming", "dedup", "llm-pipeline"],
 )
 def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import DELTA_MOD, DELTA_REM, _clusters_lsh_frame
-    from ..sources.tables import table
+    from ..operators.dedup import (
+        DELTA_MOD,
+        DELTA_REM,
+        _delta_base_artifact,
+        table,
+    )
     from ..streaming.cluster_maintenance import run_cluster_maintenance
 
     docs = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
     base = docs.where(~is_delta)
-    base_labels = _clusters_lsh_frame(base).select("doc_id", "cluster_rep")
+    # the standing assignment is STORED state at deployment (the
+    # module's storage-table tier); reuse the per-session frozen-base
+    # artifact rather than re-deriving the base clustering per stream
+    # start — shared with dedup_clusters_delta_merge_only
+    base_labels, _ = _delta_base_artifact(spark, sf_dir)
     stream = _docs_stream(spark, sf_dir).where(
         F.col("doc_id") % DELTA_MOD == DELTA_REM
     )

@@ -198,6 +198,7 @@ def run_cluster_maintenance(
     standing state is a crash-surviving storage table (module
     docstring); without, it is driver-held (session-scoped)."""
     from ..operators.dedup import (
+        _CLUSTERS_STREAM_GENERATION,
         _label_clusters,
         advance_cluster_index,
         build_cluster_index,
@@ -225,7 +226,8 @@ def run_cluster_maintenance(
                 return
             LAST_RUN_BATCHES["n"] += 1
             merged = clusters_delta_frame(
-                state["docs"], batch, state["labels"]
+                state["docs"], batch, state["labels"],
+                gen_slot=_CLUSTERS_STREAM_GENERATION,
             )
             state["labels"] = merged.select(
                 "doc_id", "cluster_rep"
@@ -279,6 +281,7 @@ def run_cluster_maintenance(
         merged = clusters_delta_frame(
             state["docs"], batch, state["labels"],
             base_index=state["index"],
+            gen_slot=_CLUSTERS_STREAM_GENERATION,
         )
         new_labels = merged.select("doc_id", "cluster_rep").localCheckpoint()
         prev = state["labels"].withColumnRenamed("cluster_rep", "_old")

@@ -64,6 +64,29 @@ def test_clusters_delta_slot_survives_dedup_eviction(spark, sf_dir):
     )
 
 
+def test_delta_consumer_slots_are_isolated(spark, sf_dir):
+    """Each clusters_delta_frame consumer has its OWN slot (proof
+    shape, merge-only, streaming fold): both batch variants are
+    plan-memoized, so a shared slot would let query B's build
+    unpersist query A's memoized-plan inputs (the r10-advice
+    build-then-build hazard). Build the merge-only frame, then run the
+    proof-shape eviction path — the merge slot must be untouched, and
+    vice versa."""
+    from mapreduce_framework_in_go_spark.registry import REGISTRY
+
+    REGISTRY["dedup_clusters_delta_merge_only"].fn(spark, sf_dir)
+    merge_frames = list(dedup._CLUSTERS_MERGE_GENERATION)
+    assert merge_frames and all(
+        f.storageLevel.useMemory for f in merge_frames
+    )
+    dedup._evict_clusters_delta_generation()  # proof-shape entry path
+    dedup._CLUSTERS_STREAM_GENERATION.evict()  # streaming fold path
+    assert all(f.storageLevel.useMemory for f in merge_frames), (
+        "a sibling delta consumer's eviction reached the merge-only "
+        "slot — per-slot rule"
+    )
+
+
 def test_delta_base_artifact_survives_slot_evictions(spark, sf_dir):
     """The merge-only frozen-base artifact lives OUTSIDE every
     generation slot: a silent rebuild would re-pay the full base
@@ -79,7 +102,13 @@ def test_delta_base_artifact_survives_slot_evictions(spark, sf_dir):
     dedup._evict_clusters_delta_generation()
     for f in (labels, *idx.values()):
         plan = f._jdf.queryExecution().optimizedPlan().toString()
-        assert "LogicalRDD" in plan and "Scan parquet" not in plan, (
+        # a later merge may wrap the checkpointed labels in an
+        # InMemoryRelation (it persists its base_labels input); the
+        # invariant is that the root is a checkpointed RDD scan either
+        # way — never a rebuildable parquet lineage
+        assert (
+            "LogicalRDD" in plan or "ExistingRDD" in plan
+        ) and "parquet" not in plan, (
             "frozen-base artifact still carries lineage — a slot "
             "eviction could force a silent full rebuild"
         )
