@@ -37,6 +37,10 @@ def main() -> int:
     from mapreduce_framework_in_go_spark.session import get_spark
     from mapreduce_framework_in_go_spark.sources.tables import TABLE_NAMES
 
+    # quiet-host marker read BEFORE any Spark work (r10 advice: reading
+    # it at write time recorded the post-run load, misrepresenting the
+    # conditions the timings were taken under)
+    load_avg_start = float(open("/proc/loadavg").read().split()[0])
     spark = get_spark(app_name="driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -58,6 +62,10 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: engine error {type(ex).__name__}: {str(ex)[:200]}")
             failures += 1
+            # record the failure explicitly (null, not absence): the
+            # timing artifact must not silently shrink its coverage
+            # when a query errors (r10 advice)
+            engine_secs[name] = None
             continue
         engine_secs[name] = round(time.perf_counter() - t0, 3)
         if name not in osql:
@@ -89,9 +97,7 @@ def main() -> int:
                 {
                     "sf_dir": sf,
                     "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
-                    "load_avg_start": float(
-                        open("/proc/loadavg").read().split()[0]
-                    ),
+                    "load_avg_start": load_avg_start,
                     "engine_secs": engine_secs,
                 },
                 f,

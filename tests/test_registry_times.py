@@ -58,6 +58,20 @@ def test_latest_full_run_within_reference() -> None:
     with open(LATEST_PATH) as f:
         latest = json.load(f)
     ref = _ref()["engine_secs"]
+    # coverage first (r10 advice): a query that errored (null row) or
+    # silently vanished from the artifact must fail the gate, not
+    # drop out of it
+    missing = sorted(set(ref) - set(latest["engine_secs"]))
+    assert not missing, (
+        f"latest REGISTRY_TIMES.json omits reference queries: {missing} "
+        "— the full driver_sim run did not cover the registry"
+    )
+    nulls = sorted(
+        n for n, v in latest["engine_secs"].items() if v is None
+    )
+    assert not nulls, (
+        f"queries errored during the full driver_sim run: {nulls}"
+    )
     over = {}
     for name, sec in latest["engine_secs"].items():
         if name not in ref:
