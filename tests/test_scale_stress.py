@@ -625,6 +625,76 @@ def test_gopher_repetition_copy_families_share_flags(spark, big_dir):
     )
 
 
+def test_merge_only_cost_tracks_delta_not_corpus(spark, big_dir):
+    """The deployment-shape gate (r10 verdict ask #3): against the
+    STORED index, a weekly increment's cost must track the delta,
+    never the standing corpus. Two assertions on the 50k skew corpus:
+
+    - WORK: advancing the index past the 45,500-doc delta appends
+      sketch/band rows for EXACTLY the 500 new-digest variant reps —
+      the 45,000-copy exact-dup flood appends nothing (digest
+      matches), so index growth is bounded by novel text, not volume.
+    - COST: the indexed merge of the full delta runs in less time
+      than building the 5,000-doc base clustering + index — a
+      regression that silently re-sketches the base rep set (the
+      corpus-scale work the index exists to avoid) costs at least the
+      index build and trips this.
+    """
+    from mapreduce_framework_in_go_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{big_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.where(F.col("doc_id") < COPY_STRIDE)
+    delta = docs.where(F.col("doc_id") >= COPY_STRIDE)
+
+    t0 = time.monotonic()
+    base_labels = (
+        dedup._clusters_lsh_frame(base)
+        .select("doc_id", "cluster_rep")
+        .localCheckpoint()
+    )
+    index = {
+        k: v.localCheckpoint()
+        for k, v in dedup.build_cluster_index(base).items()
+    }
+    t_base = time.monotonic() - t0
+
+    _new_index, appends = dedup.advance_cluster_index(index, delta)
+    sketched = appends["sketch"].select("doc_id").distinct().count()
+    assert sketched == 500, (
+        f"{sketched} delta docs sketched — the exact-dup flood must "
+        "append nothing (only new-digest variant reps are sketched)"
+    )
+    upserts = appends["groups"].count()
+    n_delta_digests = (
+        delta.select(F.md5("text")).distinct().count()
+    )  # ~5500 minus the few exact-dup texts already in sf0.1 itself
+    assert upserts == n_delta_digests, (
+        "group upserts must be ONE row per distinct delta digest "
+        f"(got {upserts}, expected {n_delta_digests})"
+    )
+
+    t1 = time.monotonic()
+    out = dedup.clusters_delta_frame(
+        base,
+        delta,
+        base_labels,
+        base_index=index,
+        gen_slot=dedup._CLUSTERS_MERGE_GENERATION,
+    )
+    n = out.count()
+    t_merge = time.monotonic() - t1
+    assert n == docs.count()  # every doc is in a >= 10-wide crowd
+    assert dedup.RUN_STATS.get("delta_sketch_scope") == "delta_new_reps"
+    # 15 s floor: at this toy scale fixed per-stage overhead dominates
+    # and wall ratios below it are noise, not structure
+    assert t_merge < max(0.9 * t_base, 15.0), (
+        f"indexed merge took {t_merge:.1f}s vs {t_base:.1f}s base "
+        "build — merge-only cost is no longer delta-bounded"
+    )
+
+
 def test_clusters_delta_merge_at_scale(spark, big_dir):
     """The incremental merge under 10x skew: base = the 5,000 originals
     (frozen clustering), delta = 45,000 exact copies + 500 near-dup
