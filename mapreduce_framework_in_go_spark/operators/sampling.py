@@ -291,10 +291,12 @@ def _cluster_split_oracle() -> str:
     tags=["sampling", "training_prep", "dedup"],
 )
 def dataset_split_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _clusters_lsh_frame
+    from .dedup import cluster_assignment
 
     docs = table(spark, sf_dir, "documents")
-    clusters = _clusters_lsh_frame(docs).select("doc_id", "cluster_rep")
+    # one hash join against the standing label table — the docstring's
+    # 100 TB shape; the artifact is built once per (app, dataset)
+    clusters = cluster_assignment(spark, sf_dir)
     fam = F.coalesce("cluster_rep", "doc_id").alias("family")
     return (
         docs.select("doc_id")

@@ -114,6 +114,23 @@ def test_delta_base_artifact_survives_slot_evictions(spark, sf_dir):
         )
 
 
+def test_assignment_artifact_survives_slot_evictions(spark, sf_dir):
+    """The standing-assignment artifact (the stored label table
+    dataset_split_cluster / dedup_token_savings join) lives OUTSIDE
+    every generation slot — same lineage-truncation contract as the
+    frozen-base artifact."""
+    labels = dedup.cluster_assignment(spark, sf_dir)
+    dedup._evict_previous_generation()
+    dedup._evict_clusters_delta_generation()
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert (
+        "LogicalRDD" in plan or "ExistingRDD" in plan
+    ) and "parquet" not in plan, (
+        "standing-assignment artifact still carries lineage — a slot "
+        "eviction could force a silent full reclustering"
+    )
+
+
 def test_pack_boundary_slot_survives_neighbor_evictions(spark, sf_dir):
     """pack_boundary_contamination's junction frame has its own slot
     (r10 advice): pipeline and training-prep neighbors must not evict
