@@ -144,6 +144,7 @@ HEAVY_3RUN = {
     "dedup_embedding_ivf",
     "stream_substring_probe",
     "dedup_containment",
+    "bm25_topk",
     # warm run absorbs the one-time in-session artifact/plan build
     # (proof-shape base clustering ~29 s; frozen-base artifact ~13 s;
     # the stream query's first run also builds the shared artifact)

@@ -61,12 +61,6 @@ SCAN_WHITELIST = {
     "dedup_clusters_lsh": (12, "iterative star-contraction: bounded "
                                "O(log n) rounds, each referencing the "
                                "persisted edge frame"),
-    "dataset_split_cluster": (14, "embeds the dedup_clusters_lsh "
-                                  "pipeline (whitelisted at 12) plus its "
-                                  "own doc scan + assignment join"),
-    "dedup_token_savings": (14, "embeds the dedup_clusters_lsh pipeline "
-                                "(whitelisted at 12) plus the per-source "
-                                "token rollup's doc scan"),
     "dedup_clusters_delta": (40, "composition of the frozen base "
                                  "clustering (its whole lineage prints "
                                  "inside the persisted base_labels "
