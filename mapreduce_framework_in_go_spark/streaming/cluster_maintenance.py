@@ -188,6 +188,7 @@ def run_cluster_maintenance(
     base_labels: DataFrame,
     *,
     state_dir: str | None = None,
+    base_index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Drive a bounded ``(doc_id, text)`` stream to completion, folding
     each microbatch into the standing assignment; returns the final
@@ -196,7 +197,14 @@ def run_cluster_maintenance(
     ``base_docs``/``base_labels`` seed the standing state (the frozen
     corpus + its member-level assignment). With ``state_dir`` the
     standing state is a crash-surviving storage table (module
-    docstring); without, it is driver-held (session-scoped)."""
+    docstring); without, it is driver-held (session-scoped). In
+    driver-held mode an optional ``base_index``
+    (:func:`operators.dedup.build_cluster_index` frames) is folded
+    forward per batch via :func:`advance_cluster_index`, so each merge
+    sketches ONLY that batch's new-digest reps — the same
+    delta-bounded shape the storage-table mode always runs; without
+    it, every batch re-derives the standing rep sketch (corpus-scale
+    map work per batch — the in-session stand-in)."""
     from ..operators.dedup import (
         _CLUSTERS_STREAM_GENERATION,
         _label_clusters,
@@ -218,6 +226,7 @@ def run_cluster_maintenance(
             "docs": base_docs.select("doc_id", "text"),
             "labels": base_labels.select("doc_id", "cluster_rep")
             .localCheckpoint(),
+            "index": base_index,
         }
 
         def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -227,12 +236,33 @@ def run_cluster_maintenance(
             LAST_RUN_BATCHES["n"] += 1
             merged = clusters_delta_frame(
                 state["docs"], batch, state["labels"],
+                base_index=state["index"],
                 gen_slot=_CLUSTERS_STREAM_GENERATION,
             )
             state["labels"] = merged.select(
                 "doc_id", "cluster_rep"
             ).localCheckpoint()
             state["docs"] = state["docs"].unionByName(batch)
+            if state["index"] is not None:
+                # fold the index past this batch. Checkpoint ONLY the
+                # delta-bounded pieces: the appends (new-rep sketch +
+                # bands) and the narrow groups table. Checkpointing the
+                # COMPOSED sketch would materialize the full corpus-rep
+                # shingle set per batch — measured 2x slower than not
+                # using the index at all; the lazy union stack is the
+                # in-session stand-in for the append-only stored table.
+                new_index, appends = advance_cluster_index(
+                    state["index"], batch
+                )
+                state["index"] = {
+                    "groups": new_index["groups"].localCheckpoint(),
+                    "sketch": state["index"]["sketch"].unionByName(
+                        appends["sketch"].localCheckpoint()
+                    ),
+                    "bands": state["index"]["bands"].unionByName(
+                        appends["bands"].localCheckpoint()
+                    ),
+                }
 
         q = (
             docs_stream.writeStream.outputMode("append")

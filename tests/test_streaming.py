@@ -1074,6 +1074,66 @@ def test_cluster_maintenance_multi_microbatch(spark, tmp_path):
     } == {(r.doc_id, r.cluster_rep, r.cluster_size) for r in want.collect()}
 
 
+def test_cluster_maintenance_indexed_fold_matches_scratch(spark, tmp_path):
+    """Driver-held fold with a STORED base index (base_index=): each
+    microbatch merges against the index and advances it (only that
+    batch's new-digest reps are sketched; appends checkpointed
+    delta-bounded). Final state must equal the from-scratch union
+    clustering — the indexed streaming path's correctness pin (the
+    registered query uses the index-less stand-in for local speed)."""
+    import os as _os
+
+    from mapreduce_framework_in_go_spark.operators import dedup
+    from mapreduce_framework_in_go_spark.streaming.cluster_maintenance import (
+        run_cluster_maintenance,
+    )
+
+    def _alpha(i):
+        return "".join(chr(ord("a") + int(d)) for d in str(i))
+
+    def _doc(lo):
+        return " ".join(f"w{_alpha(lo + j)}" for j in range(25))
+
+    schema = "doc_id long, text string"
+    base_rows = [(10, _doc(0)), (11, _doc(2)), (30, _doc(40)), (50, _doc(90))]
+    batches = [
+        [(101, _doc(0)), (102, _doc(300))],
+        [(103, _doc(40)), (104, _doc(90))],  # near 30 + exact dup of 50
+    ]
+    src = tmp_path / "ix_stream"
+    src.mkdir()
+    base = spark.createDataFrame(base_rows, schema)
+    base_labels = dedup._clusters_lsh_frame(base).select(
+        "doc_id", "cluster_rep"
+    )
+    index = {
+        k: v.localCheckpoint()
+        for k, v in dedup.build_cluster_index(base).items()
+    }
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _os.utime(
+            src / f"b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    got = run_cluster_maintenance(
+        stream, base, base_labels, base_index=index
+    )
+    union = base
+    for rows in batches:
+        union = union.unionByName(spark.createDataFrame(rows, schema))
+    want = dedup._clusters_lsh_frame(union)
+    assert {
+        (r.doc_id, r.cluster_rep, r.cluster_size) for r in got.collect()
+    } == {(r.doc_id, r.cluster_rep, r.cluster_size) for r in want.collect()}
+
+
 def test_cluster_maintenance_state_table_restart(spark, tmp_path):
     """The storage-table state tier (r10 verdict ask #2): standing
     labels + the band/shingle index live in parquet under state_dir
