@@ -1607,7 +1607,7 @@ def clusters_delta_frame(
     Within one consumer, callers that chain merges materialize between
     entries — the streaming fold localCheckpoints each batch's labels;
     the memoized base artifact lives OUTSIDE every slot
-    (``_DELTA_BASE_CACHE``), so eviction never invalidates it. Slots
+    (``_DELTA_LABELS_CACHE``/``_DELTA_INDEX_CACHE``), so eviction never invalidates it. Slots
     are pinned mechanically in tests/test_cache_isolation.py.
     """
     gen = gen_slot if gen_slot is not None else _CLUSTERS_DELTA_GENERATION
@@ -1840,7 +1840,7 @@ def build_cluster_index(docs: DataFrame) -> dict[str, DataFrame]:
       those reps — the table delta bands equi-join against.
 
     Pure frame builders: callers persist/write them (the merge-only
-    query memoizes them per application via ``_DELTA_BASE_CACHE``; the
+    query memoizes them per application via ``_delta_base_artifact``; the
     streaming state table writes them under ``state_dir``). At 100 TB
     these are warehouse tables partitioned/bucketed on their join keys
     (dig; band_id+band_sig; doc_id)."""
@@ -1912,53 +1912,84 @@ def advance_cluster_index(
     }
 
 
-# The frozen-base artifact for the merge-only query: base labels + the
-# stored index, memoized per (applicationId, dataset) OUTSIDE the
-# generation slot — the trained-IVF precedent (similarity.
-# _TRAINED_CACHE): deriving the frozen base is a one-time per-session
-# artifact build (at deployment: tables on disk), and the merge-only
-# query's repeated invocations time what a weekly increment actually
-# pays. Every frame is materialized BEFORE caching (base_labels'
-# lineage roots in the dedup generation slot — CLAUDE.md rule); evict
-# dead-application keys only, never other sf_dirs.
-_DELTA_BASE_CACHE: dict[
-    tuple[str, str], tuple[DataFrame, dict[str, DataFrame]]
-] = {}
+# Per-(applicationId, dataset) memos of lineage-truncated artifacts —
+# the trained-IVF precedent (similarity._TRAINED_CACHE): a one-time
+# per-session artifact build (at deployment: tables on disk), living
+# OUTSIDE every generation slot. localCheckpoint, NOT persist: the
+# artifacts' plans overlap slot-persisted frames (the index sketch
+# shares its logical plan with _clusters_lsh_frame's in-slot shingle
+# frame), so Spark's CacheManager would DEDUPE the cache entries and a
+# later generation eviction would silently drop the artifact (measured
+# — the exact materialize-before-cache hazard). Checkpointing
+# truncates lineage: eviction of any slot can never reach it (pinned
+# in tests/test_cache_isolation.py). Dead-application keys are evicted
+# on access; other sf_dirs never.
+
+
+def _app_memo(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Shared memo-evict discipline for the artifact caches above."""
+    import os as _os
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, _os.path.abspath(sf_dir))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(cache):
+        if old_key[0] != app_id:
+            cache.pop(old_key, None)
+    val = build()
+    cache[key] = val
+    return val
+
+
+def _delta_base_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.where(~(F.col("doc_id") % DELTA_MOD == DELTA_REM))
+
+
+# labels and index are memoized SEPARATELY: the streaming maintainer
+# needs only the labels; building (and checkpointing) the corpus-rep
+# sketch index for a consumer that discards it is wasted corpus-scale
+# work (r11 review finding).
+_DELTA_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DELTA_INDEX_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _delta_base_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _build() -> DataFrame:
+        return (
+            _clusters_lsh_frame(_delta_base_slice(spark, sf_dir))
+            .select("doc_id", "cluster_rep")
+            .localCheckpoint()
+        )
+
+    return _app_memo(_DELTA_LABELS_CACHE, spark, sf_dir, _build)
+
+
+def _delta_base_index(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    def _build() -> dict[str, DataFrame]:
+        return {
+            k: v.localCheckpoint()
+            for k, v in build_cluster_index(
+                _delta_base_slice(spark, sf_dir)
+            ).items()
+        }
+
+    return _app_memo(_DELTA_INDEX_CACHE, spark, sf_dir, _build)
 
 
 def _delta_base_artifact(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
-    import os as _os
-
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, _os.path.abspath(sf_dir))
-    hit = _DELTA_BASE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for old_key in list(_DELTA_BASE_CACHE):
-        if old_key[0] != app_id:
-            _DELTA_BASE_CACHE.pop(old_key, None)
-    docs = table(spark, sf_dir, "documents")
-    base = docs.where(~(F.col("doc_id") % DELTA_MOD == DELTA_REM))
-    # localCheckpoint, NOT persist: the index sketch shares its logical
-    # plan with _clusters_lsh_frame's in-slot shingle frame, so Spark's
-    # CacheManager would DEDUPE the two cache entries and a later
-    # generation eviction would silently drop the artifact (measured —
-    # the exact materialize-before-cache hazard). Checkpointing
-    # truncates lineage: eviction of any slot can never reach it, and
-    # a silent full rebuild is structurally impossible (pinned in
-    # tests/test_cache_isolation.py).
-    base_labels = (
-        _clusters_lsh_frame(base)
-        .select("doc_id", "cluster_rep")
-        .localCheckpoint()
+    """The full frozen-base artifact (labels + stored index) the
+    merge-only query consumes."""
+    return (
+        _delta_base_labels(spark, sf_dir),
+        _delta_base_index(spark, sf_dir),
     )
-    index = {
-        k: v.localCheckpoint() for k, v in build_cluster_index(base).items()
-    }
-    _DELTA_BASE_CACHE[key] = (base_labels, index)
-    return base_labels, index
 
 
 _CLUSTERS_DELTA_ORACLE = f"""
@@ -2124,7 +2155,7 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label table downstream consumers JOIN (split keying, token
 # economics), exactly the artifact the delta merge maintains. Memoized
 # per (applicationId, dataset) OUTSIDE every generation slot and
-# localCheckpoint-ed, like _DELTA_BASE_CACHE (same CacheManager-dedupe
+# localCheckpoint-ed, like the delta-base caches (same CacheManager-dedupe
 # hazard: the clustering's shingle frame shares logical plans with
 # slot-persisted frames, so persist() entries would be deduped and a
 # later slot eviction would silently drop the artifact).
@@ -2137,24 +2168,16 @@ def cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-session standing cluster assignment ``(doc_id,
     cluster_rep)`` over the full documents table — at deployment a
     stored table maintained by the incremental merge; here built once
-    per (application, dataset) and lineage-truncated."""
-    import os as _os
+    per (application, dataset) and lineage-truncated (_app_memo)."""
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, _os.path.abspath(sf_dir))
-    hit = _ASSIGNMENT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for old_key in list(_ASSIGNMENT_CACHE):
-        if old_key[0] != app_id:
-            _ASSIGNMENT_CACHE.pop(old_key, None)
-    labels = (
-        _clusters_lsh_frame(table(spark, sf_dir, "documents"))
-        .select("doc_id", "cluster_rep")
-        .localCheckpoint()
-    )
-    _ASSIGNMENT_CACHE[key] = labels
-    return labels
+    def _build() -> DataFrame:
+        return (
+            _clusters_lsh_frame(table(spark, sf_dir, "documents"))
+            .select("doc_id", "cluster_rep")
+            .localCheckpoint()
+        )
+
+    return _app_memo(_ASSIGNMENT_CACHE, spark, sf_dir, _build)
 
 
 BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # bands x rows over 16 slots

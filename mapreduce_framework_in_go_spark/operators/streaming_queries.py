@@ -826,12 +826,8 @@ def _cluster_maintenance_oracle() -> str:
     tags=["streaming", "dedup", "llm-pipeline"],
 )
 def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        DELTA_MOD,
-        DELTA_REM,
-        _delta_base_artifact,
-        table,
-    )
+    from ..operators.dedup import DELTA_MOD, DELTA_REM, _delta_base_labels
+    from ..sources.tables import table
     from ..streaming.cluster_maintenance import run_cluster_maintenance
 
     docs = table(spark, sf_dir, "documents")
@@ -841,7 +837,9 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module's storage-table tier); reuse the per-session frozen-base
     # artifact rather than re-deriving the base clustering per stream
     # start — shared with dedup_clusters_delta_merge_only
-    base_labels, _ = _delta_base_artifact(spark, sf_dir)
+    # labels-only artifact: the index-less fold never reads the stored
+    # index, so don't pay its corpus-rep sketch build here
+    base_labels = _delta_base_labels(spark, sf_dir)
     stream = _docs_stream(spark, sf_dir).where(
         F.col("doc_id") % DELTA_MOD == DELTA_REM
     )

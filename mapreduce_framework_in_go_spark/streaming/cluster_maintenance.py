@@ -197,14 +197,16 @@ def run_cluster_maintenance(
     ``base_docs``/``base_labels`` seed the standing state (the frozen
     corpus + its member-level assignment). With ``state_dir`` the
     standing state is a crash-surviving storage table (module
-    docstring); without, it is driver-held (session-scoped). In
-    driver-held mode an optional ``base_index``
-    (:func:`operators.dedup.build_cluster_index` frames) is folded
-    forward per batch via :func:`advance_cluster_index`, so each merge
-    sketches ONLY that batch's new-digest reps — the same
-    delta-bounded shape the storage-table mode always runs; without
-    it, every batch re-derives the standing rep sketch (corpus-scale
-    map work per batch — the in-session stand-in)."""
+    docstring); without, it is driver-held (session-scoped). An
+    optional ``base_index``
+    (:func:`operators.dedup.build_cluster_index` frames) seeds the
+    stored index instead of rebuilding it from ``base_docs``; in
+    driver-held mode it is folded forward per batch via
+    :func:`advance_cluster_index`, so each merge sketches ONLY that
+    batch's new-digest reps — the delta-bounded shape the
+    storage-table mode always runs. Without it the driver-held fold
+    re-derives the standing rep sketch per batch (corpus-scale map
+    work — the in-session stand-in, faster at toy scale)."""
     from ..operators.dedup import (
         _CLUSTERS_STREAM_GENERATION,
         _label_clusters,
@@ -281,7 +283,12 @@ def run_cluster_maintenance(
 
     # --- storage-table mode -------------------------------------------
     _write_base_state(
-        spark, state_dir, base_labels, build_cluster_index(base_docs)
+        spark,
+        state_dir,
+        base_labels,
+        base_index
+        if base_index is not None
+        else build_cluster_index(base_docs),
     )
     state = load_cluster_state(spark, state_dir, base_docs)
 
@@ -326,8 +333,21 @@ def run_cluster_maintenance(
         ups.write.mode("overwrite").parquet(os.path.join(bdir, "labels"))
         state["labels"] = new_labels
         state["docs"] = state["docs"].unionByName(batch)
+        # checkpoint only the delta-bounded pieces (appends + the
+        # narrow groups table) — checkpointing the COMPOSED sketch
+        # would materialize the full corpus-rep shingle set per batch,
+        # the exact per-increment-scales-with-the-corpus cost this
+        # module's contract forbids (same composition as the
+        # driver-held branch; the appends are already ON DISK from the
+        # writes above, so rereading them is the stored-table shape)
         state["index"] = {
-            k: v.localCheckpoint() for k, v in new_index.items()
+            "groups": new_index["groups"].localCheckpoint(),
+            "sketch": state["index"]["sketch"].unionByName(
+                appends["sketch"].localCheckpoint()
+            ),
+            "bands": state["index"]["bands"].unionByName(
+                appends["bands"].localCheckpoint()
+            ),
         }
 
     q = (

@@ -117,17 +117,24 @@ def test_latest_bench_run_within_budget() -> None:
     # (load 0.28 / 0.33) 50 minutes apart at 182.7 s vs 131.8 s total
     # with IDENTICAL code and memoized plans; the slow one inflated
     # most queries ~1.4-1.6x (whole-stage-codegen landed in a lower
-    # compilation tier session-wide). A single-query plan regression
-    # cannot inflate the suite MEDIAN, so a median ratio this high is
-    # an environment signature, not a regression — apply the loaded
-    # tier.
+    # compilation tier session-wide). The downgrade requires BOTH the
+    # median AND the fast quartile to be inflated: an environment tier
+    # shift lifts essentially every query (q25 included), while a
+    # code regression in even a widely-shared helper inflates only its
+    # consumers — the TPC-H/KV/events half of the suite doesn't ride
+    # the text-expression helpers, so q25 stays near 1 and the quiet
+    # tier keeps its teeth. Deliberate trade: a regression broad
+    # enough to lift q25 past 1.15 slips to the 4x tier here, but the
+    # sf0.01 registry gate (222 queries, no session downgrade) and the
+    # round-over-round minima comparison still catch it.
     ratios = sorted(
         latest["queries"][n] / minima[n]
         for n in latest["queries"]
         if n in minima and minima[n] > 0
     )
     median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
-    if median_ratio > 1.35:
+    q25_ratio = ratios[len(ratios) // 4] if ratios else 1.0
+    if median_ratio > 1.35 and q25_ratio > 1.15:
         quiet = False
     base_slack = QUIET_SLACK if quiet else SLACK
     overrides = budget.get("slack_overrides", {})

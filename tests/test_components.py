@@ -602,7 +602,8 @@ def test_clusters_delta_merge_only_matches_scratch(spark, sf_dir):
     memoized per (app, dataset) — second call reuses it (no rebuild)
     — and the merged assignment equals the from-scratch clustering."""
     from mapreduce_framework_in_go_spark.operators.dedup import (
-        _DELTA_BASE_CACHE,
+        _DELTA_INDEX_CACHE,
+        _DELTA_LABELS_CACHE,
     )
 
     scratch = _assignment(SPECS["dedup_clusters_lsh"].fn(spark, sf_dir))
@@ -616,10 +617,11 @@ def test_clusters_delta_merge_only_matches_scratch(spark, sf_dir):
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    n_keys = len(_DELTA_BASE_CACHE)
-    labels, idx = _DELTA_BASE_CACHE[key]
+    n_keys = len(_DELTA_LABELS_CACHE), len(_DELTA_INDEX_CACHE)
+    labels = _DELTA_LABELS_CACHE[key]
+    assert key in _DELTA_INDEX_CACHE
     SPECS["dedup_clusters_delta_merge_only"].fn(spark, sf_dir).count()
-    assert len(_DELTA_BASE_CACHE) == n_keys
+    assert (len(_DELTA_LABELS_CACHE), len(_DELTA_INDEX_CACHE)) == n_keys
     assert labels.storageLevel.useMemory, (
         "frozen-base artifact evicted by a repeat merge — the memo "
         "must live outside the generation slot"

@@ -687,9 +687,11 @@ def test_merge_only_cost_tracks_delta_not_corpus(spark, big_dir):
     t_merge = time.monotonic() - t1
     assert n == docs.count()  # every doc is in a >= 10-wide crowd
     assert dedup.RUN_STATS.get("delta_sketch_scope") == "delta_new_reps"
-    # 15 s floor: at this toy scale fixed per-stage overhead dominates
-    # and wall ratios below it are noise, not structure
-    assert t_merge < max(0.9 * t_base, 15.0), (
+    # 12 s floor: at this toy scale fixed per-stage overhead dominates
+    # and wall ratios below it are noise, not structure; 0.6x keeps the
+    # bound meaningful when t_base is large (a base re-sketch inside
+    # the merge costs roughly the index-build share of t_base)
+    assert t_merge < max(0.6 * t_base, 12.0), (
         f"indexed merge took {t_merge:.1f}s vs {t_base:.1f}s base "
         "build — merge-only cost is no longer delta-bounded"
     )
