@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_col
 from ..registry import register
 from ..sources.tables import table
+from .relational import two_level_global_rank
 
 DISCOUNT = 0.75
 LOG_SCALE = 10**9
@@ -313,21 +314,20 @@ ZIPF_SCALE = 10**9  # log(rank)/log(freq) snapped to this integer grid
     "this a one-row corpus-health signal. Logs snap to an integer "
     "grid (the doc_perplexity discipline) and the moment sums "
     "accumulate in DECIMAL(38,0) (the corr_matrix discipline), so "
-    "the whole fit is order-free and hash-exact. The rank window "
-    "runs over the vocab-sized count table; at an extreme vocabulary "
-    "it would two-level like global_sort_rank.",
+    "the whole fit is order-free and hash-exact. The vocab rank is "
+    "the two-level terasort rank (range-partitioned + broadcast "
+    "prefix-sum, `relational.two_level_global_rank`) — never a "
+    "single-partition window, so a 10^8-type web vocabulary ranks "
+    "in parallel.",
     tags=["langmodel", "stats"],
 )
 def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens_col("text")).alias("w"))
     uni = tok.groupBy("w").agg(F.count("*").alias("cw"))
-    ranked = uni.select(
-        "cw",
-        F.row_number()
-        .over(Window.orderBy(F.col("cw").desc(), "w"))
-        .alias("rk"),
-    )
+    ranked = two_level_global_rank(
+        uni, [F.col("cw").desc(), "w"], slot="zipf_fit_tokens"
+    ).select("cw", F.col("pos").alias("rk"))
     logs = ranked.select(
         F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE)
         .cast("long")

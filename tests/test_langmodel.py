@@ -171,6 +171,17 @@ def test_zipf_fit_matches_duckdb_regression(spark, sf_dir, duck):
     assert row.r2 < 0.5
 
 
+def test_zipf_rank_is_two_level(spark, sf_dir):
+    """The vocab rank must be the terasort two-level shape
+    (RangePartitioning + per-partition row_number + broadcast
+    prefix-sum), never a single-partition window over the full
+    unigram vocabulary — 10^8+ types at web scale (VERDICT r11 #1)."""
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    plan = formatted_plan(SPECS["zipf_fit_tokens"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_kn_doc_perplexity_matches_independent_model(spark, sf_dir):
     """doc_perplexity_kn vs an independent Python KN fold built from
     the (already distribution-verified) lm_kn_bigrams table: for every

@@ -1,8 +1,9 @@
 """Registry-wide physical-plan lint — the scale-discipline backstop.
 
 Per-query plan properties are pinned in test_plans.py; this lints EVERY
-registered batch query against two structural rules that catch the
-regression classes we have actually hit:
+registered batch query against four structural rules that catch the
+regression classes we have actually hit (rules 3 and 4 are documented
+at their regex definitions below):
 
 1. **No CartesianProduct.** A non-broadcast cross join is quadratic
    shuffle IO at scale; every deliberate cross in this repo is a
@@ -117,6 +118,50 @@ WINDOW_COLLECT_WHITELIST = {
     "kv_linearizability_contract": "same fixture constructor",
 }
 
+# 4. **No unpartitioned window over an unbounded domain.** A
+#    Window.orderBy without partitionBy plans Exchange SinglePartition —
+#    the whole domain funnels through ONE task (the zipf_fit_tokens
+#    regression: the full unigram vocab, 10^8+ types at web scale,
+#    ranked on one core). Data-sized ranks must go through
+#    relational.two_level_global_rank (RangePartitioning +
+#    per-partition row_number + broadcast prefix-sum). The two-level
+#    helper's own offsets window orders by the synthetic `pid` column
+#    (one row per shuffle partition — bounded by cluster config, not
+#    data) and is exempted structurally; every other unpartitioned
+#    window must be whitelisted with a boundedness reason.
+#    In the formatted plan an unpartitioned spec is a
+#    windowspecdefinition whose FIRST argument already carries a sort
+#    direction (partition columns print bare, order columns print
+#    `col ASC/DESC NULLS ...`).
+UNPART_WINDOW_RE = re.compile(
+    r"windowspecdefinition\((\w+)#\d+\w* (?:ASC|DESC) NULLS"
+)
+UNPART_WINDOW_WHITELIST = {
+    "sample_weighted": "group-offset cumsum over the 4096 synthetic "
+                       "sampling groups (sampling.py) — frame size is a "
+                       "design constant, not data-sized",
+    "pack_sequences": "group cumsum over the 4096 packing groups "
+                      "(training_prep.py) — constant-bounded",
+    "pack_bestfit_shards": "same 4096-group cumsum",
+    "pack_boundary_contamination": "same 4096-group cumsum plus the "
+                                   "groups-sized junction rank",
+    "training_shuffle_order": "same 4096-group cumsum over shuffle "
+                              "groups",
+    "training_shuffle_epoch2": "same 4096-group cumsum",
+    "mix_alpha_allocation": "largest-remainder rank over the SOURCE "
+                            "domain (a handful of corpus sources), "
+                            "never documents",
+    "skew_topkeys": "rank re-derived AFTER .limit(TOP_SKEW) — the "
+                    "window input is the collected top-k, "
+                    "constant-bounded",
+    "dedup_simhash_tuning": "cumulative counts over the 65-row hamming "
+                            "distance grid (dedup.py)",
+    "triangle_count": "node-index rank on the dense-bitmap path only, "
+                      "which triangle_count selects from the parquet "
+                      "footer count precisely when the node domain is "
+                      "small; the sparse path has no such window",
+}
+
 
 @pytest.mark.parametrize("name", BATCH)
 def test_no_cartesian_and_bounded_scans(name, spark, sf_dir):
@@ -129,6 +174,18 @@ def test_no_cartesian_and_bounded_scans(name, spark, sf_dir):
             f"{name}: collect_set/collect_list over a Window — unbounded "
             "window-buffer state on a hot key; aggregate two-phase "
             "(groupBy + join back) or whitelist with a bounded-frame reason"
+        )
+    if name not in UNPART_WINDOW_WHITELIST:
+        unpart = [
+            m.group(1)
+            for m in UNPART_WINDOW_RE.finditer(plan)
+            if m.group(1) != "pid"  # two_level_global_rank offsets
+        ]
+        assert not unpart, (
+            f"{name}: unpartitioned window ordered by {sorted(set(unpart))} "
+            "— Exchange SinglePartition funnels the whole domain through "
+            "one task; route through relational.two_level_global_rank or "
+            "whitelist with a boundedness reason"
         )
     scans = _count_scan_nodes(plan)
     cap, _why = SCAN_WHITELIST.get(name, (MAX_SCANS, ""))
