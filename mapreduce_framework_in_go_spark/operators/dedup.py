@@ -2036,9 +2036,23 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "cluster_rep"
         )
         out = clusters_delta_frame(base, delta, base_labels)
-        return out.withColumn(
+        out = out.withColumn(
             "from_delta", F.col("doc_id") % DELTA_MOD == DELTA_REM
         )
+        # Materialize the merge's slot-persisted members frame NOW
+        # (ADVICE r11 + the CLAUDE.md memoized-artifact rule):
+        # base_labels roots in the SHARED dedup generation slot, and a
+        # later _clusters_lsh_frame entry (cluster_assignment,
+        # _delta_base_labels) evicts it — an un-actioned memoized
+        # frame would then silently re-run the full base clustering on
+        # first collection. One count fills the members cache, after
+        # which the base-slot lineage is never re-executed. (A
+        # localCheckpoint of base_labels also closes the hazard but
+        # measures +13 s at sf0.01 — an extra full labels-assembly
+        # pass; the count rides work the first collection pays
+        # anyway.)
+        out.count()
+        return out
 
     # build-bound (measured r11: ~9 s build vs ~1 s exec at sf0.1 —
     # py4j tree construction + the in-build base-clustering actions):

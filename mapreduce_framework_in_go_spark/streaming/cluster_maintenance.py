@@ -275,6 +275,12 @@ def run_cluster_maintenance(
             q.processAllAvailable()
         finally:
             q.stop()
+            # The last microbatch's merge frames (delta digest map,
+            # membership union) would otherwise stay pinned in executor
+            # memory until the next stream run in this session; the
+            # returned labels are localCheckpoint-ed above, so eviction
+            # cannot unroot them (ADVICE r11).
+            _CLUSTERS_STREAM_GENERATION.evict()
         return _label_clusters(
             state["labels"].select(
                 "doc_id", F.col("cluster_rep").alias("label")
@@ -362,6 +368,10 @@ def run_cluster_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
+        # Same post-stream eviction as the driver-held branch: the
+        # state tables live on disk and labels are localCheckpoint-ed,
+        # so nothing the caller holds roots in the evicted generation.
+        _CLUSTERS_STREAM_GENERATION.evict()
     return _label_clusters(
         state["labels"].select("doc_id", F.col("cluster_rep").alias("label"))
     )

@@ -134,7 +134,26 @@ def test_latest_bench_run_within_budget() -> None:
     )
     median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
     q25_ratio = ratios[len(ratios) // 4] if ratios else 1.0
+    q75_ratio = ratios[(3 * len(ratios)) // 4] if ratios else 1.0
     if median_ratio > 1.35 and q25_ratio > 1.15:
+        # Corroboration (ADVICE r11): a session-tier shift inflates
+        # essentially EVERY query by a similar factor (r11 measured
+        # ~1.4-1.6x across the board) — so before the downgrade may
+        # widen its own gate, the inflation must LOOK like an
+        # environment tier: bounded magnitude and uniform spread. A
+        # broad code regression concentrated in shared helpers lifts
+        # its consumers far more than the rest (spread), and nothing
+        # environmental on this box has ever produced a >2.2x median
+        # (magnitude). Failing loudly here beats silently grading a
+        # real regression on 4x slack.
+        tier_like = median_ratio <= 2.2 and q75_ratio <= 1.8 * q25_ratio
+        assert tier_like, (
+            f"broad inflation (median {median_ratio:.2f}x, "
+            f"q25 {q25_ratio:.2f}x, q75 {q75_ratio:.2f}x) does NOT "
+            "match a session-JIT tier profile (uniform, <=2.2x median) "
+            "— likely a real broad regression; rerun the bench on a "
+            "warm quiet session before trusting or refreshing minima."
+        )
         quiet = False
     base_slack = QUIET_SLACK if quiet else SLACK
     overrides = budget.get("slack_overrides", {})
