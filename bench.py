@@ -170,6 +170,14 @@ def main() -> None:
 
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
+    # Focused A/B mode (drift-ledger work): $SPARK_GRAFT_ONLY is a
+    # comma-separated headline subset. Subset runs NEVER write
+    # BENCH_LOCAL.json — the budget gate must only ever read full runs.
+    only = [
+        n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n
+    ]
+    if only:
+        names = [n for n in names if n in set(only)]
     # warm up the JVM/parquet footer cache and the Python UDF workers so
     # timings measure the query, not session/interpreter startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -219,11 +227,12 @@ def main() -> None:
     # capture budget — full record if it fits, else a compact record
     # carrying the totals + the slowest queries and a pointer to the file.
     line = json.dumps(record)
-    try:
-        with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout line still carries the result
+    if not only:
+        try:
+            with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout line still carries the result
     TAIL_BUDGET = 1600
     if len(line) > TAIL_BUDGET:
         slowest = dict(

@@ -34,7 +34,7 @@ rows, never a global one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import GenerationSlot
@@ -480,29 +480,104 @@ NB_MARGIN_GRID = [
     "retrain, no rescore per threshold). A pipeline reads this to pick "
     "the margin at which the keep/drop gate trades recall for "
     "precision before committing the 100 TB scoring run; thresholds "
-    "are exact scaled-integer nats so the sweep is bitwise-stable.",
+    "are exact scaled-integer nats so the sweep is bitwise-stable. "
+    "Scoring is the STATELESS map-only fold the streaming NB gate "
+    "ships (ingest_release.nb_model_row): the (C x B) likelihood "
+    "table flattens to one bucket-major array<long> broadcast row and "
+    "each holdout document folds its tokens against it JVM-side — "
+    "top-2 and the margin come from a C-entry array sort per row, so "
+    "the per-(doc, class) shuffle and the per-doc rank window the "
+    "_scored pass pays are gone entirely (r12: 2.1 s exec -> map "
+    "work + one <=8xC-row aggregate). Exact: scores are BIGINT sums "
+    "of scaled-integer nats + priors with the identical "
+    "(score DESC, class ASC) tie-break.",
     tags=["classifier", "llm-pipeline", "tuning"],
 )
 def nb_margin_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored(spark, sf_dir)
-    margins = (
-        scored.where(F.col("rn") <= 2)
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("pred_source"),
-            (
-                F.max(F.when(F.col("rn") == 1, F.col("score")))
-                - F.max(F.when(F.col("rn") == 2, F.col("score")))
-            ).alias("m"),
+    from ..plan_cache import memo_frame
+
+    # build-bound ~45% (r12 split: 1.0 s build vs 1.3 s exec at sf0.1
+    # — the C-row priors collect + the fold expression trees): memoize
+    # the BUILT frame per (app, dataset); the model frames it roots in
+    # are themselves memoized AND materialized (_MODEL_CACHE), so no
+    # evictable-generation lineage hides under the memo
+    return memo_frame(
+        spark, "nb_margin_tuning", sf_dir, lambda: _margin_tuning_frame(spark, sf_dir)
+    )
+
+
+def _margin_tuning_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest_release import _cmp, nb_model_row
+
+    _meta, priors, lik, _tc = _model(spark, sf_dir)
+    # C-row hydration probe (the stream_nb_gate precedent): priors as
+    # literals keep the scorer fold free of any join beyond the 1-row
+    # model broadcast
+    pri = {r["c"]: r["sp"] for r in priors.collect()}
+    classes = sorted(pri)
+    n_classes = len(classes)
+    model_row = nb_model_row(lik)
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % NB_FOLD == 0
+    )
+    # map-only work parallelizes by input splits (CLAUDE.md trap d):
+    # rescue the one-row-group local corpus; never fires on a cluster
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 < par:
+        docs = docs.repartition(par)
+    # tokenize once, staged through a Generate (lambda-derived arrays
+    # are excluded from subexpression elimination)
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens_col("text"))).alias("toks")
+    )
+
+    def _score_step(acc: Column, w: Column) -> Column:
+        b = md5_long32(w) % F.lit(NB_BUCKETS)
+        seg = F.slice(
+            F.col("sll_mat"),
+            (b * n_classes + F.lit(1)).cast("int"),
+            n_classes,
         )
+        return F.zip_with(acc, seg, lambda a, x: a + x)
+
+    sums = F.aggregate(
+        F.col("toks"),
+        F.array_repeat(F.lit(0).cast("bigint"), n_classes),
+        _score_step,
     )
-    n_hold = F.broadcast(
-        scored.where(F.col("rn") == 1).agg(F.count("*").alias("nh"))
+    # stage the fold result: the scored-struct array reads it C times
+    staged = toked.join(F.broadcast(model_row)).select(
+        "doc_id", F.explode(F.array(sums)).alias("cls_sums")
     )
+    scored_arr = F.array(
+        *[
+            F.struct(
+                (
+                    F.try_element_at(F.col("cls_sums"), F.lit(i + 1))
+                    + F.lit(pri[c])
+                ).alias("score"),
+                F.lit(c).alias("c"),
+            )
+            for i, c in enumerate(classes)
+        ]
+    )
+    # stage top-2 too: both the pred and the margin read it
+    margins = staged.select(
+        "doc_id",
+        F.explode(F.array(F.slice(F.array_sort(scored_arr, _cmp), 1, 2)))
+        .alias("t2"),
+    ).select(
+        "doc_id",
+        F.try_element_at("t2", F.lit(1))["c"].alias("pred_source"),
+        (
+            F.try_element_at("t2", F.lit(1))["score"]
+            - F.try_element_at("t2", F.lit(2))["score"]
+        ).alias("m"),
+    )
+    n_hold = F.broadcast(margins.agg(F.count("*").alias("nh")))
     grid = F.broadcast(
-        scored.sparkSession.createDataFrame(
-            [(v,) for v in NB_MARGIN_GRID], "thr long"
-        )
+        spark.createDataFrame([(v,) for v in NB_MARGIN_GRID], "thr long")
     )
     per = (
         margins.join(grid, F.col("m") >= F.col("thr"))
