@@ -132,13 +132,25 @@ def _shingle_occurrences(docs: DataFrame) -> DataFrame:
     tags=["sketches", "text"],
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = _shingle_occurrences(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    occ = _shingle_occurrences(docs)
     candidates = (
         occ.select("s")
         .mapInPandas(_make_mg_candidates(MG_CAPACITY), schema="s string")
         .distinct()
     )
-    total = occ.agg(F.count("*").alias("_total"))
+    # the occurrence TOTAL needs no shingle strings at all — a doc with
+    # t >= N tokens contributes exactly t-N+1 occurrences — so it rides
+    # a map-only token-count sum instead of a third full explode pass
+    # (r12: the MG pass and the candidate-restricted count are the only
+    # two shingle builds left)
+    total = docs.agg(
+        F.sum(
+            F.greatest(
+                F.size(tokens_col("text")) - F.lit(BOILER_N - 1), F.lit(0)
+            )
+        ).alias("_total")
+    )
     return (
         occ.join(F.broadcast(candidates), "s")
         .groupBy("s")
