@@ -125,6 +125,14 @@ HEADLINE = [
     "dataset_split_cluster",
     "dedup_token_savings",
     "pack_boundary_contamination",
+    # r12 (r11 verdict ask #3): the heavy ANN tuning family + the
+    # release card join the quiet-tier gate now that the stored IVFADC
+    # index is localCheckpoint-ed (linear plans; the nprobe sweep is
+    # genuinely probe-only at ~3.5 s steady)
+    "ann_ivfpq_recall",
+    "ann_ivfpq_nprobe_tuning",
+    "ann_hyperplane_recall",
+    "corpus_release_card",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung
@@ -152,6 +160,11 @@ HEAVY_3RUN = {
     "dedup_clusters_delta_merge_only",
     "stream_cluster_maintenance",
     "dataset_split_cluster",
+    # warm run absorbs the one-time IVFADC index / release-artifact
+    # builds (both memoized per app+dataset)
+    "ann_ivfpq_recall",
+    "ann_ivfpq_nprobe_tuning",
+    "corpus_release_card",
 }
 
 
