@@ -855,3 +855,60 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "from_delta", F.col("doc_id") % DELTA_MOD == DELTA_REM
     )
+
+
+@register(
+    "stream_cluster_maintenance_table",
+    oracle=_cluster_maintenance_oracle(),
+    doc="The DEPLOYMENT tier of stream_cluster_maintenance priced "
+    "end-to-end (r11 verdict ask #4): standing state as crash-"
+    "surviving parquet STATE TABLES under a fresh state_dir — frozen "
+    "base labels + the stored groups/sketch/bands index written once, "
+    "then per microbatch the append-only index increment, the label "
+    "upserts (_SUCCESS-gated exactly-once), and a real "
+    "checkpointLocation. Same oracle as the driver-held row (the "
+    "final state must equal the from-scratch union clustering); what "
+    "this row adds is timing visibility for everything the driver-"
+    "held form does not pay — index advance, state-table IO, commit "
+    "markers. The memoized frozen-base artifact seeds the store "
+    "(building it is dedup_clusters_delta_merge_only's priced cost, "
+    "not an ingest cost); per-batch work is delta-bounded by "
+    "construction (test-pinned in test_streaming.py).",
+    tags=["streaming", "dedup", "llm-pipeline"],
+)
+def stream_cluster_maintenance_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        DELTA_MOD,
+        DELTA_REM,
+        _delta_base_artifact,
+    )
+    from ..sources.tables import table
+    from ..streaming.cluster_maintenance import run_cluster_maintenance
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
+    base = docs.where(~is_delta)
+    base_labels, index = _delta_base_artifact(spark, sf_dir)
+    stream = _docs_stream(spark, sf_dir).where(is_delta)
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_cmstate_")
+    try:
+        out = run_cluster_maintenance(
+            stream,
+            base.select("doc_id", "text"),
+            base_labels,
+            base_index=index,
+            state_dir=state_dir,
+        )
+        # pin the result off the state tables before cleanup — the
+        # label lineage may root in state_dir parquet on degenerate
+        # (zero-batch) runs
+        return out.withColumn(
+            "from_delta", F.col("doc_id") % DELTA_MOD == DELTA_REM
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
