@@ -56,6 +56,28 @@ def main() -> int:
     # conditions the timings were taken under)
     load_avg_start = float(open("/proc/loadavg").read().split()[0])
     spark = get_spark(app_name="driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+    # Environment calibration (r12): this box is a VM whose host-level
+    # contention is INVISIBLE to guest loadavg (r12 measured a quiet-
+    # start full run with kv_get 13x its reference while ps showed
+    # nothing running). A fixed whole-stage-codegen workload, timed at
+    # run start and end, is a signal the gate can trust: identical
+    # work, so its wall measures the environment+JIT tier, not the
+    # queries.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr("sum(id % 7)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _calibrate()  # one untimed warm run (codegen compile)
+    # Interleaved series, not just endpoints: r12 observed mid-run
+    # contention WAVES (positions 56-139 of a full run at median
+    # 3.5-4.6x reference, recovering to 1.75x after — with healthy
+    # endpoint calibrations and guest load < 1). One probe every
+    # CALIB_EVERY queries costs ~8 s per full run and lets the gate
+    # excuse exactly the queries that ran inside a measured wave.
+    CALIB_EVERY = 25
+    calib_series = [{"after_n": 0, "sec": _calibrate()}]
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -69,6 +91,10 @@ def main() -> int:
     for name in sorted(qs):
         if only and name not in only:
             continue
+        if len(engine_secs) - calib_series[-1]["after_n"] >= CALIB_EVERY:
+            calib_series.append(
+                {"after_n": len(engine_secs), "sec": _calibrate()}
+            )
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf)
@@ -119,6 +145,8 @@ def main() -> int:
                     "sf_dir": sf,
                     "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
                     "load_avg_start": load_avg_start,
+                    "calib_series": calib_series
+                    + [{"after_n": len(engine_secs), "sec": _calibrate()}],
                     "engine_secs": engine_secs,
                 },
                 f,

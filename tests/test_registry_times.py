@@ -29,6 +29,17 @@ LATEST_PATH = os.path.join(REPO_ROOT, "REGISTRY_TIMES.json")
 # queries; the ratio gate only means something above the floor.
 SLACK = 4.0
 FLOOR_SEC = 3.0
+# Environment-calibration gate (r12): this box is a VM whose host-level
+# contention is invisible to guest loadavg (a quiet-start full run
+# measured kv_get at 13x its reference with ps showing nothing). The
+# artifact records the wall of a FIXED codegen workload at run start
+# and end (driver_sim._calibrate); when either end reads slower than
+# CALIB_SLACK x the committed clean-environment calibration, the
+# per-query ratio check is meaningless and skips loudly. Mid-run-only
+# spikes with clean endpoints remain a gap — rerun when the gate and
+# the calibration disagree. The reference calibration folds
+# elementwise-min like the minima.
+CALIB_SLACK = 2.0
 
 
 def _ref() -> dict:
@@ -99,13 +110,50 @@ def test_latest_full_run_within_reference() -> None:
     assert not nulls, (
         f"queries errored during the full driver_sim run: {nulls}"
     )
+    # Per-segment environment excusal from the interleaved calibration
+    # series: a query is gated only if BOTH its surrounding calibration
+    # probes were healthy — queries that ran inside a measured
+    # contention wave are excused (listed, not graded). If the wave
+    # covered most of the run, the skip below says so.
+    ref_calib = _ref().get("calib_sec")
+    series = latest.get("calib_series") or []
+    order = sorted(latest["engine_secs"])
+
+    def _wave(name: str) -> bool:
+        if not (ref_calib and series):
+            return False
+        i = order.index(name)
+        before = [c["sec"] for c in series if c["after_n"] <= i]
+        after = [c["sec"] for c in series if c["after_n"] > i]
+        lo = before[-1] if before else series[0]["sec"]
+        hi = after[0] if after else series[-1]["sec"]
+        return max(lo, hi) > CALIB_SLACK * ref_calib
+
+    excused_all = ref_calib and series and all(
+        c["sec"] > CALIB_SLACK * ref_calib for c in series
+    )
+    if excused_all:
+        pytest.skip(
+            f"environment degraded for the whole of {record}: every "
+            f"calibration probe exceeded {CALIB_SLACK}x the "
+            f"{ref_calib:.2f}s clean reference — rerun on a healthy host."
+        )
     over = {}
+    excused = []
     for name, sec in latest["engine_secs"].items():
         if name not in ref:
             continue  # new query: the sync test forces the ref update
         cap = max(SLACK * ref[name], FLOOR_SEC)
         if sec > cap:
-            over[name] = (sec, round(cap, 3))
+            if _wave(name):
+                excused.append(name)
+            else:
+                over[name] = (sec, round(cap, 3))
+    if excused:
+        print(
+            f"registry-times gate: excused {sorted(excused)} — ran "
+            "inside a measured contention wave (calib_series)"
+        )
     assert not over, (
         f"registered queries in {record} regressed past {SLACK}x their "
         f"sf0.01 reference (query: (latest_sec, cap_sec)): {over} — "
