@@ -165,6 +165,13 @@ HEAVY_3RUN = {
     "ann_ivfpq_recall",
     "ann_ivfpq_nprobe_tuning",
     "corpus_release_card",
+    # long JIT warm-up trajectories (the bm25 pattern): r12 measured
+    # 18.8 -> 5.5 -> 3.0 -> 3.3 -> 1.9 s for the quality flags on a
+    # slow-tier session; min-of-2 with no warm run samples the cold
+    # step. nb_margin_tuning's first run also builds its memoized
+    # model+plan (~9 s one-time).
+    "gopher_quality_flags",
+    "nb_margin_tuning",
 }
 
 
