@@ -153,9 +153,60 @@ def test_rolling_hash_is_order_sensitive(spark):
     assert rows[0]["cf"] == rows[1]["cf"]
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_compressed_is_stubbed():
+    """Compressed codecs still raise (no PIL/av in this container) —
+    uncompressed containers route to the real parsers below."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG", "image")
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image")
+
+
+def test_wav_codec_interops_with_stdlib_wave():
+    """encode_wav bytes must be a WAV the stdlib `wave` module reads
+    back verbatim, and decode_wav must parse a stdlib-written WAV —
+    true container compatibility, both directions."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = np.array([0, 1, -2, 32767, -32768, 123], dtype="<i2")
+    payload = multimodal.encode_wav(samples, rate=8000)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+            8000, 1, 2,
+        )
+        assert np.array_equal(
+            np.frombuffer(w.readframes(w.getnframes()), dtype="<i2"),
+            samples,
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(samples.tobytes())
+    dec = multimodal.decode_media(buf.getvalue(), "audio")
+    assert dec["sample_rate"] == 44100 and dec["bit_depth"] == 16
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    """decode_bmp(encode_bmp(px)) == px for a non-square image whose
+    rows need padding, and the raw bytes carry the format's invariants
+    (bottom-up rows, BGR order, 4-byte row alignment)."""
+    import numpy as np
+
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    payload = multimodal.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    row = (3 * 3 + 3) // 4 * 4  # 3-pixel rows pad 9 -> 12 bytes
+    assert len(payload) == 54 + row * 5
+    # first stored row is the BOTTOM image row, BGR order
+    bottom_bgr = px[4, :, ::-1].tobytes()
+    assert payload[54 : 54 + 9] == bottom_bgr
+    dec = multimodal.decode_media(payload, "image")
+    assert (dec["width"], dec["height"]) == (3, 5)
+    assert np.array_equal(dec["pixels"], px)
 
 
 def test_lang_id_mechanism(spark, sf_dir):
