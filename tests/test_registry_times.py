@@ -29,6 +29,24 @@ LATEST_PATH = os.path.join(REPO_ROOT, "REGISTRY_TIMES.json")
 # queries; the ratio gate only means something above the floor.
 SLACK = 4.0
 FLOOR_SEC = 3.0
+# Per-query widenings (the bench gate's slack_overrides pattern, each
+# with a SCALE.md-documented mechanism): the registry gate times ONE
+# shot per query in a shared session, so rows that pay a one-time
+# memoized build (whoever runs first in the family absorbs the trained
+# centroids / IVFADC index / model build) or sit early in a long JIT
+# warm-up trajectory sample a coin flip — r12 measured the same code
+# drawing ann_ivfpq 2.9 s then 12.9 s across two healthy-calibration
+# full runs (build attribution + vector-fold JIT tier; see SCALE.md
+# 'Bench slack mechanisms'). Refs stay elementwise-min; the override
+# widens only the named rows.
+REGISTRY_SLACK = {
+    "ann_ivfpq": 8.0,
+    "ann_ivfpq_recall": 8.0,
+    "ann_ivfpq_nprobe_tuning": 8.0,
+    "ann_pq": 8.0,
+    "ann_pq_recall": 8.0,
+    "bm25_topk": 8.0,  # measured 7.9 -> 1.0 s warm-up trajectory
+}
 # Environment-calibration gate (r12): this box is a VM whose host-level
 # contention is invisible to guest loadavg (a quiet-start full run
 # measured kv_get at 13x its reference with ps showing nothing). The
@@ -143,7 +161,8 @@ def test_latest_full_run_within_reference() -> None:
     for name, sec in latest["engine_secs"].items():
         if name not in ref:
             continue  # new query: the sync test forces the ref update
-        cap = max(SLACK * ref[name], FLOOR_SEC)
+        slack = max(REGISTRY_SLACK.get(name, SLACK), SLACK)
+        cap = max(slack * ref[name], FLOOR_SEC)
         if sec > cap:
             if _wave(name):
                 excused.append(name)
