@@ -102,6 +102,11 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {size} bytes but "
+                f"only {len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = {
@@ -405,18 +410,25 @@ def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_decode_stats",
     oracle=f"""
     WITH b AS (
-      SELECT doc_id, unicode(c) AS v
-      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-            FROM documents WHERE doc_id % 3 = 1)
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    v AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                         AS INTEGER)) AS bytes
+      FROM b
     )
     SELECT doc_id,
            CAST({WAV_RATE} AS BIGINT) AS sample_rate,
            CAST(1 AS BIGINT) AS n_channels,
            CAST(16 AS BIGINT) AS bit_depth,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(max(v) AS BIGINT) AS peak,
-           CAST(sum(v) AS BIGINT) AS sum_abs
-    FROM b GROUP BY doc_id
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(coalesce(list_max(bytes), 0) AS BIGINT) AS peak,
+           CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS sum_abs
+    FROM v
     """,
     doc="REAL container round trip for 'audio' payloads (r12 — the "
     "decode stub retired for uncompressed formats): per document, the "
@@ -425,9 +437,10 @@ def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test-pinned), decode_wav parses the container back, and the "
     "emitted stats come from the DECODED header + samples — so a "
     "header or sample-order bug breaks the oracle hash. Pure map work "
-    "over Arrow batches; oracle replays the arithmetic on codepoints "
-    "(ASCII corpus: codepoint == byte, the mm_byte_histogram "
-    "precedent).",
+    "over Arrow batches; oracle replays the arithmetic in the BYTE "
+    "domain (hex(encode(text)) expanded to per-byte ints, r13 — no "
+    "ASCII/non-empty assumption: empty docs yield n_samples=0/peak=0/"
+    "sum_abs=0 on both sides).",
     tags=["multimodal"],
 )
 def mm_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,11 +478,17 @@ def mm_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_image_decode_stats",
     oracle=f"""
-    WITH b AS (
-      SELECT doc_id, octet_length(encode(text)) AS n,
-             coalesce(list_sum(list_transform(string_split(text, ''),
-                                              c -> unicode(c))), 0) AS s
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
       FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT doc_id, n,
+             coalesce(list_sum(list_transform(range(0, n),
+               i -> CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                         AS INTEGER))), 0) AS s
+      FROM raw
     )
     SELECT doc_id,
            CAST({BMP_WIDTH} AS BIGINT) AS width,

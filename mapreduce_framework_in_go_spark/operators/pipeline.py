@@ -477,9 +477,39 @@ def release_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return os.path.join(
+    path = os.path.join(
         repo_root, "spark-warehouse", f"corpus_release_{tag}"
     )
+    _assert_scratch_path(path)
+    return path
+
+
+def _assert_scratch_path(path: str) -> None:
+    """Guard (VERDICT r12 #6): release artifacts are BUILD PRODUCTS and
+    must only ever land in the repo's gitignored ``spark-warehouse/``
+    scratch dir or a system/session temp dir — never anywhere a commit
+    could pick them up. Raises on any other destination."""
+    import os
+    import tempfile
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    abs_path = os.path.abspath(path)
+    scratch = os.path.join(repo_root, "spark-warehouse")
+    tmp = os.path.realpath(tempfile.gettempdir())
+    allowed = (
+        abs_path == scratch
+        or abs_path.startswith(scratch + os.sep)
+        or os.path.realpath(abs_path).startswith(tmp + os.sep)
+        or abs_path.startswith("/tmp" + os.sep)
+    )
+    if not allowed:
+        raise ValueError(
+            f"release artifact path {abs_path!r} is outside the gitignored "
+            f"scratch dir ({scratch!r}) and the system temp dir — refusing "
+            "to write build products where a commit could track them"
+        )
 
 
 # Completed writes, memoized per (applicationId, path) so the three
@@ -551,6 +581,7 @@ def write_corpus_release(
         seed = SHUFFLE_SEED
     if path is None:
         path = release_artifact_path(spark, sf_dir)
+    _assert_scratch_path(path)
     app_id = spark.sparkContext.applicationId
     key = (app_id, path)
     hit = _RELEASE_WRITES.get(key)

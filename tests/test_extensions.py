@@ -190,6 +190,22 @@ def test_wav_codec_interops_with_stdlib_wave():
     assert np.array_equal(dec["samples"], samples)
 
 
+def test_wav_decode_rejects_truncated_chunks():
+    """A chunk whose declared size runs past the buffer must raise, not
+    silently clip to fewer samples (ADVICE r12): a truncated external
+    payload would otherwise yield wrong stats instead of an error."""
+    import numpy as np
+
+    samples = np.array([1, 2, 3, 4], dtype="<i2")
+    payload = multimodal.encode_wav(samples)
+    # chop the last sample's bytes off: the data chunk still DECLARES
+    # 8 bytes but only 6 remain
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(payload[:-2])
+    # intact payload still decodes
+    assert np.array_equal(multimodal.decode_wav(payload)["samples"], samples)
+
+
 def test_bmp_codec_roundtrip_and_layout():
     """decode_bmp(encode_bmp(px)) == px for a non-square image whose
     rows need padding, and the raw bytes carry the format's invariants

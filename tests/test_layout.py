@@ -181,6 +181,35 @@ def test_release_write_once_across_family(spark, sf_dir):
         pipeline.write_corpus_release(spark, sf_dir, n_shards=4)
 
 
+def test_release_scratch_path_guard(spark, sf_dir):
+    """VERDICT r12 #6: release artifacts are build products — the
+    writer must refuse any destination outside the gitignored
+    spark-warehouse scratch dir / system tmp, and nothing under
+    spark-warehouse may ever be git-tracked."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from mapreduce_framework_in_go_spark.operators import pipeline
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the default path resolves under the repo's scratch dir
+    default = pipeline.release_artifact_path(spark, sf_dir)
+    assert f"{os.sep}spark-warehouse{os.sep}" in default
+    # a path that would land inside tracked repo space is refused
+    with pytest.raises(ValueError, match="scratch"):
+        pipeline.write_corpus_release(
+            spark, sf_dir, path=os.path.join(repo, "corpus_release_leak")
+        )
+    # and the scratch dir itself is untracked (gitignore holds)
+    tracked = subprocess.run(
+        ["git", "-C", repo, "ls-files", "spark-warehouse"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert tracked == "", f"tracked artifacts under spark-warehouse: {tracked}"
+
+
 def test_release_n_shards_64(spark, sf_dir, tmp_path):
     """S=64 scale demo (VERDICT r7 ask #2): the writer parameterized
     beyond the default S=8 keeps the one-file-per-shard contract
