@@ -1,9 +1,12 @@
 """Multimodal-column operators: image/audio/video as opaque ``binary``
 columns with typed metadata, processed with Arrow-batched
-``mapInPandas`` — the Spark-side plumbing (schema, batch shape,
-partition-preserving maps) is real and oracle-checked; the actual
-codec decode is stubbed (`decode_media`) because no image/audio
-libraries exist in this environment.
+``mapInPandas``. The Spark-side plumbing (schema, batch shape,
+partition-preserving maps) is real and oracle-checked, and so are the
+codecs this container can express: RIFF/WAVE 16-bit PCM, BI_RGB 24-bit
+BMP (r12), and PNG — full container + zlib DEFLATE + all five scanline
+filters — (r13). Only lossy codecs (JPEG/MP3/MP4) remain stubbed in
+`decode_media`: they need PIL/soundfile/av, which cannot be installed
+here.
 
 The synthetic corpus has no binary table, so payloads are derived
 deterministically: ``payload = utf8_bytes(text)`` with a media type
@@ -52,10 +55,13 @@ def decode_media(payload: bytes, media_type: str):
         return decode_wav(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed media codecs are not installed; only RIFF/WAVE PCM "
-        "and BI_RGB BMP decode in this environment (decode_wav / "
-        "decode_bmp)"
+        "lossy media codecs are not installed; RIFF/WAVE PCM, BI_RGB "
+        "BMP, and PNG (8-bit gray/RGB, stdlib zlib) decode in this "
+        "environment (decode_wav / decode_bmp / decode_png) — "
+        "JPEG/MP3/MP4 genuinely need PIL/soundfile/av"
     )
 
 
@@ -173,6 +179,188 @@ def decode_bmp(payload: bytes) -> dict:
     if h > 0:
         px = px[::-1]  # bottom-up -> top-down
     return {"width": w, "height": abs(h), "pixels": px}
+
+
+# --- real COMPRESSED codec: PNG, stdlib-only (r13) ---------------------
+# Full PNG container + DEFLATE (stdlib zlib) + all five scanline filters
+# (None/Sub/Up/Average/Paeth) for 8-bit grayscale and RGB, no interlace.
+# The encoder uses the standard minimum-sum-of-absolute-differences
+# filter heuristic, so real streams mix filter types and the decoder's
+# unfilter paths are all exercised by the round-trip query below.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int arrays:
+    p = a+b-c, pick the neighbor closest to p (ties: a, then b)."""
+    import numpy as np
+
+    pa = np.abs(b - c)  # |p - a|
+    pb = np.abs(a - c)  # |p - b|
+    pc = np.abs(a + b - 2 * c)  # |p - c|
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, level: int = 6) -> bytes:
+    """PNG bytes for an (H, W) uint8 grayscale or (H, W, 3) uint8 RGB
+    array: 8-bit, non-interlaced, per-scanline MSAD filter selection,
+    one zlib-deflated IDAT. Stdlib struct/zlib + numpy only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, bpp = 0, 1
+        h, w = px.shape
+        flat = px.reshape(h, w)
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, bpp = 2, 3
+        h, w = px.shape[:2]
+        flat = px.reshape(h, w * 3)
+    else:
+        raise NotImplementedError("encode_png: 8-bit gray or RGB only")
+    stride = w * bpp
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    zeros_bpp = np.zeros(bpp, dtype=np.int64)
+    for y in range(h):
+        line = flat[y].astype(np.int64)
+        left = np.concatenate([zeros_bpp, line[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, dtype=np.int64)
+        upleft = np.concatenate([zeros_bpp, prev[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, dtype=np.int64)
+        cands = [
+            line,
+            (line - left) & 0xFF,
+            (line - prev) & 0xFF,
+            (line - (left + prev) // 2) & 0xFF,
+            (line - _paeth_vec(left, prev, upleft)) & 0xFF,
+        ]
+        costs = [int(np.minimum(c, 256 - c).sum()) for c in cands]
+        ft = int(np.argmin(costs))
+        raw.append(ft)
+        raw += cands[ft].astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(
+        [
+            PNG_SIG,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", zlib.compress(bytes(raw), level)),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG back to pixels: chunk walk with CRC verification,
+    zlib inflate, and per-scanline unfiltering of all five filter
+    types. Raises ValueError on corruption/truncation and
+    NotImplementedError outside 8-bit gray/RGB non-interlaced."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: declares {length} bytes "
+                f"but only {len(payload) - pos - 12} remain"
+            )
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(
+            payload[pos + 8 + length : pos + 12 + length], "big"
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">II5B", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR/IEND chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2):
+        raise NotImplementedError("only 8-bit gray/RGB PNG decodes here")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError("deflate/filter-0/non-interlaced only")
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT inflates to {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    filters_used = set()
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        filters_used.add(ft)
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)],
+            dtype=np.uint8,
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-channel running sum mod 256
+            cur = line.copy()
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average (sequential: left is being computed)
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth (sequential)
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(h, w) if color == 0 else out.reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "color_type": color,
+        "pixels": pixels,
+        "filters_used": sorted(filters_used),
+    }
 
 
 def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,18 +481,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_byte_histogram",
     oracle=f"""
-    SELECT doc_id, CAST(unicode(c) % {HIST_BINS} AS BIGINT) AS bin,
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(v % {HIST_BINS} AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n
-    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-          FROM documents WHERE doc_id % 3 = 0)
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(0, n),
+                   i -> CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER),
+                                            2) AS INTEGER))) AS v
+          FROM raw)
     GROUP BY 1, 2
     """,
-    doc=f"Stubbed 'decode': {HIST_BINS}-bin byte-value histogram over "
-    "'image' payloads — the deterministic stand-in for a pixel "
+    doc=f"Byte-level 'decode': {HIST_BINS}-bin byte-value histogram "
+    "over 'image' payloads — the deterministic stand-in for a pixel "
     "histogram, running the exact plumbing a real decoder would "
     "(binary in via Arrow, numpy over the buffer, typed rows out). "
-    "Oracle side uses codepoints == bytes (corpus is ASCII). One small "
-    "groupBy after the map.",
+    "Oracle replays in the byte domain (hex expansion, r13 — no ASCII "
+    "assumption). One small groupBy after the map.",
     tags=["multimodal"],
 )
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +668,101 @@ def mm_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         schema="doc_id long, sample_rate long, n_channels long, "
         "bit_depth long, n_samples long, peak long, sum_abs long",
+    )
+
+
+PNG_WIDTH = 32  # RGB rows: 96 payload bytes per scanline
+
+
+@register(
+    "mm_png_decode_stats",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    b AS (
+      SELECT doc_id, hx, n,
+             greatest(1, CAST(ceil(n / {PNG_WIDTH * 3}.0) AS BIGINT)) AS h
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST({PNG_WIDTH} AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(coalesce(list_sum(list_transform(range(0, n),
+             i -> CASE WHEN i % 3 = 0 THEN
+               CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                    AS INTEGER) ELSE 0 END)), 0) AS BIGINT) AS sum_r,
+           CAST(coalesce(list_sum(list_transform(range(0, n),
+             i -> CASE WHEN i % 3 = 1 THEN
+               CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                    AS INTEGER) ELSE 0 END)), 0) AS BIGINT) AS sum_g,
+           CAST(coalesce(list_sum(list_transform(range(0, n),
+             i -> CASE WHEN i % 3 = 2 THEN
+               CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                    AS INTEGER) ELSE 0 END)), 0) AS BIGINT) AS sum_b,
+           md5(hx || repeat('00', CAST(h * {PNG_WIDTH * 3} - n AS INTEGER)))
+             AS pixel_md5
+    FROM b
+    """,
+    doc="REAL COMPRESSED-codec round trip (r13 — the PNG slice of the "
+    "codec stub retired): per 'video' document, the text bytes become "
+    f"a {PNG_WIDTH}-wide RGB image (bytes laid out R,G,B; zero-padded "
+    "last row), encode_png writes a genuine PNG — IHDR/IDAT/IEND with "
+    "CRCs, zlib DEFLATE, per-scanline MSAD filter selection over all "
+    "five filter types — and decode_png inflates, CRC-checks, and "
+    "unfilters it back. Every emitted stat comes from the DECODED "
+    "pixel array: per-channel sums catch channel-order bugs, pixel_md5 "
+    "(md5 of the decoded bytes' uppercase hex) catches any single-byte "
+    "unfilter error. Oracle replays the arithmetic in the byte domain "
+    "(hex expansion) and md5's the same padded hex string — it never "
+    "needs zlib, because a correct round trip restores the exact input "
+    "bytes. Map-only over Arrow batches; remaining codec stub is "
+    "JPEG/MP3/MP4 (need PIL/soundfile/av; no pip here).",
+    tags=["multimodal"],
+)
+def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_docs(spark, sf_dir).where(F.col("media_type") == "video")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        stride = PNG_WIDTH * 3
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "color_type",
+                "sum_r", "sum_g", "sum_b", "pixel_md5",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = max(1, -(-len(data) // stride))
+                padded = np.zeros(h * stride, dtype=np.uint8)
+                padded[: len(data)] = data
+                px = padded.reshape(h, PNG_WIDTH, 3)
+                dec = decode_png(encode_png(px))
+                dp = dec["pixels"].astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["color_type"].append(dec["color_type"])
+                rows["sum_r"].append(int(dp[:, :, 0].sum()))
+                rows["sum_g"].append(int(dp[:, :, 1].sum()))
+                rows["sum_b"].append(int(dp[:, :, 2].sum()))
+                rows["pixel_md5"].append(
+                    _hashlib.md5(
+                        dec["pixels"].tobytes().hex().upper().encode("ascii")
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        roundtrip,
+        schema="doc_id long, width long, height long, color_type long, "
+        "sum_r long, sum_g long, sum_b long, pixel_md5 string",
     )
 
 

@@ -108,6 +108,7 @@ def load_all_operators() -> None:
         tpch_partsupp,
         training_prep,
         udx,
+        warc,
         zorder,
     )
 

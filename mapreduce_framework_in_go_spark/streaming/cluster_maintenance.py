@@ -62,11 +62,18 @@ from pyspark.sql import functions as F
 # driver-side observability: non-empty microbatches folded by the last
 # run (tests assert the multi-batch path actually exercised
 # composition) and batches skipped as already-applied replays
-# per-run observability: batch counts plus the build-vs-exec split
-# (r11 verdict ask #4) — `build_sec` is py4j merge-frame CONSTRUCTION
-# summed over batches, `exec_sec` the label-checkpoint/state-write
-# actions; read after run_cluster_maintenance returns
-LAST_RUN_BATCHES = {"n": 0, "skipped": 0, "build_sec": 0.0, "exec_sec": 0.0}
+# per-run observability: batch counts plus the build/exec/state-IO
+# split (r11 verdict ask #4; state_io added r13 for the table tier) —
+# `build_sec` is py4j frame CONSTRUCTION (index advance + merge frames)
+# summed over batches, `exec_sec` the merge computation (the label
+# localCheckpoint action), `state_io_sec` the state-TABLE writes the
+# storage tier adds over the driver-held tier (batch docs + index
+# appends parquet, label-upsert parquet commit, index re-checkpoints);
+# read after run_cluster_maintenance returns
+LAST_RUN_BATCHES = {
+    "n": 0, "skipped": 0, "build_sec": 0.0, "exec_sec": 0.0,
+    "state_io_sec": 0.0,
+}
 
 _INDEX_PARTS = ("groups", "sketch", "bands")
 
@@ -225,6 +232,7 @@ def run_cluster_maintenance(
     LAST_RUN_BATCHES["skipped"] = 0
     LAST_RUN_BATCHES["build_sec"] = 0.0
     LAST_RUN_BATCHES["exec_sec"] = 0.0
+    LAST_RUN_BATCHES["state_io_sec"] = 0.0
 
     if state_dir is None:
         # Driver-held standing state. The labels are localCheckpointed
@@ -320,12 +328,15 @@ def run_cluster_maintenance(
         if not batch.head(1):
             return
         LAST_RUN_BATCHES["n"] += 1
-        # 1. the batch rows themselves (recovery needs the standing
-        #    corpus; at deployment the crawl store already has them)
-        batch.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
-        # 2. append-only index increment (new-digest rep sketch/bands,
-        #    bounded group upserts)
+        # 1+2. index-advance frame construction (build), then the
+        #    state-table writes: the batch rows themselves (recovery
+        #    needs the standing corpus; at deployment the crawl store
+        #    already has them) and the append-only index increment
+        #    (new-digest rep sketch/bands, bounded group upserts)
+        b0 = time.monotonic()
         new_index, appends = advance_cluster_index(state["index"], batch)
+        io0 = time.monotonic()
+        batch.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
         for part in _INDEX_PARTS:
             appends[part].write.mode("overwrite").parquet(
                 os.path.join(bdir, part)
@@ -340,8 +351,9 @@ def run_cluster_maintenance(
         )
         t1 = time.monotonic()
         new_labels = merged.select("doc_id", "cluster_rep").localCheckpoint()
-        LAST_RUN_BATCHES["build_sec"] += t1 - t0
-        LAST_RUN_BATCHES["exec_sec"] += time.monotonic() - t1
+        t2 = time.monotonic()
+        LAST_RUN_BATCHES["build_sec"] += (io0 - b0) + (t1 - t0)
+        LAST_RUN_BATCHES["exec_sec"] += t2 - t1
         prev = state["labels"].withColumnRenamed("cluster_rep", "_old")
         ups = (
             new_labels.join(prev, "doc_id", "left")
@@ -370,6 +382,9 @@ def run_cluster_maintenance(
                 appends["bands"].localCheckpoint()
             ),
         }
+        LAST_RUN_BATCHES["state_io_sec"] += (
+            (t0 - io0) + (time.monotonic() - t2)
+        )
 
     q = (
         docs_stream.writeStream.outputMode("append")

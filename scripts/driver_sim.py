@@ -1,6 +1,15 @@
 """Simulate the grading driver: load __spark_entry__ from an arbitrary
 cwd, run every queries() entry at sf0.01 (or $SIM_SF_DIR), compare with
-oracle_sql() via DuckDB. Usage: python scripts/driver_sim.py [names...]
+oracle_sql() via DuckDB.
+
+Usage: python scripts/driver_sim.py [names...] [--families FAMILY]
+
+`--families threshold` expands to the threshold-sensitive query
+families (SCALE.md "sf0.1 parity spot-run") so the per-round sf0.1
+receipt is ONE command and the set tracks the registry instead of a
+hand-maintained list:
+
+    SIM_SF_DIR=/root/testdata/sf0.1 python scripts/driver_sim.py --families threshold
 
 Full (unfiltered) runs also write REGISTRY_TIMES.json — engine-side
 seconds for EVERY registered query — so the two-thirds of the registry
@@ -12,7 +21,9 @@ tests/registry_times_ref.json; VERDICT r9 ask #4).
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
+import re
 import sys
 import time
 
@@ -30,15 +41,127 @@ LOADED_HOST_MAX = 4.0
 TIMES_NAME = "REGISTRY_TIMES.json"
 TIMES_SIDE_NAME = "REGISTRY_TIMES.loaded.json"
 
+# Name-pattern families for scripted spot-runs (VERDICT r12 ask #5).
+# "threshold" = the families whose constants (LSH bands, cosine taus,
+# nprobe budgets, split fractions) interact with data-scale-dependent
+# structure: the sf0.01 gate can't see a constant that only breaks at
+# bench scale, so these re-run at sf0.1 each round. Pattern-based so
+# new dedup_*/ann_* registrations can't silently fall out of the set.
+FAMILY_PATTERNS: dict[str, list[str]] = {
+    "threshold": [
+        r"^dedup_",
+        r"^semdedup_",
+        r"^ann_.*(recall|tuning)",
+        r"^split_",
+    ],
+}
+
+
+def family_members(family: str, names) -> list[str]:
+    pats = [re.compile(p) for p in FAMILY_PATTERNS[family]]
+    return sorted(n for n in names if any(p.search(n) for p in pats))
+
 
 def times_artifact_name(load_avg_start: float) -> str:
     """Which artifact a full run may write given its start load."""
     return TIMES_NAME if load_avg_start <= LOADED_HOST_MAX else TIMES_SIDE_NAME
 
 
+# --- registry timing-gate contract (shared with tests/test_registry_times)
+# driver_sim runs on 8 cpus at sf0.01 where fixed per-action overhead
+# (job scheduling, Python<->JVM chatter on collect) dominates small
+# queries; the ratio gate only means something above the floor.
+SLACK = 4.0
+FLOOR_SEC = 3.0
+# Per-query widenings (the bench gate's slack_overrides pattern, each
+# with a SCALE.md-documented mechanism): the registry gate times ONE
+# shot per query in a shared session, so rows that pay a one-time
+# memoized build (whoever runs first in the family absorbs the trained
+# centroids / IVFADC index / model build) or sit early in a long JIT
+# warm-up trajectory sample a coin flip — r12 measured the same code
+# drawing ann_ivfpq 2.9 s then 12.9 s across two healthy-calibration
+# full runs (build attribution + vector-fold JIT tier; see SCALE.md
+# 'Bench slack mechanisms'). Refs stay elementwise-min; the override
+# widens only the named rows.
+REGISTRY_SLACK = {
+    "ann_ivfpq": 8.0,
+    "ann_ivfpq_recall": 8.0,
+    "ann_ivfpq_nprobe_tuning": 8.0,
+    "ann_pq": 8.0,
+    "ann_pq_recall": 8.0,
+    "bm25_topk": 8.0,  # measured 7.9 -> 1.0 s warm-up trajectory
+}
+# Environment-calibration contract (r12): this box is a VM whose
+# host-level contention is invisible to guest loadavg (a quiet-start
+# full run measured kv_get at 13x its reference with ps showing
+# nothing). The artifact records the wall of a FIXED codegen workload
+# at run start/end and every CALIB_EVERY queries; a query whose
+# surrounding probes read slower than CALIB_SLACK x the committed
+# clean-environment calibration ran inside a measured contention wave
+# and is excusable — but only ONCE: the artifact carries the excused
+# list forward (prev_excused) and the gate fails a repeat offender
+# (ADVICE r12: an excusal that renews itself forever would let a real
+# regression hide behind every wave).
+CALIB_SLACK = 2.0
+
+
+def compute_over_and_excused(
+    latest: dict, ref_engine: dict, ref_calib: float | None
+) -> tuple[dict, list]:
+    """Over-cap rows and wave-excused rows for a full-run artifact.
+
+    Run position comes from the artifact's own ``run_order`` (ADVICE
+    r12 — never re-derived by sorting keys), falling back to key order
+    for artifacts that predate the field. A row is excused only if
+    BOTH calibration probes bracketing its run position exceeded
+    CALIB_SLACK x the clean reference.
+    """
+    series = latest.get("calib_series") or []
+    order = latest.get("run_order") or list(latest["engine_secs"])
+
+    def _wave(name: str) -> bool:
+        if not (ref_calib and series) or name not in order:
+            return False
+        i = order.index(name)
+        before = [c["sec"] for c in series if c["after_n"] <= i]
+        after = [c["sec"] for c in series if c["after_n"] > i]
+        lo = before[-1] if before else series[0]["sec"]
+        hi = after[0] if after else series[-1]["sec"]
+        # BOTH bracketing probes must read degraded (r13, tightened
+        # from either-side: a query at the edge of a wave gets graded —
+        # at worst a false failure prompting a clean rerun, which is
+        # the safe direction for an excusal mechanism)
+        return min(lo, hi) > CALIB_SLACK * ref_calib
+
+    over: dict = {}
+    excused: list = []
+    for name, sec in latest["engine_secs"].items():
+        if name not in ref_engine or sec is None:
+            continue
+        slack = max(REGISTRY_SLACK.get(name, SLACK), SLACK)
+        cap = max(slack * ref_engine[name], FLOOR_SEC)
+        if sec > cap:
+            if _wave(name):
+                excused.append(name)
+            else:
+                over[name] = (sec, round(cap, 3))
+    return over, sorted(excused)
+
+
 def main() -> int:
     sf = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    families: list[str] = []
+    names_cli: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--families":
+            families.append(argv[i + 1])
+            i += 2
+        else:
+            names_cli.append(argv[i])
+            i += 1
+    only = set(names_cli)
 
     spec = importlib.util.spec_from_file_location(
         "se", os.path.join(REPO, "__spark_entry__.py")
@@ -57,13 +180,10 @@ def main() -> int:
     load_avg_start = float(open("/proc/loadavg").read().split()[0])
     spark = get_spark(app_name="driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
-    # Environment calibration (r12): this box is a VM whose host-level
-    # contention is INVISIBLE to guest loadavg (r12 measured a quiet-
-    # start full run with kv_get 13x its reference while ps showed
-    # nothing running). A fixed whole-stage-codegen workload, timed at
-    # run start and end, is a signal the gate can trust: identical
-    # work, so its wall measures the environment+JIT tier, not the
-    # queries.
+    # Environment calibration (r12): a fixed whole-stage-codegen
+    # workload, timed at run start, end, and every CALIB_EVERY queries —
+    # identical work each probe, so its wall measures the environment
+    # + JIT tier, not the queries (see CALIB_SLACK above).
     def _calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr("sum(id % 7)").collect()
@@ -86,8 +206,13 @@ def main() -> int:
     print(f"entry: rows={e.count()} schema={e.schema.simpleString()}")
 
     qs, osql = m.queries(), m.oracle_sql()
+    for fam in families:
+        members = family_members(fam, qs)
+        print(f"family {fam}: {len(members)} queries at {sf}")
+        only.update(members)
     failures = 0
     engine_secs: dict[str, float] = {}
+    run_order: list[str] = []
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -95,6 +220,7 @@ def main() -> int:
             calib_series.append(
                 {"after_n": len(engine_secs), "sec": _calibrate()}
             )
+        run_order.append(name)
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf)
@@ -129,9 +255,13 @@ def main() -> int:
             failures += 1
         else:
             print(f"MATCH {name}: {len(er)} rows ({time.perf_counter()-t0:.1f}s)")
+    if families:
+        total = len(run_order)
+        print(
+            f"families receipt: {'+'.join(families)} = {total} queries "
+            f"at {sf}: {'ALL MATCH' if failures == 0 else f'{failures} FAILURES'}"
+        )
     if not only and engine_secs:
-        import json
-
         artifact = times_artifact_name(load_avg_start)
         if artifact != TIMES_NAME:
             print(
@@ -139,20 +269,39 @@ def main() -> int:
                 f"— contended-host timings written to {artifact}; the "
                 f"committed clean-host {TIMES_NAME} is left untouched"
             )
-        with open(os.path.join(REPO, artifact), "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf,
-                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
-                    "load_avg_start": load_avg_start,
-                    "calib_series": calib_series
-                    + [{"after_n": len(engine_secs), "sec": _calibrate()}],
-                    "engine_secs": engine_secs,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
+        calib_series.append(
+            {"after_n": len(engine_secs), "sec": _calibrate()}
+        )
+        record = {
+            "sf_dir": sf,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+            "load_avg_start": load_avg_start,
+            "calib_series": calib_series,
+            "engine_secs": engine_secs,
+            "run_order": run_order,
+        }
+        # Persist the wave-excusal outcome (ADVICE r12): compute the
+        # excused rows NOW against the committed reference and carry the
+        # previous artifact's excused list forward, so the gate can fail
+        # a query that hides behind a wave in consecutive full runs.
+        try:
+            with open(os.path.join(REPO, "tests", "registry_times_ref.json")) as f:
+                ref = json.load(f)
+            _, excused = compute_over_and_excused(
+                record, ref["engine_secs"], ref.get("calib_sec")
             )
+        except OSError:
+            excused = []
+        prev_excused: list = []
+        try:
+            with open(os.path.join(REPO, artifact)) as f:
+                prev_excused = json.load(f).get("excused") or []
+        except (OSError, ValueError):
+            pass
+        record["excused"] = excused
+        record["prev_excused"] = sorted(prev_excused)
+        with open(os.path.join(REPO, artifact), "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"wrote {artifact} ({len(engine_secs)} queries)")
     print(f"\n{'ALL MATCH' if failures == 0 else f'{failures} FAILURES'}")

@@ -29,12 +29,22 @@ LOCAL_PATH = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
 # EXTERNAL load (r6: load avg ~5 with zero local processes), and a
 # loaded window inflates untouched queries up to ~3.7x their
 # quiet-window minima — so the cap is 4.0x by default (catastrophic
-# regressions only). But when bench.py's load_avg_start marker says the
-# run began on a QUIET host, noise can't explain a >2.5x miss and the
-# tighter cap catches genuine single-query plan regressions.
+# regressions only). The QUIET tier (tight caps) is granted by the
+# run's CALIBRATION SERIES vs the committed clean reference (r13,
+# VERDICT r12 ask #2): r12 proved loadavg certifies nothing in either
+# direction (a load-7.9 run measured uniform 1.12x while a load-0.2
+# run sampled a slow JIT tier at 1.6x with identical code). loadavg
+# remains only as the fallback for artifacts predating calib_series.
 SLACK = 4.0
 QUIET_SLACK = 2.5
-QUIET_LOAD_MAX = 2.0  # 1-min load avg below this at bench start = quiet
+QUIET_LOAD_MAX = 2.0  # fallback only: pre-r13 artifacts without calib
+# quiet tier iff EVERY calibration probe <= this x the committed clean
+# calib_sec (a healthy session probes ~1.0-1.2x; the r11 slow-JIT tier
+# inflated queries 1.4-1.6x and would read well above this)
+CALIB_QUIET_MAX = 1.5
+# above this on EVERY probe the environment is too degraded to grade
+# at all (the registry gate's CALIB_SLACK)
+CALIB_DEGRADED = 2.0
 TOTAL_SLACK = 1.8  # sum(latest) vs sum(minima): the sensitive gate
 # Sub-second queries are dominated by fixed per-action overhead (job
 # scheduling, shuffle-file setup), where slack ratios are noise.
@@ -104,14 +114,30 @@ def test_latest_bench_run_within_budget() -> None:
             f"latest bench ran at sf{latest.get('sf')}, budgets are sf{budget['sf']}"
         )
     minima = budget["minima"]
-    # Two-tier cap: a quiet-start run can't blame host load for a >2.5x
-    # single-query miss. slack_overrides are QUIET-tier widenings for
-    # known-wobbly heavy queries (session-bimodal JIT profiles make even
-    # min-of-2 range 2-3x run to run); the max() below means an override
-    # below the active base slack never tightens it, so only overrides
-    # above QUIET_SLACK are meaningful and the table stores only those.
+    # Two-tier cap: a calibration-certified run can't blame the
+    # environment for a >2.5x single-query miss. slack_overrides are
+    # QUIET-tier widenings for known-wobbly heavy queries
+    # (session-bimodal JIT profiles make even min-of-2 range 2-3x run
+    # to run); the max() below means an override below the active base
+    # slack never tightens it, so only overrides above QUIET_SLACK are
+    # meaningful and the table stores only those.
     load = latest.get("load_avg_start")
-    quiet = load is not None and load < QUIET_LOAD_MAX
+    series = latest.get("calib_series") or []
+    calib_ref = budget.get("calib_sec")
+    calib_cpus_ok = latest.get("cpus") == budget.get("calib_cpus")
+    if series and calib_ref and calib_cpus_ok:
+        probes = [c["sec"] for c in series]
+        if all(p > CALIB_DEGRADED * calib_ref for p in probes):
+            pytest.skip(
+                "environment degraded for the whole bench run: every "
+                f"calibration probe exceeded {CALIB_DEGRADED}x the "
+                f"{calib_ref}s clean reference ({probes}) — rerun on a "
+                "healthy session before grading timings."
+            )
+        quiet = max(probes) <= CALIB_QUIET_MAX * calib_ref
+    else:
+        # pre-r13 artifact (or non-standard cpu count): loadavg fallback
+        quiet = load is not None and load < QUIET_LOAD_MAX
     # Session-health downgrade (r11): loadavg alone misclassifies
     # slow-JIT sessions as quiet — r11 measured two quiet-start runs
     # (load 0.28 / 0.33) 50 minutes apart at 182.7 s vs 131.8 s total

@@ -153,11 +153,11 @@ def test_rolling_hash_is_order_sensitive(spark):
     assert rows[0]["cf"] == rows[1]["cf"]
 
 
-def test_decode_media_compressed_is_stubbed():
-    """Compressed codecs still raise (no PIL/av in this container) —
-    uncompressed containers route to the real parsers below."""
+def test_decode_media_lossy_is_stubbed():
+    """Lossy codecs still raise (no PIL/av in this container) —
+    WAV/BMP/PNG route to the real parsers below."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image")
+        multimodal.decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "image")
 
 
 def test_wav_codec_interops_with_stdlib_wave():
@@ -223,6 +223,144 @@ def test_bmp_codec_roundtrip_and_layout():
     dec = multimodal.decode_media(payload, "image")
     assert (dec["width"], dec["height"]) == (3, 5)
     assert np.array_equal(dec["pixels"], px)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png(encode_png(px)) == px for gray and RGB shapes, and
+    the MSAD heuristic on mixed content produces streams using every
+    filter type — so the round trip exercises all five unfilter
+    paths, not just filter 0."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    seen = set()
+    for shape in [(1, 1), (5, 3), (17, 9), (4, 4, 3), (31, 7, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = multimodal.decode_media(multimodal.encode_png(px), "image")
+        assert np.array_equal(dec["pixels"], px), shape
+        seen.update(dec["filters_used"])
+    # smooth gradients pull in Sub/Up/Average/Paeth
+    x, y = np.meshgrid(np.arange(48), np.arange(48))
+    sm = ((x * 3 + y * 5 + (x * y) // 16) % 256).astype(np.uint8)
+    dec = multimodal.decode_png(multimodal.encode_png(sm))
+    assert np.array_equal(dec["pixels"], sm)
+    seen.update(dec["filters_used"])
+    assert seen == {0, 1, 2, 3, 4}, f"filters exercised: {sorted(seen)}"
+
+
+def test_png_unfilter_math_pinned_by_hand():
+    """Independent pin of the unfilter arithmetic: IDAT built BY HAND
+    with explicit filter bytes, expected pixels computed on paper from
+    RFC 2083 §6 — not via the encoder (which would be circular)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def png(raw, w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+        return b"".join([
+            multimodal.PNG_SIG,
+            multimodal._png_chunk(b"IHDR", ihdr),
+            multimodal._png_chunk(b"IDAT", zlib.compress(raw)),
+            multimodal._png_chunk(b"IEND", b""),
+        ])
+
+    # 3x2 gray. Row 0: Sub filter, bytes [10, 20, 250]
+    #   -> px [10, 30, (30+250)%256=24]
+    # Row 1: Paeth, bytes [5, 1, 2]; left a, up b, upleft c:
+    #   i=0: a=0,b=10,c=0 -> p=10, pa=|b-c|=10,pb=|a-c|=0? (pa=|p-a|=10,
+    #        pb=|p-b|=0,pc=|p-c|=10) -> pred=b=10 -> (5+10)=15
+    #   i=1: a=15,b=30,c=10 -> p=35, pa=20,pb=5,pc=25 -> pred=b=30 -> 31
+    #   i=2: a=31,b=24,c=30 -> p=25, pa=6,pb=1,pc=5 -> pred=b=24 -> 26
+    raw = bytes([1, 10, 20, 250]) + bytes([4, 5, 1, 2])
+    dec = multimodal.decode_png(png(raw, 3, 2))
+    assert np.array_equal(
+        dec["pixels"], np.array([[10, 30, 24], [15, 31, 26]], dtype=np.uint8)
+    )
+    # Average row after a None row: row0 [100, 7], row1 avg bytes [4, 6]
+    #   i=0: left=0, up=100 -> 4 + 50 = 54; i=1: left=54, up=7 -> 6+30=36
+    raw2 = bytes([0, 100, 7]) + bytes([3, 4, 6])
+    dec2 = multimodal.decode_png(png(raw2, 2, 2))
+    assert np.array_equal(
+        dec2["pixels"], np.array([[100, 7], [54, 36]], dtype=np.uint8)
+    )
+
+
+def test_png_rejects_corruption():
+    """CRC mismatch, truncation, IDAT length mismatch, and unsupported
+    headers all raise rather than returning wrong pixels."""
+    import numpy as np
+
+    px = (np.arange(64, dtype=np.uint8)).reshape(8, 8)
+    payload = multimodal.encode_png(px)
+    # clip into IEND: the walk ends without the terminator chunk
+    with pytest.raises(ValueError, match="missing"):
+        multimodal.decode_png(payload[:-5])
+    # clip into IDAT's declared body: the chunk overruns the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(payload[:-14])
+    bad = bytearray(payload)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"nope")
+
+
+def test_warc_codec_roundtrip_and_gzip_interop():
+    """write_warc/parse_warc round-trip both layouts, the gzip-member
+    stream is readable by stdlib gzip (true .warc.gz compatibility),
+    and a member written BY stdlib gzip parses back — both directions,
+    the WAV/stdlib-wave precedent."""
+    import gzip
+
+    from mapreduce_framework_in_go_spark.operators import warc
+
+    recs = [
+        {"payload": b"hello crawl", "record_id": "<urn:uuid:1>",
+         "target_uri": "urn:doc:1"},
+        {"payload": b"", "record_id": "<urn:uuid:2>",
+         "target_uri": "urn:doc:2"},  # empty payload is legal
+        {"payload": bytes(range(256)), "record_id": "<urn:uuid:3>",
+         "target_uri": "urn:doc:3", "content_type":
+         "application/octet-stream"},
+    ]
+    for gz in (True, False):
+        parsed = warc.parse_warc(warc.write_warc(recs, gzip_members=gz))
+        assert [r["payload"] for r in parsed] == [r["payload"] for r in recs]
+        assert [r["headers"]["warc-target-uri"] for r in parsed] == [
+            "urn:doc:1", "urn:doc:2", "urn:doc:3",
+        ]
+        assert all(r["headers"]["warc-type"] == "response" for r in parsed)
+    # stdlib interop: gzip.decompress walks our concatenated members...
+    gz_bytes = warc.write_warc(recs, gzip_members=True)
+    assert gzip.decompress(gz_bytes) == warc.write_warc(recs, gzip_members=False)
+    # ...and our parser walks a stdlib-written member
+    one = warc.build_record(
+        b"stdlib member", record_id="<urn:uuid:4>", target_uri="urn:doc:4"
+    )
+    parsed = warc.parse_warc(gzip.compress(one, mtime=0))
+    assert parsed[0]["payload"] == b"stdlib member"
+
+
+def test_warc_rejects_corruption():
+    """Truncated gzip members, short payloads, missing terminators and
+    bad version lines raise instead of yielding wrong records."""
+    from mapreduce_framework_in_go_spark.operators import warc
+
+    recs = [{"payload": b"abcdef", "record_id": "<urn:uuid:1>",
+             "target_uri": "urn:doc:1"}]
+    gz = warc.write_warc(recs, gzip_members=True)
+    with pytest.raises(ValueError, match="truncated gzip"):
+        warc.parse_warc(gz[:-3])
+    plain = warc.write_warc(recs, gzip_members=False)
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        warc.parse_warc(plain[:-5])
+    with pytest.raises(ValueError, match="terminator"):
+        warc.parse_warc(plain[:-4] + b"XXXX")
+    with pytest.raises(ValueError, match="version"):
+        warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
 
 
 def test_lang_id_mechanism(spark, sf_dir):
