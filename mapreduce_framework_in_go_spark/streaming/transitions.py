@@ -47,27 +47,51 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+# shared per-worker empty result: groups with no qualifying pair are
+# the common case at small batch sizes, and building a fresh DataFrame
+# per group was measurable across ~10^4 user groups per microbatch
+_EMPTY = pd.DataFrame(
+    {"event_type": pd.Series(dtype=object),
+     "next_event_type": pd.Series(dtype=object)}
+)
+
+
 def _fold_user(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        last_ts, last_et = state.get
-    else:
-        last_ts, last_et = None, None
+    import numpy as np
+
     chunks = list(pdf_iter)
     if len(chunks) > 1:
         pdf = pd.concat(chunks)
     elif chunks:
         pdf = chunks[0]
     else:
-        pdf = pd.DataFrame(columns=["user_id", "ts_us", "event_id", "event_type"])
-    src, dst = [], []
-    for row in pdf.sort_values(["ts_us", "event_id"]).itertuples(index=False):
-        if last_et is not None and row.ts_us - last_ts <= SESSION_GAP_US:
-            src.append(last_et)
-            dst.append(row.event_type)
-        last_ts, last_et = row.ts_us, row.event_type
-    if last_et is not None:
-        state.update((int(last_ts), last_et))
-    yield pd.DataFrame({"event_type": src, "next_event_type": dst})
+        if state.exists:
+            pass  # state carries unchanged; nothing to emit
+        yield _EMPTY
+        return
+    # the fold is a pure neighbor comparison, so it vectorizes exactly
+    # (r13: the itertuples row loop was the addBatch hot path at 100k
+    # rows/batch; numpy lexsort beats pandas sort_values at per-group
+    # sizes): prepend the carried state as a virtual row 0, pair
+    # consecutive events, keep pairs within the session gap.
+    ts = pdf["ts_us"].to_numpy(dtype=np.int64, copy=False)
+    eid = pdf["event_id"].to_numpy(dtype=np.int64, copy=False)
+    et = pdf["event_type"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts = ts[order]
+    et = et[order]
+    if state.exists:
+        last_ts, last_et = state.get
+        ts = np.concatenate([np.array([last_ts], dtype=np.int64), ts])
+        et = np.concatenate([np.array([last_et], dtype=object), et])
+    state.update((int(ts[-1]), str(et[-1])))
+    mask = (ts[1:] - ts[:-1]) <= SESSION_GAP_US
+    if not mask.any():
+        yield _EMPTY
+        return
+    yield pd.DataFrame(
+        {"event_type": et[:-1][mask], "next_event_type": et[1:][mask]}
+    )
 
 
 def transitions_stream(ev: DataFrame) -> DataFrame:
