@@ -139,6 +139,7 @@ HEADLINE = [
     # mapInPandas
     "mm_png_decode_stats",
     "warc_ingest_stats",
+    "warc_archive_read",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

@@ -147,6 +147,169 @@ def parse_warc(data: bytes) -> list[dict]:
     return recs
 
 
+# --- the archive tier: sharded .warc.gz as a SINK + SOURCE -------------
+
+WARC_SHARDS = 8
+
+# completed archive writes, memoized per (applicationId, path) — the
+# corpus_release _RELEASE_WRITES pattern: one immutable file set per
+# app, so consumers never race a rewrite
+_ARCHIVE_WRITES: dict[tuple[str, str], bool] = {}
+
+
+def warc_archive_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic scratch location for the written archive (the
+    release_artifact_path discipline: gitignored scratch only)."""
+    import hashlib
+    import os
+
+    from .pipeline import _assert_scratch_path
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo_root, "spark-warehouse", f"warc_archive_{tag}")
+    _assert_scratch_path(path)
+    return path
+
+
+def write_warc_archive(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> str:
+    """Publish documents as a SHARDED .warc.gz archive — the sink a
+    crawl pipeline actually ships: shard = doc_id % S, one archive
+    file per shard, one gzip member per record (seekable), members in
+    doc_id order (deterministic bytes). The write runs IN THE
+    EXECUTORS via applyInPandas — each shard group serializes its own
+    archive and commits it with an atomic rename; the driver collects
+    only the S-row summary (the bounded-scalar pattern). At deployment
+    the same group-task writes to object storage."""
+    import os
+    import tempfile
+
+    from .pipeline import _assert_scratch_path
+
+    if path is None:
+        path = warc_archive_path(spark, sf_dir)
+    _assert_scratch_path(path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
+    if _ARCHIVE_WRITES.get(key) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        return path
+    os.makedirs(path, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % WARC_SHARDS).cast("int").alias("shard"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        archive = write_warc(
+            [
+                {
+                    "payload": bytes(p),
+                    "record_id": f"<urn:uuid:doc-{d}>",
+                    "target_uri": f"urn:doc:{d}",
+                }
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+        )
+        final = os.path.join(path, f"shard-{shard:05d}.warc.gz")
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(archive)
+        os.replace(tmp, final)  # atomic publish
+        return pd.DataFrame(
+            {"shard": [shard], "n_records": [len(pdf)],
+             "n_bytes": [len(archive)]}
+        )
+
+    summary = (
+        docs.groupBy("shard")
+        .applyInPandas(
+            write_shard, schema="shard int, n_records long, n_bytes long"
+        )
+        .collect()  # S bounded rows — the write IS the action
+    )
+    assert len(summary) <= WARC_SHARDS
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")
+    _ARCHIVE_WRITES[key] = True
+    return path
+
+
+@register(
+    "warc_archive_read",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % {WARC_SHARDS} AS BIGINT) AS shard,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="READ an archive AT REST (the full sink->source cycle, the "
+    "corpus_release_write precedent): write_warc_archive publishes the "
+    "sharded .warc.gz layout from executor tasks (atomic rename per "
+    "shard, _SUCCESS commit marker, memoized per application), then "
+    "this query answers FROM THE FILES — spark.read.format('binaryFile')"
+    " over the shard glob, one task per archive file, parse_warc walks "
+    "the gzip members and record structure, and every emitted column "
+    "comes from the PARSED bytes (doc_id from the Target-URI, shard "
+    "re-derived from the parsed id and checked against the file name "
+    "it was read from). Scale: a 100 TB crawl is exactly this layout — "
+    "reads parallelize by archive file, payload bytes never shuffle.",
+    tags=["multimodal", "sources"],
+)
+def warc_archive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    path = write_warc_archive(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .load(path + "/shard-*.warc.gz")
+        .select("path", "content")
+    )
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "shard", "content_length", "payload_md5",
+            )}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"shard-(\d+)\.warc\.gz$", fpath)
+                file_shard = int(m.group(1)) if m else -1
+                for rec in parse_warc(bytes(content)):
+                    doc_id = int(
+                        rec["headers"]["warc-target-uri"].split(":")[-1]
+                    )
+                    shard = doc_id % WARC_SHARDS
+                    if shard != file_shard:
+                        raise ValueError(
+                            f"doc {doc_id} parsed from shard file "
+                            f"{file_shard}, expected {shard}"
+                        )
+                    rows["doc_id"].append(doc_id)
+                    rows["shard"].append(shard)
+                    rows["content_length"].append(len(rec["payload"]))
+                    rows["payload_md5"].append(
+                        _hashlib.md5(rec["payload"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        parse_files,
+        schema="doc_id long, shard long, content_length long, "
+        "payload_md5 string",
+    )
+
+
 @register(
     "warc_ingest_stats",
     oracle="""

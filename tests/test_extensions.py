@@ -363,6 +363,44 @@ def test_warc_rejects_corruption():
         warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
 
 
+def test_warc_archive_write_read_roundtrip(spark, sf_dir, tmp_path):
+    """The sharded-archive sink: executor-side writes land every record
+    in its doc_id%S shard file with a _SUCCESS marker, a second write
+    is a memo hit (immutable file set), and non-scratch destinations
+    are refused (the release-path guard discipline)."""
+    import glob
+    import os
+
+    from mapreduce_framework_in_go_spark.operators import warc
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    path = warc.write_warc_archive(spark, sf_dir, path=str(tmp_path / "arch"))
+    files = sorted(glob.glob(path + "/shard-*.warc.gz"))
+    assert files and os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not glob.glob(path + "/*.tmp")  # atomic publish left no temps
+    total = 0
+    for f in files:
+        shard = int(f.split("shard-")[1][:5])
+        recs = warc.parse_warc(open(f, "rb").read())
+        assert recs
+        total += len(recs)
+        ids = [int(r["headers"]["warc-target-uri"].split(":")[-1])
+               for r in recs]
+        assert all(d % warc.WARC_SHARDS == shard for d in ids)
+        assert ids == sorted(ids)  # deterministic member order
+    assert total == table(spark, sf_dir, "documents").count()
+    # memo hit: same path returned, no file rewritten
+    m0 = {f: os.path.getmtime(f) for f in files}
+    assert warc.write_warc_archive(spark, sf_dir, path=path) == path
+    assert {f: os.path.getmtime(f) for f in files} == m0
+    # scratch-path guard applies to archives too
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with pytest.raises(ValueError, match="scratch"):
+        warc.write_warc_archive(
+            spark, sf_dir, path=os.path.join(repo, "warc_leak")
+        )
+
+
 def test_lang_id_mechanism(spark, sf_dir):
     """Predictions are only ever a known lang or 'und', and any doc
     containing an English stopword scores >= 1 hit."""
