@@ -215,9 +215,6 @@ def main() -> None:
         spark.range(1_000_000_000).selectExpr("sum(id % 7)").collect()
         return round(_time.perf_counter() - t0, 3)
 
-    _calibrate()  # untimed warm run (codegen compile)
-    calib_series = [{"after_n": 0, "sec": _calibrate()}]
-
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
     # Focused A/B mode (drift-ledger work): $SPARK_GRAFT_ONLY is a
@@ -232,6 +229,13 @@ def main() -> None:
     # timings measure the query, not session/interpreter startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
+    # calibration starts AFTER the generic warmups: the first probe of
+    # an unsettled JVM read 0.78/0.93 s (vs ~0.4 steady) on two r13
+    # runs and misclassified otherwise-quiet sessions into the loaded
+    # tier. Two warm executions, then the first probe.
+    _calibrate()
+    _calibrate()
+    calib_series = [{"after_n": 0, "sec": _calibrate()}]
 
     # Two timed runs per query, report the min: one shared session means
     # a query's timing can absorb neighborhood effects (GC pauses,

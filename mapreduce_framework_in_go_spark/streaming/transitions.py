@@ -64,9 +64,7 @@ def _fold_user(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[
         pdf = pd.concat(chunks)
     elif chunks:
         pdf = chunks[0]
-    else:
-        if state.exists:
-            pass  # state carries unchanged; nothing to emit
+    else:  # no new events: state carries unchanged, nothing to emit
         yield _EMPTY
         return
     # the fold is a pure neighbor comparison, so it vectorizes exactly

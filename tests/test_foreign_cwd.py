@@ -23,7 +23,8 @@ qs = all_queries()
 for name in ['kv_linearizability', 'kv_linearizability_contract',
              'stream_kv_state_fold', 'stream_near_dedup',
              'stream_transition_matrix', 'stream_substring_probe',
-             'udtf_token_positions', 'udaf_median_acctbal']:
+             'udtf_token_positions', 'udaf_median_acctbal',
+             'mm_png_decode_stats', 'warc_archive_read']:
     n = qs[name].fn(spark, '/root/testdata/sf0.001').count()
     assert n > 0, name
 print('FOREIGN_CWD_OK')
