@@ -140,6 +140,7 @@ HEADLINE = [
     "mm_png_decode_stats",
     "warc_ingest_stats",
     "warc_archive_read",
+    "warc_http_ingest_stats",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

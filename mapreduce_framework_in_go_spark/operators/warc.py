@@ -147,6 +147,123 @@ def parse_warc(data: bytes) -> list[dict]:
     return recs
 
 
+# --- the HTTP layer: real response records carry HTTP messages ---------
+# A crawl WARC's response record payload is an HTTP/1.1 message
+# (Content-Type: application/http; msgtype=response); readers must
+# split the status line + headers from the body before the text ever
+# reaches the pipeline. Same byte discipline as the container itself.
+
+HTTP_STATUS_LINE = b"HTTP/1.1 200 OK"
+
+
+def build_http_response(
+    body: bytes, content_type: str = "text/plain; charset=utf-8"
+) -> bytes:
+    return b"\r\n".join(
+        [
+            HTTP_STATUS_LINE,
+            b"Content-Type: " + content_type.encode(),
+            b"Content-Length: " + str(len(body)).encode(),
+            b"",
+            b"",
+        ]
+    ) + body
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """Split an HTTP/1.1 response into status code, headers, body.
+    Raises ValueError on a malformed status line / missing separator /
+    a body shorter than its declared Content-Length."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("missing HTTP header/body separator")
+    head_lines = payload[:sep].split(b"\r\n")
+    parts = head_lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"malformed HTTP status line {head_lines[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        k, s, v = line.partition(b":")
+        if not s:
+            raise ValueError(f"malformed HTTP header line {line!r}")
+        headers[k.strip().decode("ascii").lower()] = v.strip().decode("utf-8")
+    body = payload[sep + 4 :]
+    if "content-length" in headers:
+        n = int(headers["content-length"])
+        if len(body) < n:
+            raise ValueError(
+                f"HTTP body truncated: declares {n} bytes, has {len(body)}"
+            )
+        body = body[:n]
+    return {"status": status, "headers": headers, "body": body}
+
+
+@register(
+    "warc_http_ingest_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CAST(2 AS BIGINT) AS n_http_headers,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_length,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="The FULL crawl-record shape: text bytes wrapped as an "
+    "HTTP/1.1 200 response (status line + Content-Type/Content-Length "
+    "headers), stored as the payload of a WARC response record "
+    "(Content-Type application/http; msgtype=response), the batch "
+    "serialized as gzip-membered WARC, then BOTH layers parsed back — "
+    "parse_warc walks members/records, parse_http_response splits "
+    "status/headers/body — and every emitted stat comes from the "
+    "parsed body bytes. This is byte-for-byte the Common Crawl record "
+    "shape an ingest pipeline consumes. Map-only over Arrow batches.",
+    tags=["multimodal", "sources"],
+)
+def warc_http_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            archive = write_warc(
+                [
+                    {
+                        "payload": build_http_response(bytes(p)),
+                        "record_id": f"<urn:uuid:doc-{d}>",
+                        "target_uri": f"urn:doc:{d}",
+                        "content_type": "application/http; msgtype=response",
+                    }
+                    for d, p in zip(pdf["doc_id"], pdf["payload"])
+                ]
+            )
+            rows = {k: [] for k in (
+                "doc_id", "status", "n_http_headers", "body_length",
+                "body_md5",
+            )}
+            for rec in parse_warc(archive):
+                http = parse_http_response(rec["payload"])
+                rows["doc_id"].append(
+                    int(rec["headers"]["warc-target-uri"].split(":")[-1])
+                )
+                rows["status"].append(http["status"])
+                rows["n_http_headers"].append(len(http["headers"]))
+                rows["body_length"].append(len(http["body"]))
+                rows["body_md5"].append(
+                    _hashlib.md5(http["body"]).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id long, status long, n_http_headers long, "
+        "body_length long, body_md5 string",
+    )
+
+
 # --- the archive tier: sharded .warc.gz as a SINK + SOURCE -------------
 
 WARC_SHARDS = 8

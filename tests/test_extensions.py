@@ -344,6 +344,66 @@ def test_warc_codec_roundtrip_and_gzip_interop():
     assert parsed[0]["payload"] == b"stdlib member"
 
 
+def test_http_response_layer():
+    """build/parse of the HTTP message inside a response record:
+    round trip, trailing-garbage truncation by Content-Length, and
+    malformed/truncated inputs raise."""
+    from mapreduce_framework_in_go_spark.operators import warc
+
+    body = bytes(range(256)) * 3
+    msg = warc.build_http_response(body)
+    out = warc.parse_http_response(msg)
+    assert out["status"] == 200 and out["body"] == body
+    assert out["headers"]["content-length"] == str(len(body))
+    # Content-Length bounds the body even with trailing bytes
+    assert warc.parse_http_response(msg + b"JUNK")["body"] == body
+    with pytest.raises(ValueError, match="truncated"):
+        warc.parse_http_response(msg[:-10])
+    with pytest.raises(ValueError, match="separator"):
+        warc.parse_http_response(b"HTTP/1.1 200 OK\r\nno-end")
+    with pytest.raises(ValueError, match="status line"):
+        warc.parse_http_response(b"hello\r\n\r\nbody")
+
+
+def test_codec_property_roundtrips():
+    """Property pin (hypothesis): arbitrary uint8 arrays survive the
+    PNG round trip, and arbitrary byte payload lists survive the WARC
+    round trip, both layouts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_framework_in_go_spark.operators import warc
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 12), st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def png_prop(h, w, rgb, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(
+            multimodal.decode_png(multimodal.encode_png(px))["pixels"], px
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.binary(max_size=200), min_size=1, max_size=6),
+           st.booleans())
+    def warc_prop(payloads, gz):
+        recs = [
+            {"payload": p, "record_id": f"<urn:uuid:{i}>",
+             "target_uri": f"urn:doc:{i}"}
+            for i, p in enumerate(payloads)
+        ]
+        parsed = warc.parse_warc(warc.write_warc(recs, gzip_members=gz))
+        assert [r["payload"] for r in parsed] == payloads
+
+    png_prop()
+    warc_prop()
+
+
 def test_warc_rejects_corruption():
     """Truncated gzip members, short payloads, missing terminators and
     bad version lines raise instead of yielding wrong records."""
