@@ -189,7 +189,13 @@ def main() -> int:
         spark.range(1_000_000_000).selectExpr("sum(id % 7)").collect()
         return round(time.perf_counter() - t0, 3)
 
-    _calibrate()  # one untimed warm run (codegen compile)
+    # Two untimed warm runs (codegen compile + JIT settle): with one,
+    # the first probe of an unsettled JVM read 0.78-0.96 s vs ~0.4
+    # steady across four r13 runs (bench.py got the same fix), which
+    # both misclassifies the session AND poisons the first wave bracket.
+    spark.range(10_000_000).selectExpr("sum(id % 7)").collect()
+    _calibrate()
+    _calibrate()
     # Interleaved series, not just endpoints: r12 observed mid-run
     # contention WAVES (positions 56-139 of a full run at median
     # 3.5-4.6x reference, recovering to 1.75x after — with healthy
