@@ -141,6 +141,7 @@ HEADLINE = [
     "warc_ingest_stats",
     "warc_archive_read",
     "warc_http_ingest_stats",
+    "stream_warc_ingest",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

@@ -801,6 +801,50 @@ def stream_ingest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_warc_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Continuous crawl ingest into WARC archives: each microbatch "
+    "of the documents stream commits its records as gzip-membered "
+    ".warc.gz shard files (doc_id % 4, executor-side atomic renames) "
+    "sealed by a per-batch _SUCCESS marker — the custom-container "
+    "equivalent of the parquet sink's _spark_metadata exactly-once "
+    "(streaming/warc_ingest.py: replayed batches are detected sealed "
+    "and skipped; a mid-batch crash rewrites byte-identical files "
+    "then seals; readers consume only sealed dirs — the restart "
+    "matrix is test-pinned). The query drives the bounded stream to "
+    "completion under a fresh out/checkpoint dir, then answers FROM "
+    "the sealed archives via binaryFile + parse_warc, so the hash "
+    "check covers the container bytes end-to-end. Oracle: every "
+    "document exactly once with its byte length and digest.",
+    tags=["streaming", "sources", "llm-pipeline"],
+)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.warc_ingest import read_ingested, run_warc_ingest
+
+    out = tempfile.mkdtemp(prefix="spark_graft_warcingest_")
+    try:
+        run_warc_ingest(
+            _docs_stream(spark, sf_dir),
+            os.path.join(out, "archives"),
+            os.path.join(out, "checkpoint"),
+        )
+        # pin off the tmp files before cleanup (the state-table
+        # precedent: the read-back frame's lineage roots in out/)
+        return read_ingested(spark, os.path.join(out, "archives")).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _cluster_maintenance_oracle() -> str:
     from .dedup import _CLUSTERS_DELTA_ORACLE
 

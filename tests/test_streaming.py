@@ -1241,3 +1241,100 @@ def test_cluster_maintenance_state_table_restart(spark, tmp_path):
         (r.doc_id, r.cluster_rep, r.cluster_size)
         for r in read_cluster_assignment(spark, sd).collect()
     } == want
+
+
+def test_warc_ingest_restart_matrix(spark, tmp_path):
+    """The custom-container exactly-once protocol (streaming/
+    warc_ingest.py): (1) two microbatches commit two sealed batch dirs;
+    (2) crash in the window between the seal and the checkpoint commit
+    — the replayed batch is detected sealed and SKIPPED while a newly
+    arrived file folds; (3) crash INSIDE a batch (seal missing) — the
+    replay rewrites the shards byte-identically and seals; (4) idle
+    restart changes nothing. After every step the read-back equals the
+    set of delivered documents exactly once."""
+    import os as _os
+
+    from mapreduce_framework_in_go_spark.streaming.warc_ingest import (
+        LAST_INGEST,
+        read_ingested,
+        run_warc_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = str(tmp_path / "arch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _add(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _os.utime(
+            src / f"b{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*.parquet"))
+        )
+
+    def _ids():
+        rows = read_ingested(spark, out).collect()
+        got = sorted(r.doc_id for r in rows)
+        assert len(set(got)) == len(got), f"duplicated records: {got}"
+        return got
+
+    _add(0, [(1, "aa"), (2, "bb")])
+    _add(1, [(3, "cc"), (6, "dd")])
+    run_warc_ingest(_stream(), out, ckpt, shards=2)
+    assert LAST_INGEST == {"batches": 2, "skipped": 0}
+    assert _ids() == [1, 2, 3, 6]
+
+    # (2) seal-then-crash window: drop the newest checkpoint commit so
+    # the last batch replays, and deliver one new file
+    def _drop_last_commit():
+        commits = sorted(
+            c for c in _os.listdir(_os.path.join(ckpt, "commits"))
+            if not c.startswith(".")
+        )
+        _os.remove(_os.path.join(ckpt, "commits", commits[-1]))
+        crc = _os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if _os.path.exists(crc):  # stale checksum reads as concurrent use
+            _os.remove(crc)
+
+    _drop_last_commit()
+    _add(2, [(5, "ee")])
+    run_warc_ingest(_stream(), out, ckpt, shards=2)
+    assert LAST_INGEST["skipped"] >= 1 and LAST_INGEST["batches"] == 1
+    assert _ids() == [1, 2, 3, 5, 6]
+
+    # (3) crash INSIDE the last batch: seal missing, commit missing —
+    # the replay rewrites byte-identical shards and seals again
+    bdirs = sorted(
+        d for d in _os.listdir(out) if d.startswith("batch-")
+    )
+    last = _os.path.join(out, bdirs[-1])
+    before = {
+        f: open(_os.path.join(last, f), "rb").read()
+        for f in _os.listdir(last)
+        if f.endswith(".warc.gz")
+    }
+    _os.remove(_os.path.join(last, "_SUCCESS"))
+    _drop_last_commit()
+    run_warc_ingest(_stream(), out, ckpt, shards=2)
+    assert LAST_INGEST["batches"] == 1  # the rewrite-and-seal
+    after = {
+        f: open(_os.path.join(last, f), "rb").read()
+        for f in _os.listdir(last)
+        if f.endswith(".warc.gz")
+    }
+    assert after == before  # byte-identical replay
+    assert _ids() == [1, 2, 3, 5, 6]
+
+    # (4) idle restart: nothing new, nothing replayed
+    run_warc_ingest(_stream(), out, ckpt, shards=2)
+    assert LAST_INGEST == {"batches": 0, "skipped": 0}
+    assert _ids() == [1, 2, 3, 5, 6]
