@@ -124,6 +124,12 @@ def test_wave_excusal_logic() -> None:
     # no calibration reference -> nothing excusable
     over2, excused2 = ds.compute_over_and_excused(latest, ref_engine, None)
     assert excused2 == [] and set(over2) == {"z_slow", "m_mid"}
+    # second-chance retime: a clean retime clears the row entirely
+    # (no excusal needed), a slow retime keeps it graded
+    latest_rt = {**latest, "retimed": {"m_mid": 0.4, "z_slow": 9.5}}
+    over3, excused3 = ds.compute_over_and_excused(latest_rt, ref_engine, 0.4)
+    assert "m_mid" not in over3 and "m_mid" not in excused3
+    assert excused3 == ["z_slow"]  # still over, still wave-bracketed
 
 
 def test_latest_full_run_within_reference() -> None:
