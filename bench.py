@@ -320,10 +320,28 @@ def main() -> None:
     # BENCH_LOCAL.json, and keep the one stdout JSON line within the
     # capture budget — full record if it fits, else a compact record
     # carrying the totals + the slowest queries and a pointer to the file.
+    # Degraded-environment runs must not clobber the committed clean
+    # record (the driver_sim REGISTRY_TIMES.loaded.json policy, r13):
+    # when any calibration probe read worse than 2x the committed
+    # clean reference, the full record goes to a side file and
+    # BENCH_LOCAL.json keeps the last clean run.
+    artifact = "BENCH_LOCAL.json"
+    try:
+        with open(os.path.join(REPO_ROOT, "tests", "bench_budget.json")) as f:
+            _ref_calib = json.load(f).get("calib_sec")
+        if _ref_calib and any(
+            c["sec"] > 2.0 * _ref_calib for c in calib_series
+        ):
+            artifact = "BENCH_LOCAL.loaded.json"
+            record["degraded_probes"] = [
+                c for c in calib_series if c["sec"] > 2.0 * _ref_calib
+            ]
+    except (OSError, ValueError):
+        pass
     line = json.dumps(record)
     if not only:
         try:
-            with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
+            with open(os.path.join(REPO_ROOT, artifact), "w") as f:
                 f.write(line + "\n")
         except OSError:
             pass  # read-only checkout: stdout line still carries the result
