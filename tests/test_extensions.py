@@ -308,6 +308,81 @@ def test_png_rejects_corruption():
         multimodal.decode_png(b"nope")
 
 
+def test_gif_lzw_bitstream_pinned_by_hand():
+    """Independent pin of the GIF LZW bitstream, derived on paper (no
+    library in this container reads GIF — the PNG-unfilter-by-hand
+    precedent). min_code_size=2: clear=4, eoi=5, width starts at 3.
+    Input indices [0, 1, 1, 2]:
+      emit CLEAR(4)@3
+      b=0 -> w=[0]
+      b=1 -> [0,1] miss: emit 0@3, add code 6, w=[1]
+      b=1 -> [1,1] miss: emit 1@3, add code 7, w=[1]
+      b=2 -> [1,2] miss: emit 1@3, add code 8 -> next_code=9 ==
+             2^3+1 so width->4 (decoder is one entry behind), w=[2]
+      flush: emit 2@4, then EOI(5)@4
+    LSB-first packing of (4@3, 0@3, 1@3, 1@3, 2@4, 5@4):
+      bits 001 000 100 100 0100 1010 -> bytes 0x44 0x22 0x05."""
+    data = bytes([0, 1, 1, 2])
+    assert multimodal._lzw_compress(data, 2) == bytes([0x44, 0x22, 0x05])
+    assert multimodal._lzw_decompress(bytes([0x44, 0x22, 0x05]), 2) == data
+
+
+def test_gif_codec_roundtrip_and_layout():
+    """decode_gif(encode_gif(px)) == px across shapes that exercise
+    code-width growth and the 4096-entry table reset, and the raw
+    bytes carry the container's invariants (signature, logical screen
+    descriptor, grayscale palette, sub-block framing, trailer)."""
+    import numpy as np
+
+    px = np.arange(15, dtype=np.uint8).reshape(3, 5)
+    payload = multimodal.encode_gif(px)
+    assert payload[:6] == b"GIF89a"
+    assert int.from_bytes(payload[6:8], "little") == 5  # width
+    assert int.from_bytes(payload[8:10], "little") == 3  # height
+    assert payload[10] == 0xF7  # GCT, 8-bit, 256 entries
+    # palette entry i is (i, i, i)
+    assert payload[13 + 3 * 200 : 13 + 3 * 201] == bytes([200] * 3)
+    assert payload[-1] == 0x3B
+    dec = multimodal.decode_media(payload, "image")
+    assert (dec["width"], dec["height"]) == (5, 3)
+    assert np.array_equal(dec["indices"], px)
+    assert np.array_equal(dec["pixels"][:, :, 1], px)
+    # large gradient: forces width 9->12 growth AND a table reset
+    big = (np.add.outer(np.arange(400), np.arange(300)) % 251).astype(
+        np.uint8
+    )
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(big))["indices"], big
+    )
+    # an extension block (e.g. graphic control) is skipped, not fatal
+    ext = payload[:13 + 768] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" \
+        + payload[13 + 768:]
+    assert np.array_equal(multimodal.decode_gif(ext)["indices"], px)
+
+
+def test_gif_rejects_corruption():
+    """Truncations, bad markers, wrong index counts, and out-of-range
+    LZW codes all raise rather than returning wrong pixels."""
+    import numpy as np
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = multimodal.encode_gif(px)
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"nope")
+    # clip inside the image-data sub-blocks
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_gif(payload[:-6])
+    # trailer with no image block
+    with pytest.raises(ValueError, match="without an image"):
+        multimodal.decode_gif(payload[: 13 + 768] + b"\x3b")
+    # corrupt a byte inside the LZW stream: either the code walks past
+    # the table frontier or the index count comes out wrong
+    bad = bytearray(payload)
+    bad[13 + 768 + 10 + 4] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(bytes(bad))
+
+
 def test_warc_codec_roundtrip_and_gzip_interop():
     """write_warc/parse_warc round-trip both layouts, the gzip-member
     stream is readable by stdlib gzip (true .warc.gz compatibility),
@@ -400,8 +475,30 @@ def test_codec_property_roundtrips():
         parsed = warc.parse_warc(warc.write_warc(recs, gzip_members=gz))
         assert [r["payload"] for r in parsed] == payloads
 
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(min_size=0, max_size=400), st.integers(2, 8))
+    def lzw_prop(data, mcs):
+        # raw LZW layer: arbitrary bytes, any legal minimum code size
+        idx = bytes(b % (1 << mcs) for b in data)
+        assert multimodal._lzw_decompress(
+            multimodal._lzw_compress(idx, mcs), mcs
+        ) == idx
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.integers(0, 2**32 - 1))
+    def gif_prop(h, w, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(
+            multimodal.decode_gif(multimodal.encode_gif(px))["indices"],
+            px,
+        )
+
     png_prop()
     warc_prop()
+    lzw_prop()
+    gif_prop()
 
 
 def test_warc_rejects_corruption():
