@@ -4,9 +4,10 @@ columns with typed metadata, processed with Arrow-batched
 partition-preserving maps) is real and oracle-checked, and so are the
 codecs this container can express: RIFF/WAVE 16-bit PCM, BI_RGB 24-bit
 BMP (r12), PNG — full container + zlib DEFLATE + all five scanline
-filters — and GIF89a — palette + pure-Python variable-width LZW
-(r13). Only lossy codecs (JPEG/MP3/MP4) remain stubbed in
-`decode_media`: they need PIL/soundfile/av, which cannot be installed
+filters —, GIF89a — palette + pure-Python variable-width LZW —, and
+baseline JPEG — DCT + Annex K Huffman, `operators/jpeg.py` — (r13).
+Only compressed audio/video codecs (MP3/MP4) remain stubbed in
+`decode_media`: they need soundfile/av, which cannot be installed
 here.
 
 The synthetic corpus has no binary table, so payloads are derived
@@ -45,13 +46,15 @@ HIST_BINS = 16
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Decode a media payload. UNCOMPRESSED containers are decoded for
-    real (r12): RIFF/WAVE PCM via :func:`decode_wav`, BI_RGB 24-bit BMP
-    via :func:`decode_bmp` — pure struct/numpy parsers, no external
-    codec library. Compressed codecs (JPEG/PNG/MP3/MP4 …) genuinely
-    need PIL/soundfile/av, which this container cannot install — the
-    sniffing below raises for those, and the byte-level operators
-    exercise the identical Spark plumbing for them."""
+    """Decode a media payload. Image and uncompressed-audio formats
+    all decode for real: RIFF/WAVE PCM (:func:`decode_wav`), BI_RGB
+    24-bit BMP (:func:`decode_bmp`), PNG (:func:`decode_png`), GIF89a
+    (:func:`decode_gif`), and baseline JPEG (``jpeg.decode_jpeg``) —
+    pure stdlib/numpy codecs, no external library. Only compressed
+    AUDIO/VIDEO codecs (MP3/MP4…) remain stubbed: they genuinely need
+    soundfile/av, which this container cannot install — the sniffing
+    below raises for those, and the byte-level operators exercise the
+    identical Spark plumbing for them."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"BM":
@@ -60,11 +63,14 @@ def decode_media(payload: bytes, media_type: str):
         return decode_png(payload)
     if payload[:6] in (GIF_SIG, b"GIF87a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "lossy media codecs are not installed; RIFF/WAVE PCM, BI_RGB "
-        "BMP, PNG (8-bit gray/RGB, stdlib zlib), and GIF89a (pure-"
-        "Python LZW) decode in this environment — MP3/MP4 genuinely "
-        "need soundfile/av"
+        "audio/video compressed codecs are not installed; RIFF/WAVE "
+        "PCM, BI_RGB BMP, PNG, GIF89a, and baseline JPEG all decode "
+        "in this environment — MP3/MP4 genuinely need soundfile/av"
     )
 
 

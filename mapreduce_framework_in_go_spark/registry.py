@@ -83,6 +83,7 @@ def load_all_operators() -> None:
         graph,
         ivfpq,
         ivm,
+        jpeg,
         kv,
         langmodel,
         linearizability,

@@ -154,10 +154,14 @@ def test_rolling_hash_is_order_sensitive(spark):
 
 
 def test_decode_media_lossy_is_stubbed():
-    """Lossy codecs still raise (no PIL/av in this container) —
-    WAV/BMP/PNG route to the real parsers below."""
+    """Audio/video compressed codecs still raise (no soundfile/av in
+    this container) — WAV/BMP/PNG/GIF/JPEG route to real parsers."""
+    # MP3 frame sync / ID3 container: genuinely undecodable here
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16, "image")
+        multimodal.decode_media(b"ID3\x04\x00" + b"\x00" * 16, "audio")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8,
+                                "video")
 
 
 def test_wav_codec_interops_with_stdlib_wave():
@@ -381,6 +385,105 @@ def test_gif_rejects_corruption():
     bad[13 + 768 + 10 + 4] ^= 0xFF
     with pytest.raises(ValueError):
         multimodal.decode_gif(bytes(bad))
+
+
+def test_jpeg_huffman_tables_pinned_against_annex_k():
+    """Independent pin of the canonical-code construction against two
+    universally published Annex K luminance codewords: EOB is the
+    4-bit code 1010 and ZRL is the 11-bit code 11111111001 (every
+    JPEG text quotes these). A wrong BITS/HUFFVAL transcription or a
+    broken canonical builder breaks this without any round trip."""
+    from mapreduce_framework_in_go_spark.operators import jpeg
+
+    ac = jpeg._canonical_codes(jpeg.AC_BITS, jpeg.AC_VALS)
+    dc = jpeg._canonical_codes(jpeg.DC_BITS, jpeg.DC_VALS)
+    assert ac[0x00] == (0b1010, 4)  # EOB
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+    assert ac[0x01] == (0b00, 2)  # (run 0, size 1)
+    assert dc[0] == (0b00, 2) and dc[5] == (0b110, 3)
+    # canonical tables are prefix-free at every length
+    codes = sorted((ln, c) for c, ln in ac.values())
+    for (l1, c1), (l2, c2) in zip(codes, codes[1:]):
+        assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1), "prefix clash"
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """With the all-ones quantization table, images whose 8x8 blocks
+    are constant round-trip EXACTLY (AC coefficients are
+    mathematically zero, DC float error rounds away) — the property
+    mm_jpeg_decode_stats' oracle relies on."""
+    import numpy as np
+
+    from mapreduce_framework_in_go_spark.operators import jpeg
+
+    rng = np.random.RandomState(11)
+    ones = np.ones(64, dtype=np.int64)
+    for hb, wb in [(1, 1), (3, 8), (7, 2)]:
+        vals = rng.randint(0, 256, size=(hb, wb)).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=ones))
+        assert np.array_equal(dec["pixels"], img), (hb, wb)
+        assert (dec["width"], dec["height"]) == (wb * 8, hb * 8)
+
+
+def test_jpeg_lossy_fidelity_and_structure():
+    """Standard-table lossy mode: smooth content survives at high
+    PSNR, noise at the textbook ~20 dB, non-multiple-of-8 dims crop
+    correctly, and the marker stream carries real JFIF structure."""
+    import numpy as np
+
+    from mapreduce_framework_in_go_spark.operators import jpeg
+
+    def psnr(a, b):
+        err = a.astype(np.float64) - b.astype(np.float64)
+        return 10 * np.log10(255.0**2 / max(1e-12, (err**2).mean()))
+
+    x, y = np.meshgrid(np.arange(61), np.arange(45))
+    smooth = ((x * 2 + y * 3) // 4 % 256).astype(np.uint8)
+    payload = jpeg.encode_jpeg(smooth)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert payload[2:4] == b"\xff\xe0" and payload[6:11] == b"JFIF\x00"
+    assert b"\xff\xdb" in payload and b"\xff\xc0" in payload
+    assert b"\xff\xc4" in payload and b"\xff\xda" in payload
+    dec = jpeg.decode_jpeg(payload)
+    assert dec["pixels"].shape == (45, 61)  # SOF dims crop the blocks
+    assert psnr(dec["pixels"], smooth) > 40.0
+    noise = np.random.RandomState(3).randint(
+        0, 256, size=(40, 40)
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(noise))["pixels"]
+    assert 15.0 < psnr(out, noise) < 35.0  # lossy, but recognizably so
+
+
+def test_jpeg_rejects_corruption_and_unsupported():
+    """Truncations, broken entropy streams, missing EOI, and
+    non-baseline features raise rather than returning wrong pixels."""
+    import numpy as np
+
+    from mapreduce_framework_in_go_spark.operators import jpeg
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = jpeg.encode_jpeg(px)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"nope")
+    with pytest.raises(ValueError, match="EOI|truncated"):
+        jpeg.decode_jpeg(payload[:-2])  # EOI clipped
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(payload[:30])  # inside a segment
+    # progressive SOF2 is explicitly unsupported
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg.decode_jpeg(prog)
+    # bytes REMOVED from the entropy stream (EOI kept): the block walk
+    # runs into the EOI marker mid-read
+    with pytest.raises(ValueError, match="marker inside|truncated|EOI"):
+        jpeg.decode_jpeg(payload[:-4] + payload[-2:])
+    # a corrupted DHT whose BITS counts overrun the segment
+    i = payload.index(b"\xff\xc4") + 5
+    bad = bytearray(payload)
+    bad[i] ^= 0x01
+    with pytest.raises(ValueError, match="DHT"):
+        jpeg.decode_jpeg(bytes(bad))
 
 
 def test_warc_codec_roundtrip_and_gzip_interop():
