@@ -142,6 +142,12 @@ HEADLINE = [
     "warc_archive_read",
     "warc_http_ingest_stats",
     "stream_warc_ingest",
+    # r13 continued: GIF + baseline JPEG codec round trips, and the
+    # count-min heavy-hitter sketch (bit-exact deterministic CMS)
+    "mm_gif_decode_stats",
+    "mm_jpeg_decode_stats",
+    "cms_heavy_hitters",
+    "hll_exact_registers",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

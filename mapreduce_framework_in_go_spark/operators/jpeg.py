@@ -139,47 +139,28 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    """MSB-first bit reader that unstuffs 0xFF 0x00 and stops at a
-    marker (0xFF followed by non-zero)."""
+_LUT_CACHE: dict[bytes, tuple[list, list]] = {}
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("entropy stream truncated at 0xFF")
-                if self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        "marker inside entropy stream (restart intervals "
-                        "are not supported)"
-                    )
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+def _lut_cached(key: bytes, dec: dict) -> tuple[list, list]:
+    """65536-entry peek16 -> (symbol, code length) decode tables,
+    memoized on the DHT body bytes — batch decoding re-sees the same
+    (usually Annex K) tables for every image, and the two ~65k-entry
+    list builds would otherwise dominate small-image decode time."""
+    got = _LUT_CACHE.get(key)
+    if got is None:
+        import numpy as np
 
-    def read_bits(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align(self) -> int:
-        """Discard pad bits; return the byte offset after the stream."""
-        self.n = 0
-        return self.pos
+        sym = np.full(65536, -1, dtype=np.int16)
+        lns = np.zeros(65536, dtype=np.uint8)
+        for (ln, code), s in dec.items():
+            lo = code << (16 - ln)
+            sym[lo : lo + (1 << (16 - ln))] = s
+            lns[lo : lo + (1 << (16 - ln))] = ln
+        if len(_LUT_CACHE) >= 64:  # bound: corrupt streams could vary
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = got = (sym.tolist(), lns.tolist())
+    return got
 
 
 def _size_of(v: int) -> int:
@@ -221,7 +202,8 @@ def encode_jpeg(pixels, quant=None) -> bytes:
         .reshape(-1, 8, 8).astype(np.float64) - 128.0
     )
     C = _dct_matrix()
-    coef = np.einsum("ij,njk,lk->nil", C, blocks, C)
+    # C @ B @ C.T per block; broadcast matmul beats einsum ~5x here
+    coef = (C @ blocks) @ C.T
     quantized = (np.sign(coef) * np.floor(np.abs(coef) / q.reshape(8, 8)
                                           + 0.5)).astype(np.int64)
     zz = quantized.reshape(-1, 64)[:, ZIGZAG]  # (nblocks, 64) zigzag
@@ -230,9 +212,13 @@ def encode_jpeg(pixels, quant=None) -> bytes:
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for row in zz:
-        diff = int(row[0]) - prev_dc
-        prev_dc = int(row[0])
+    # hot path: visit only nonzero AC coefficients (a 64-entry Python
+    # scan per block is ~30x the work on smooth/constant content)
+    dcs = zz[:, 0].tolist()
+    has_ac = (zz[:, 1:] != 0).any(axis=1).tolist()
+    for b, dc in enumerate(dcs):
+        diff = dc - prev_dc
+        prev_dc = dc
         s = _size_of(diff)
         if s > 11:
             raise ValueError("DC difference beyond category 11")
@@ -241,28 +227,28 @@ def encode_jpeg(pixels, quant=None) -> bytes:
         if s:
             amp = diff if diff >= 0 else diff + (1 << s) - 1
             bw.write(amp, s)
-        run = 0
-        for k in range(1, 64):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = ac_codes[0xF0]  # ZRL
+        prev_k = 0
+        if has_ac[b]:
+            row = zz[b]
+            for k in (np.flatnonzero(row[1:]) + 1).tolist():
+                run = k - prev_k - 1
+                prev_k = k
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                v = int(row[k])
+                s = _size_of(v)
+                if s > 10:
+                    raise ValueError(
+                        "AC coefficient beyond the baseline table's size "
+                        "10 (quantization table too fine for this content)"
+                    )
+                code, length = ac_codes[(run << 4) | s]
                 bw.write(code, length)
-                run -= 16
-            s = _size_of(v)
-            if s > 10:
-                raise ValueError(
-                    "AC coefficient beyond the baseline table's size 10 "
-                    "(quantization table too fine for this content)"
-                )
-            code, length = ac_codes[(run << 4) | s]
-            bw.write(code, length)
-            amp = v if v >= 0 else v + (1 << s) - 1
-            bw.write(amp, s)
-            run = 0
-        if run:
+                amp = v if v >= 0 else v + (1 << s) - 1
+                bw.write(amp, s)
+        if prev_k != 63:
             code, length = ac_codes[0x00]  # EOB
             bw.write(code, length)
     entropy = bw.flush()
@@ -350,7 +336,7 @@ def decode_jpeg(payload: bytes) -> dict:
                         code += 1
                         k += 1
                     code <<= 1
-                huff[(tc, th)] = dec
+                huff[(tc, th)] = (body[off + 1 : off + 17 + n], dec)
                 off += 17 + n
         elif marker == 0xC0:
             depth = body[0]
@@ -389,29 +375,66 @@ def decode_jpeg(payload: bytes) -> dict:
     if dc_dec is None or ac_dec is None:
         raise ValueError("SOS references undefined Huffman tables")
 
-    br = _BitReader(payload, pos)
+    # ---- entropy segment: locate, unstuff, and LUT-decode ----
+    # The per-bit reader this replaces cost ~25 Python calls per block;
+    # the windowed 16-bit peek + canonical-code LUT does one array
+    # lookup per Huffman symbol and one shift per amplitude.
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ffs = pos + np.flatnonzero(arr[pos:-1] == 0xFF)
+    terms = ffs[arr[ffs + 1] != 0x00]
+    if len(terms) == 0:
+        raise ValueError("entropy stream truncated (no trailing marker)")
+    end = int(terms[0])  # offset of the first real marker: stream end
+    seg = arr[pos:end]
+    stuffed = np.flatnonzero(seg == 0xFF) + 1  # the 0x00 after each 0xFF
+    clean = (np.delete(seg, stuffed) if len(stuffed) else seg).tobytes()
+    data = clean + b"\x00\x00\x00\x00"
+    nbits = 8 * len(clean)
 
-    def huffdecode(dec: dict) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            sym = dec.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+    dc_sym, dc_len = _lut_cached(*dc_dec)
+    ac_sym, ac_len = _lut_cached(*ac_dec)
 
     hb, wb = -(-hh // 8), -(-ww // 8)
     nblocks = hb * wb
     zz = np.zeros((nblocks, 64), dtype=np.int64)
     prev_dc = 0
+    bitpos = 0
     for b in range(nblocks):
-        s = huffdecode(dc_dec)
-        prev_dc += _extend(br.read_bits(s), s)
+        if bitpos >= nbits:
+            raise ValueError("entropy stream truncated")
+        bi, bo = bitpos >> 3, bitpos & 7
+        w = (
+            (data[bi] << 24) | (data[bi + 1] << 16)
+            | (data[bi + 2] << 8) | data[bi + 3]
+        ) >> (16 - bo) & 0xFFFF
+        s = dc_sym[w]
+        if s < 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        bitpos += dc_len[w]
+        if s:
+            bi, bo = bitpos >> 3, bitpos & 7
+            v = (
+                (data[bi] << 24) | (data[bi + 1] << 16)
+                | (data[bi + 2] << 8) | data[bi + 3]
+            ) >> (32 - bo - s) & ((1 << s) - 1)
+            bitpos += s
+            if bitpos > nbits:
+                raise ValueError("entropy stream truncated")
+            prev_dc += _extend(v, s)
         zz[b, 0] = prev_dc
         k = 1
         while k < 64:
-            rs = huffdecode(ac_dec)
+            if bitpos >= nbits:
+                raise ValueError("entropy stream truncated")
+            bi, bo = bitpos >> 3, bitpos & 7
+            w = (
+                (data[bi] << 24) | (data[bi + 1] << 16)
+                | (data[bi + 2] << 8) | data[bi + 3]
+            ) >> (16 - bo) & 0xFFFF
+            rs = ac_sym[w]
+            if rs < 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            bitpos += ac_len[w]
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r == 15:
@@ -421,18 +444,29 @@ def decode_jpeg(payload: bytes) -> dict:
             k += r
             if k > 63:
                 raise ValueError("AC run past the end of the block")
-            zz[b, k] = _extend(br.read_bits(s), s)
+            bi, bo = bitpos >> 3, bitpos & 7
+            v = (
+                (data[bi] << 24) | (data[bi + 1] << 16)
+                | (data[bi + 2] << 8) | data[bi + 3]
+            ) >> (32 - bo - s) & ((1 << s) - 1)
+            bitpos += s
+            if bitpos > nbits:
+                raise ValueError("entropy stream truncated")
+            zz[b, k] = _extend(v, s)
             k += 1
-    end = br.align()
-    if payload[end : end + 2] != b"\xff\xd9":
+    if nbits - bitpos >= 8:
         raise ValueError("missing EOI after entropy stream")
+    if payload[end : end + 2] != b"\xff\xd9":
+        raise ValueError(
+            "marker inside entropy stream (restart intervals are not "
+            "supported)"
+        )
 
     coef = np.zeros((nblocks, 64), dtype=np.float64)
     coef[:, ZIGZAG] = zz * quant[tq][ZIGZAG]
     C = _dct_matrix()
-    spatial = np.einsum(
-        "ji,njk,kl->nil", C, coef.reshape(-1, 8, 8), C
-    ) + 128.0
+    # C.T @ K @ C per block (inverse of the encoder's C @ B @ C.T)
+    spatial = (C.T @ coef.reshape(-1, 8, 8)) @ C + 128.0
     px = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
     full = (
         px.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3)
@@ -508,6 +542,14 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 3 == 1
     ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # map-only work parallelizes by INPUT SPLITS: a small local parquet
+    # is one unsplittable row group = one core for the whole codec pass.
+    # One round-robin exchange of the (id, payload) rows rescues that;
+    # at cluster scale scans have thousands of splits and this never
+    # fires.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 2 < par:
+        docs = docs.repartition(par)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib

@@ -285,6 +285,310 @@ def kmv_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4  # count-min depth (independent hash rows)
+CMS_W = 64  # count-min width (buckets per row); production ~ ceil(2/eps)
+CMS_HH_DEN = 64  # heavy hitter = estimated count >= stream_total / 64
+
+
+def _cms_hash_sql(tok_expr: str, d_expr: str) -> str:
+    """DuckDB twin of the engine's per-row cell hash: md5_long32 of
+    ``"{d}:{token}"`` modulo the sketch width."""
+    return (
+        f"('0x' || substr(md5(CAST({d_expr} AS VARCHAR) || ':' || "
+        f"{tok_expr}), 1, 8))::BIGINT % {CMS_W}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS tok
+      FROM documents
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d, {_cms_hash_sql('tok', 'd')} AS b, count(*) AS cnt
+      FROM toks CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(cnt) // {CMS_D} AS BIGINT) AS n FROM cells),
+    counts AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+    est AS (
+      SELECT c.tok, c.true_cnt, min(cl.cnt) AS est_cnt
+      FROM counts c
+      CROSS JOIN ds
+      JOIN cells cl
+        ON cl.d = ds.d AND cl.b = {_cms_hash_sql('c.tok', 'ds.d')}
+      GROUP BY 1, 2
+    )
+    SELECT tok,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           est_cnt >= true_cnt AS never_undercounts
+    FROM est CROSS JOIN tot
+    WHERE {CMS_HH_DEN} * est_cnt >= tot.n
+    """,
+    doc=f"Token heavy hitters via a count-min sketch (Cormode & "
+    f"Muthukrishnan 2005): {CMS_D} independent md5 hash rows x "
+    f"{CMS_W} counter buckets, built from the exploded token stream "
+    "with ONE bounded groupBy — partial aggregation map-side-combines "
+    f"each input split down to <= {CMS_D * CMS_W} cells, so the "
+    "exchange is sketch-sized regardless of corpus size (the turnstile "
+    "sibling of the Misra-Gries plan in boilerplate_ngrams: counters "
+    "are mergeable by ADDITION, support point queries and deletions). "
+    "The sketch is DETERMINISTIC (md5 rows, integer counters), so the "
+    "oracle reproduces every estimated count bitwise — a stronger "
+    "check than a probabilistic-bound contract. Point estimates "
+    "(min over rows of the probed cell) never undercount, asserted "
+    f"per token; tokens with est >= stream/{CMS_HH_DEN} are reported "
+    "with exact counts alongside (the exact join is vocabulary-sized "
+    "here; a deployment probes only candidate keys). The probe side "
+    "follows the dense-array discipline: the sketch is densified to "
+    f"ONE bucket-major array<long> row ({CMS_D}*{CMS_W} entries) and "
+    "broadcast — element_at is O(1) per probe, never a Catalyst map "
+    "scan.",
+    tags=["sketches", "llm-pipeline"],
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_long32, tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+
+    def cell(d: int, tok: F.Column) -> F.Column:
+        return F.pmod(
+            md5_long32(F.concat(F.lit(f"{d}:"), tok)), F.lit(CMS_W)
+        )
+
+    # sketch build: one bounded groupBy over (row, bucket) cells; the
+    # map-side combine means each input split contributes <= D*W rows
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cell(d, F.col("tok")).alias("b"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.b")
+    cms = cells.groupBy("d", "b").agg(F.count("*").alias("cnt"))
+    # densify to ONE bucket-major array row (+ the stream total, which
+    # the sketch itself carries: sum(cells)/D) and broadcast it
+    dense = (
+        cms.select(
+            (F.col("d") * CMS_W + F.col("b")).cast("int").alias("idx"),
+            "cnt",
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "cnt"))
+            ).alias("m"),
+            (F.sum("cnt") / CMS_D).cast("long").alias("n"),
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CMS_D * CMS_W - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("m"), i),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("arr"),
+            "n",
+        )
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    probed = counts.join(F.broadcast(dense))
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("arr"),
+                (F.lit(d * CMS_W + 1) + cell(d, F.col("tok"))).cast("int"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        probed.withColumn("est_cnt", est)
+        .where(F.lit(CMS_HH_DEN) * F.col("est_cnt") >= F.col("n"))
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias(
+                "never_undercounts"
+            ),
+        )
+    )
+
+
+HLL_P = 8  # register-index bits; m = 2^p = 256 registers
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 32 - HLL_P  # rho comes from the low 24 hash bits
+HLL_EXACT_BOUND = 0.25  # asserted |est - exact| / exact ceiling
+
+
+@register(
+    "hll_exact_registers",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events
+    ),
+    br AS (
+      SELECT event_type,
+             h // {1 << HLL_REM_BITS} AS bucket,
+             CASE WHEN h % {1 << HLL_REM_BITS} = 0
+                  THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1}
+                       - length(bin(h % {1 << HLL_REM_BITS}))
+             END AS rho
+      FROM du
+    ),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS r
+      FROM br GROUP BY 1, 2
+    ),
+    per_type AS (
+      SELECT event_type,
+             count(*) AS npresent,
+             sum(1.0 / (1::BIGINT << r)) AS s_present,
+             md5(string_agg(
+               CAST(bucket AS VARCHAR) || ':' || CAST(r AS VARCHAR),
+               ',' ORDER BY bucket)) AS register_digest
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT p.event_type, p.register_digest, e.exact_users,
+             CASE WHEN
+               CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+                 / {HLL_M}.0) * {HLL_M * HLL_M}.0
+                 / (({HLL_M} - p.npresent) * 1.0 + p.s_present)
+               <= 2.5 * {HLL_M}.0 AND p.npresent < {HLL_M}
+             THEN {HLL_M}.0
+                  * ln({HLL_M}.0 / ({HLL_M} - p.npresent))
+             ELSE
+               CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+                 / {HLL_M}.0) * {HLL_M * HLL_M}.0
+                 / (({HLL_M} - p.npresent) * 1.0 + p.s_present)
+             END AS e_val
+      FROM per_type p JOIN exact e USING (event_type)
+    )
+    SELECT event_type,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           round(e_val, 4) AS hll_est,
+           register_digest,
+           abs(e_val - exact_users) <= {HLL_EXACT_BOUND} * exact_users
+             AS within_bound
+    FROM est
+    """,
+    doc=f"A from-scratch HyperLogLog whose VALUE is oracle-checked "
+    "bitwise — the stronger sibling of approx_distinct_users (where "
+    "Spark's and DuckDB's builtin HLL variants can only be "
+    f"bound-checked). Register index = top {HLL_P} bits of the 32-bit "
+    f"md5 hash, rho = leading-zero count of the low {HLL_REM_BITS} "
+    "bits + 1, registers = per-bucket MAX — one fixed-"
+    f"{HLL_M}-group aggregate per event type, map-side combined, so "
+    "the exchange carries registers, not distinct users. The Flajolet "
+    "et al. 2007 estimator (alpha_m * m^2 / sum 2^-M_j, linear-"
+    "counting small-range correction below 2.5m) is evaluated with an "
+    "IDENTICAL IEEE expression tree in both engines: every 2^-r term "
+    "is an exact dyadic (1.0/(1<<r)), so the harmonic sum is exact in "
+    "any order, and the one libm call (ln) agrees to <= 1 ulp, "
+    "absorbed by round(4). The register arrays themselves are "
+    "digest-compared (present buckets, bucket order), making the "
+    "sketch STATE — the thing a deployment persists and merges — the "
+    "checked artifact, not just the estimate. Exact counts ride along "
+    f"(audiences here are small) and the estimate is asserted within "
+    f"{HLL_EXACT_BOUND:.0%} of exact, computed honestly on BOTH "
+    "sides.",
+    tags=["sketches"],
+)
+def hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_long32
+
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            md5_long32(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    rem = F.col("h") % (1 << HLL_REM_BITS)
+    br = du.select(
+        "event_type",
+        (F.col("h") / (1 << HLL_REM_BITS)).cast("long").alias("bucket"),
+        F.when(rem == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(rem)))
+        .alias("rho"),
+    )
+    regs = br.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("npresent"),
+        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), r)")).alias(
+            "s_present"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("bucket", "r"))
+                    ),
+                    lambda s: F.concat(
+                        s["bucket"].cast("string"),
+                        F.lit(":"),
+                        s["r"].cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("register_digest"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    alpha_m2 = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+    )
+    s_total = (F.lit(HLL_M) - F.col("npresent")) * F.lit(1.0) + F.col(
+        "s_present"
+    )
+    raw = alpha_m2 / s_total
+    zeros = F.lit(HLL_M) - F.col("npresent")
+    e_val = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        per_type.join(exact, "event_type")
+        .withColumn("e_val", e_val)
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.round("e_val", 4).alias("hll_est"),
+            "register_digest",
+            (
+                F.abs(F.col("e_val") - F.col("exact_users"))
+                <= F.lit(HLL_EXACT_BOUND) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
 TRAIL_HOURS = 3  # trailing window width (hours)
 HLL_LGK_TRAIL = 14  # registers per hourly sketch (rse ~0.8%)
 TRAIL_ERR_BOUND = 0.1  # asserted per-window relative-error ceiling

@@ -342,6 +342,17 @@ def test_trailing_distinct_range_frame(spark, sf_dir):
     assert "Generate" in plan
 
 
+def test_cms_sketch_broadcast_and_partial_agg(spark, sf_dir):
+    """The count-min build must map-side combine (partial + final
+    HashAggregate over the D*W cells) and the dense 1-row sketch must
+    reach the probe side as a broadcast (BroadcastNestedLoopJoin), so
+    the only full-stream exchange carries sketch-sized partials."""
+    plan = formatted_plan(SPECS["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # cells + counts, partial+final
+    assert "CartesianProduct" not in plan
+
+
 def test_substring_spans_two_shuffles_no_join(spark, sf_dir):
     """The ExactSubstr pass must decide duplicated grams INSIDE the
     gram-partitioned window (min/max doc_id) — never a self-join or a
