@@ -68,3 +68,24 @@ def read_csv(
         .options(header=True, mode="FAILFAST", multiLine=multiline, **_OPTS)
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, bloom_columns: str = "") -> None:
+    """ORC sink — the columnar interchange format for engines outside
+    the parquet ecosystem (Hive/Trino warehouses). Unlike JSONL/CSV,
+    ORC keeps the parquet-class scale properties: column pruning,
+    predicate pushdown to stripe/row-group stats, splittable stripes,
+    and optional per-column bloom filters (``bloom_columns`` —
+    comma-separated names) that let point-lookup scans skip stripes a
+    min/max range check cannot rule out."""
+    w = df.write.mode("overwrite")
+    if bloom_columns:
+        w = w.option("orc.bloom.filter.columns", bloom_columns)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with an EXPLICIT schema (same contract as read_jsonl:
+    no inference pass). Filters and projections push down to the ORC
+    reader exactly as with parquet — asserted by plan test."""
+    return spark.read.schema(schema).orc(path)

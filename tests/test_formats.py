@@ -65,3 +65,35 @@ def test_csv_failfast_rejects_malformed(spark, tmp_path):
     )
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_orc_roundtrip_events_and_pushdown(spark, sf_dir, tmp_path):
+    """events -> ORC -> events must be lossless (TIMESTAMP_NTZ
+    preserved, session-TZ independent), and a filtered read must push
+    the predicate into the ORC scan (PushedFilters), keeping the
+    parquet-class scale contract column formats exist for."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Chatham")
+    try:
+        formats.write_orc(src, str(tmp_path / "ev"), bloom_columns="user_id")
+        back = formats.read_orc(spark, str(tmp_path / "ev"), src.schema)
+        assert back.schema == src.schema
+        assert _canon(back) == _canon(src)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    from mapreduce_framework_in_go_spark.plans import formatted_plan
+
+    filtered = back.where(F.col("user_id") == 7).select("event_id")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split(
+        "PushedFilters:"
+    )[1].splitlines()[0]
+
+
+def test_orc_roundtrip_embeddings_nested(spark, sf_dir, tmp_path):
+    """array<float> survives ORC (nested types are first-class)."""
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    formats.write_orc(src, str(tmp_path / "emb"))
+    back = formats.read_orc(spark, str(tmp_path / "emb"), src.schema)
+    assert _canon(back) == _canon(src)
