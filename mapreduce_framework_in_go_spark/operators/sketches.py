@@ -299,9 +299,87 @@ def _cms_hash_sql(tok_expr: str, d_expr: str) -> str:
     )
 
 
-@register(
-    "cms_heavy_hitters",
-    oracle=f"""
+def _cms_cell(d: int, tok) -> "F.Column":
+    """Row-d bucket for a token: md5_long32("{d}:{tok}") mod width —
+    the hash contract _cms_hash_sql mirrors in DuckDB."""
+    from ..functions.text import md5_long32
+
+    return F.pmod(md5_long32(F.concat(F.lit(f"{d}:"), tok)), F.lit(CMS_W))
+
+
+def cms_cells_frame(toks: DataFrame) -> DataFrame:
+    """(d, b) cell hits for a token frame — one row per (token
+    occurrence, hash row). Works identically on a batch or STREAMING
+    frame; the downstream groupBy(d, b) count is the sketch build, and
+    its state/exchange is bounded by D*W cells either way."""
+    return toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(d, F.col("tok")).alias("b"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.b")
+
+
+def cms_estimate_frame(cms: DataFrame, counts: DataFrame) -> DataFrame:
+    """Densify a built (d, b, cnt) sketch to ONE bucket-major
+    array<long> broadcast row and probe it with the candidate tokens in
+    ``counts`` (tok, true_cnt); emits the heavy-hitter rows."""
+    dense = (
+        cms.select(
+            (F.col("d") * CMS_W + F.col("b")).cast("int").alias("idx"),
+            "cnt",
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "cnt"))
+            ).alias("m"),
+            (F.sum("cnt") / CMS_D).cast("long").alias("n"),
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CMS_D * CMS_W - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("m"), i),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("arr"),
+            "n",
+        )
+    )
+    probed = counts.join(F.broadcast(dense))
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("arr"),
+                (
+                    F.lit(d * CMS_W + 1) + _cms_cell(d, F.col("tok"))
+                ).cast("int"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        probed.withColumn("est_cnt", est)
+        .where(F.lit(CMS_HH_DEN) * F.col("est_cnt") >= F.col("n"))
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias(
+                "never_undercounts"
+            ),
+        )
+    )
+
+
+CMS_ORACLE = f"""
     WITH toks AS (
       SELECT unnest(regexp_extract_all(text, '[\\p{{L}}]+')) AS tok
       FROM documents
@@ -328,7 +406,12 @@ def _cms_hash_sql(tok_expr: str, d_expr: str) -> str:
            est_cnt >= true_cnt AS never_undercounts
     FROM est CROSS JOIN tot
     WHERE {CMS_HH_DEN} * est_cnt >= tot.n
-    """,
+    """  # shared with the streaming twin
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=CMS_ORACLE,
     doc=f"Token heavy hitters via a count-min sketch (Cormode & "
     f"Muthukrishnan 2005): {CMS_D} independent md5 hash rows x "
     f"{CMS_W} counter buckets, built from the exploded token stream "
@@ -351,79 +434,17 @@ def _cms_hash_sql(tok_expr: str, d_expr: str) -> str:
     tags=["sketches", "llm-pipeline"],
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import md5_long32, tokens_col
+    from ..functions.text import tokens_col
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
-
-    def cell(d: int, tok: F.Column) -> F.Column:
-        return F.pmod(
-            md5_long32(F.concat(F.lit(f"{d}:"), tok)), F.lit(CMS_W)
-        )
-
     # sketch build: one bounded groupBy over (row, bucket) cells; the
     # map-side combine means each input split contributes <= D*W rows
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        cell(d, F.col("tok")).alias("b"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("c")
-    ).select("c.d", "c.b")
-    cms = cells.groupBy("d", "b").agg(F.count("*").alias("cnt"))
-    # densify to ONE bucket-major array row (+ the stream total, which
-    # the sketch itself carries: sum(cells)/D) and broadcast it
-    dense = (
-        cms.select(
-            (F.col("d") * CMS_W + F.col("b")).cast("int").alias("idx"),
-            "cnt",
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("idx", "cnt"))
-            ).alias("m"),
-            (F.sum("cnt") / CMS_D).cast("long").alias("n"),
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(CMS_D * CMS_W - 1)),
-                lambda i: F.coalesce(
-                    F.try_element_at(F.col("m"), i),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("arr"),
-            "n",
-        )
+    cms = cms_cells_frame(toks).groupBy("d", "b").agg(
+        F.count("*").alias("cnt")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
-    probed = counts.join(F.broadcast(dense))
-    est = F.least(
-        *[
-            F.element_at(
-                F.col("arr"),
-                (F.lit(d * CMS_W + 1) + cell(d, F.col("tok"))).cast("int"),
-            )
-            for d in range(CMS_D)
-        ]
-    )
-    return (
-        probed.withColumn("est_cnt", est)
-        .where(F.lit(CMS_HH_DEN) * F.col("est_cnt") >= F.col("n"))
-        .select(
-            "tok",
-            "true_cnt",
-            "est_cnt",
-            (F.col("est_cnt") >= F.col("true_cnt")).alias(
-                "never_undercounts"
-            ),
-        )
-    )
+    return cms_estimate_frame(cms, counts)
 
 
 HLL_P = 8  # register-index bits; m = 2^p = 256 registers

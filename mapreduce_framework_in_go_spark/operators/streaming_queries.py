@@ -956,3 +956,40 @@ def stream_cluster_maintenance_table(
         ).localCheckpoint()
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from .sketches import CMS_ORACLE, cms_cells_frame, cms_estimate_frame  # noqa: E402
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=CMS_ORACLE,
+    doc="Streaming count-min sketch: documents arrive as a stream, each "
+    "token occurrence explodes to its 4 (row, bucket) cells, and the "
+    "cells groupBy COUNT runs as a streaming aggregation in complete "
+    "mode — the aggregation STATE IS the sketch, bounded at D*W=256 "
+    "rows no matter how much stream has passed (the whole point of a "
+    "turnstile sketch at ingest: counters merge by ADDITION, so "
+    "microbatch boundaries and arrival order provably cannot change "
+    "the final state). The completed sketch is then densified to the "
+    "one-row broadcast array and probed with the static vocabulary "
+    "batch-side; output is hash-identical to the batch cms_heavy_"
+    "hitters oracle. Streaming twin of cms_heavy_hitters.",
+    tags=["streaming", "sketches"],
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_col
+    from ..sources.tables import table as _table
+
+    stoks = _docs_stream(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("tok")
+    )
+    cms = cms_cells_frame(stoks).groupBy("d", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    built = _run(cms, "complete", "cms_hh")
+    toks = _table(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    return cms_estimate_frame(built, counts)

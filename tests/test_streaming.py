@@ -1338,3 +1338,56 @@ def test_warc_ingest_restart_matrix(spark, tmp_path):
     run_warc_ingest(_stream(), out, ckpt, shards=2)
     assert LAST_INGEST == {"batches": 0, "skipped": 0}
     assert _ids() == [1, 2, 3, 5, 6]
+
+
+def test_stream_cms_state_is_sketch_bounded(spark, sf_dir):
+    """The streaming CMS aggregation's state must be bounded by the
+    sketch dimensions (D*W cells), NOT by the stream's token volume —
+    the property that makes a turnstile sketch viable at ingest. The
+    registered query already hash-checks the final counts against the
+    batch oracle; here we additionally read the state-store metrics
+    from the completed run."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_in_go_spark.functions.text import tokens_col
+    from mapreduce_framework_in_go_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_cells_frame,
+    )
+    from mapreduce_framework_in_go_spark.operators.streaming_queries import (
+        _docs_stream,
+    )
+
+    stoks = _docs_stream(spark, str(sf_dir)).select(
+        F.explode(tokens_col("text")).alias("tok")
+    )
+    cms = cms_cells_frame(stoks).groupBy("d", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    spark.catalog.dropTempView("cms_state_probe")
+    q = (
+        cms.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_state_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = [
+            op["numRowsTotal"]
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        ]
+    finally:
+        q.stop()
+    assert state_rows and max(state_rows) <= CMS_D * CMS_W
+    got = spark.table("cms_state_probe")
+    assert got.count() <= CMS_D * CMS_W
+    # token volume is orders of magnitude above the state bound: the
+    # bound is doing real work, not vacuously true
+    n_toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokens_col("text")).alias("t"))
+        .count()
+    )
+    assert n_toks > CMS_D * CMS_W * 4
