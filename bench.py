@@ -148,6 +148,9 @@ HEADLINE = [
     "mm_jpeg_decode_stats",
     "cms_heavy_hitters",
     "hll_exact_registers",
+    # r13 continued: the published C4 cleaning stack (line scrub +
+    # page gate) over synthesized structured pages
+    "c4_line_scrub",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

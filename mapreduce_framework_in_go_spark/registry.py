@@ -74,6 +74,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         bloom,
         bpe,
+        c4,
         classifier,
         compaction,
         dedup,

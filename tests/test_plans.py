@@ -342,6 +342,16 @@ def test_trailing_distinct_range_frame(spark, sf_dir):
     assert "Generate" in plan
 
 
+def test_c4_line_scrub_shuffle_free(spark, sf_dir):
+    """C4 cleaning is per-document map work: the plan must contain NO
+    Exchange, and the shared HOF-derived arrays (tagged tokens, lines,
+    kept+flags) must each be staged behind a Generate so project
+    collapse cannot re-inline them per consumer."""
+    plan = formatted_plan(SPECS["c4_line_scrub"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Generate") >= 3
+
+
 def test_cms_sketch_broadcast_and_partial_agg(spark, sf_dir):
     """The count-min build must map-side combine (partial + final
     HashAggregate over the D*W cells) and the dense 1-row sketch must
