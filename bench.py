@@ -151,6 +151,8 @@ HEADLINE = [
     # r13 continued: the published C4 cleaning stack (line scrub +
     # page gate) over synthesized structured pages
     "c4_line_scrub",
+    # r13 continued: bitwise-reproducible exponential smoothing fold
+    "ewma_holt_forecast",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

@@ -165,3 +165,117 @@ def events_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   + element_at(l, CAST(size(l) / 2 AS INT) + 1) AS DOUBLE)"
         " / 2 / 100 AS trailing_median",
     )
+
+
+EWMA_ALPHA = 0.25  # level smoothing — EXACT dyadic, so a*x is one
+EWMA_BETA = 0.5  # trend smoothing — also dyadic
+FORECAST_H = 3  # forecast horizon (hours ahead of the last observation)
+
+
+@register(
+    "ewma_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE hx AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS idx
+      FROM hx
+    ),
+    fold AS (
+      SELECT event_type, idx, x,
+             x AS s, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM ser WHERE idx = 1
+      UNION ALL
+      SELECT s.event_type, s.idx, s.x,
+             {EWMA_ALPHA} * s.x + {1 - EWMA_ALPHA} * f.s,
+             {EWMA_ALPHA} * s.x + {1 - EWMA_ALPHA} * (f.l + f.b),
+             {EWMA_BETA} * (({EWMA_ALPHA} * s.x
+                             + {1 - EWMA_ALPHA} * (f.l + f.b)) - f.l)
+               + {1 - EWMA_BETA} * f.b
+      FROM ser s
+      JOIN fold f
+        ON s.event_type = f.event_type AND f.idx + 1 = s.idx
+    ),
+    tail AS (SELECT event_type, max(idx) AS n FROM ser GROUP BY 1)
+    SELECT f.event_type,
+           CAST(t.n AS BIGINT) AS n_hours,
+           round(f.s, 6) AS ewma,
+           round(f.l, 6) AS holt_level,
+           round(f.b, 6) AS holt_trend,
+           round(f.l + {FORECAST_H}.0 * f.b, 6) AS forecast_3h
+    FROM fold f JOIN tail t
+      ON f.event_type = t.event_type AND f.idx = t.n
+    """,
+    doc=f"Exponential smoothing per event type — simple EWMA (alpha="
+    f"{EWMA_ALPHA}) and Holt's linear trend method (beta={EWMA_BETA}) "
+    "folded left over the hourly revenue series, plus the "
+    f"{FORECAST_H}-hour-ahead forecast level + h*trend. The recurrences "
+    "are evaluated on an IDENTICAL IEEE expression tree in both "
+    "engines — the smoothing constants are exact dyadics, every step "
+    "is the same two correctly-rounded multiplies and one add in the "
+    "same order, and the trend step textually re-derives the new level "
+    "on both sides — so a 720-step float recursion hash-matches "
+    "bitwise under round(6) (engine: one array_sort + F.aggregate "
+    "struct fold per group; oracle: a recursive CTE walking idx). "
+    "Scale: the raw stream collapses to (type, hour) in ONE partial-"
+    "aggregated shuffle (the fsum fixed-point convention), and the "
+    "fold state is O(1) per group — series length bounds the array, "
+    "span-hours x groups = output-sized work, never event-sized.",
+    tags=["timeseries"],
+)
+def ewma_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hx = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("x")
+    )
+    ser = hx.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("h", "x"))).alias("arr")
+    )
+    a, ia = F.lit(EWMA_ALPHA), F.lit(1 - EWMA_ALPHA)
+    bt, ibt = F.lit(EWMA_BETA), F.lit(1 - EWMA_BETA)
+
+    def step(acc, e):
+        x = e["x"]
+        first = acc["n"] == 0
+        new_l = a * x + ia * (acc["l"] + acc["b"])
+        return F.struct(
+            (acc["n"] + F.lit(1).cast("long")).alias("n"),
+            F.when(first, x).otherwise(a * x + ia * acc["s"]).alias("s"),
+            F.when(first, x).otherwise(new_l).alias("l"),
+            F.when(first, F.lit(0.0))
+            .otherwise(bt * (new_l - acc["l"]) + ibt * acc["b"])
+            .alias("b"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    folded = ser.select(
+        "event_type", F.aggregate("arr", init, step).alias("f")
+    )
+    return folded.select(
+        "event_type",
+        F.col("f.n").alias("n_hours"),
+        F.round("f.s", 6).alias("ewma"),
+        F.round("f.l", 6).alias("holt_level"),
+        F.round("f.b", 6).alias("holt_trend"),
+        F.round(
+            F.col("f.l") + F.lit(float(FORECAST_H)) * F.col("f.b"), 6
+        ).alias("forecast_3h"),
+    )
