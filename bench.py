@@ -153,6 +153,8 @@ HEADLINE = [
     "c4_line_scrub",
     # r13 continued: bitwise-reproducible exponential smoothing fold
     "ewma_holt_forecast",
+    # r13 continued: Johnson-Lindenstrauss projection + distortion audit
+    "jl_project_audit",
 ]
 
 # The heaviest queries wobble most under min-of-2 (triangle_count swung

@@ -391,3 +391,158 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("sse_scaled"),
     )
+
+
+JL_IN_DIM = 64  # corpus embedding dimensionality
+JL_OUT_DIM = 16  # projected dimensionality (4x flop/byte reduction)
+JL_SCALE = 0.25  # 1/sqrt(JL_OUT_DIM) — EXACT dyadic, one exact multiply
+JL_RATIO_LO, JL_RATIO_HI = 0.4, 1.6  # asserted distortion envelope
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """Deterministic +/-1 entry of the projection matrix — the
+    md5_long32 convention, reproduced by the oracle inline."""
+    import hashlib
+
+    h = int(hashlib.md5(f"R:{i}:{j}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_JL_SIGN_SQL = (
+    "CASE WHEN ('0x' || substr(md5('R:' || CAST(i AS VARCHAR) || ':' "
+    "|| CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+
+@register(
+    "jl_project_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sg AS (
+      SELECT i, list(s ORDER BY j) AS srow FROM (
+        SELECT i, j, {_JL_SIGN_SQL} AS s
+        FROM (SELECT unnest(range(0, {JL_OUT_DIM})) AS i)
+        CROSS JOIN (SELECT unnest(range(1, {JL_IN_DIM} + 1)) AS j)
+      ) GROUP BY i
+    ),
+    p AS (
+      SELECT vec_id, list(c ORDER BY i) AS pv FROM (
+        SELECT v.vec_id, sg.i,
+               {JL_SCALE} * list_reduce(
+                 list_transform(range(1, {JL_IN_DIM} + 1),
+                               j -> sg.srow[j] * v.e[j]),
+                 (a, b) -> a + b) AS c
+        FROM v CROSS JOIN sg
+      ) GROUP BY vec_id
+    ),
+    bv AS (SELECT v.vec_id, v.e, p.pv FROM v JOIN p USING (vec_id)),
+    pr AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sqrt(list_reduce(list_transform(range(1, {JL_IN_DIM} + 1),
+                  j -> (a.e[j] - b.e[j]) * (a.e[j] - b.e[j])),
+                  (x, y) -> x + y)) AS l2_orig,
+             sqrt(list_reduce(list_transform(range(1, {JL_OUT_DIM} + 1),
+                  i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])),
+                  (x, y) -> x + y)) AS l2_proj
+      FROM bv a JOIN bv b ON a.vec_id + 1 = b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(l2_orig, 6) AS l2_orig,
+           round(l2_proj, 6) AS l2_proj,
+           round(l2_proj / l2_orig, 6) AS ratio,
+           l2_proj / l2_orig BETWEEN {JL_RATIO_LO} AND {JL_RATIO_HI}
+             AS within_envelope
+    FROM pr
+    """,
+    doc=f"Johnson-Lindenstrauss random projection "
+    f"(R^{JL_IN_DIM} -> R^{JL_OUT_DIM}, deterministic +/-1 "
+    "Achlioptas-style matrix from the md5 hash convention, scaled by "
+    f"the exact dyadic 1/sqrt({JL_OUT_DIM})) with the "
+    "distance-preservation audit a pipeline runs before pointing ANN "
+    "at the reduced vectors: per consecutive-id pair, the original and "
+    "projected L2 distances and their ratio, plus the distortion-"
+    "envelope flag — all computed on IDENTICAL IEEE trees both sides "
+    "(in-order left folds; the sign matrix is a compile-time constant "
+    "engine-side and an inline md5 CTE oracle-side). Scale: the "
+    f"projection is MAP-ONLY against a broadcast {JL_OUT_DIM}x"
+    f"{JL_IN_DIM} constant — a 4x cut in every downstream ANN flop, "
+    "byte, and broadcast; the audit rides a deterministic O(N) "
+    "consecutive-pair sample, never all pairs.",
+    tags=["similarity", "compression"],
+)
+def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(_jl_sign(i, j))
+                    for j in range(JL_IN_DIM)
+                ]
+            )
+            for i in range(JL_OUT_DIM)
+        ]
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)),
+        lambda i: F.lit(JL_SCALE)
+        * F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.element_at(signs, (i + 1).cast("int")),
+                lambda x, s: s * x,
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    # stage the projected array behind a Generate (it feeds the pair
+    # join twice: the distance fold references both sides' arrays)
+    both = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.explode(F.array(proj)).alias("pv"),
+    )
+
+    def l2(a, b, dim: int):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            )
+        )
+
+    a = both.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("pv").alias("pa"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("pv").alias("pb"),
+    )
+    pr = a.join(b, F.col("vec_a") + 1 == F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        l2(F.col("ea"), F.col("eb"), JL_IN_DIM).alias("l2_orig"),
+        l2(F.col("pa"), F.col("pb"), JL_OUT_DIM).alias("l2_proj"),
+    )
+    ratio = F.col("l2_proj") / F.col("l2_orig")
+    return pr.select(
+        "vec_a",
+        "vec_b",
+        F.round("l2_orig", 6).alias("l2_orig"),
+        F.round("l2_proj", 6).alias("l2_proj"),
+        F.round(ratio, 6).alias("ratio"),
+        ((ratio >= JL_RATIO_LO) & (ratio <= JL_RATIO_HI)).alias(
+            "within_envelope"
+        ),
+    )
