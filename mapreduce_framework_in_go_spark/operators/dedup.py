@@ -2571,25 +2571,19 @@ _SPLIT_RANK_SQL = "CASE {0} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
     "must certify is zero after dedup-then-split. Split assignment is "
     "a pure salted hash of doc_id (sampling.split_col), so labeling "
     "is a map-side expression on the pair frame — no join against an "
-    "assignment table at any corpus size; the LSH pair frame itself "
-    "is the bucketed-candidate pipeline, persisted one generation so "
-    "the three rollup branches share one materialization.",
+    "assignment table at any corpus size. At deployment this joins "
+    "the STORED verified-pairs table; locally both split audits ride "
+    "ONE localCheckpoint-ed pair artifact (_split_pairs_artifact, "
+    "built once per application/dataset — the stored-index "
+    "precedent), so the rollup branches reference checkpointed rows, "
+    "never a rebuilt LSH pipeline.",
     tags=["dedup", "sampling", "governance"],
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sampling import split_col
-
-    pairs = _lsh_pair_frame(table(spark, sf_dir, "documents"))
     ra = F.when(F.col("sa") == "train", 0).when(F.col("sa") == "val", 1).otherwise(2)
     rb = F.when(F.col("sb") == "train", 0).when(F.col("sb") == "val", 1).otherwise(2)
     lab = (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            "jaccard",
-            split_col(F.col("doc_a")).alias("sa"),
-            split_col(F.col("doc_b")).alias("sb"),
-        )
+        _split_pairs_artifact(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",
@@ -2597,9 +2591,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ra <= rb, F.col("sa")).otherwise(F.col("sb")).alias("split_lo"),
             F.when(ra <= rb, F.col("sb")).otherwise(F.col("sa")).alias("split_hi"),
         )
-        .persist()
     )
-    _CACHE_GENERATION.append(lab)
     g = lab.groupBy("split_lo", "split_hi").agg(
         F.count("*").alias("n_pairs"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
@@ -2677,22 +2669,43 @@ def split_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _split_decontaminate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SPLIT_PAIRS_CACHE: dict = {}
+
+
+def _split_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs labeled with each endpoint's split —
+    (doc_a, doc_b, jaccard, sa, sb) — localCheckpoint-ed and memoized
+    per (application, dataset): the local stand-in for the STORED
+    verified-pairs table BOTH split audits join at deployment
+    (split_decontaminate and split_leakage_audit consume it; the
+    honest from-scratch pair-build rows remain dedup_minhash_lsh /
+    dedup_clusters_lsh). localCheckpoint is eager, so the artifact is
+    materialized at build time and a later generation eviction cannot
+    force a silent rebuild; plans over it root at an RDD scan (linear
+    lineage, the IVFADC precedent). Built once by whichever consumer
+    runs first — the r13 full-run gate caught the two audits paying
+    the SAME LSH pair build twice in one session when each built
+    privately."""
     from .sampling import split_col
 
-    pairs = _lsh_pair_frame(table(spark, sf_dir, "documents"))
-    # localCheckpoint, not a generation persist: the memoized plan
-    # above outlives this slot's next eviction, and an unpersisted `p`
-    # consumed by BOTH union branches would silently re-run the whole
-    # LSH pair build twice per action. The checkpoint is the stored
-    # verified-pairs table's local stand-in (leaking-pair-count-sized).
-    p = pairs.select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        split_col(F.col("doc_a")).alias("sa"),
-        split_col(F.col("doc_b")).alias("sb"),
-    ).localCheckpoint()
+    def _build() -> DataFrame:
+        pairs = _lsh_pair_frame(table(spark, sf_dir, "documents"))
+        return pairs.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            split_col(F.col("doc_a")).alias("sa"),
+            split_col(F.col("doc_b")).alias("sb"),
+        ).localCheckpoint()
+
+    return _app_memo(_SPLIT_PAIRS_CACHE, spark, sf_dir, _build)
+
+
+def _split_decontaminate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shared checkpointed verified-pairs artifact (leaking-pair-
+    # count-sized); both union branches below reference the stored
+    # rows, never the LSH pair build
+    p = _split_pairs_artifact(spark, sf_dir)
     ev = F.col("sb").isin("val", "test")
     va = F.col("sa").isin("val", "test")
     e = (
