@@ -19,8 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import GenerationSlot
 from ..registry import register
 from ..sources.tables import table
+
+# Per-QUERY one-generation persist slots (per-slot cache rule,
+# CLAUDE.md / tests/test_cache_isolation.py): the CMS token counts and
+# the HLL distinct-pair frame each feed two consumers of their own
+# query; separate slots so building one query can never unpersist the
+# other's in-flight frame.
+_CMS_GENERATION = GenerationSlot()
+_HLL_GENERATION = GenerationSlot()
+
+
+def _evict_sketch_generations() -> None:
+    _CMS_GENERATION.evict()
+    _HLL_GENERATION.evict()
+
 
 HLL_RSD = 0.05  # target relative standard deviation of the sketch
 HLL_ERR_BOUND = 0.15  # asserted per-group relative-error ceiling
@@ -414,10 +429,13 @@ CMS_ORACLE = f"""
     oracle=CMS_ORACLE,
     doc=f"Token heavy hitters via a count-min sketch (Cormode & "
     f"Muthukrishnan 2005): {CMS_D} independent md5 hash rows x "
-    f"{CMS_W} counter buckets, built from the exploded token stream "
-    "with ONE bounded groupBy — partial aggregation map-side-combines "
-    f"each input split down to <= {CMS_D * CMS_W} cells, so the "
-    "exchange is sketch-sized regardless of corpus size (the turnstile "
+    f"{CMS_W} counter buckets. The sketch is a LINEAR map of the count "
+    "vector, so it is built from the exact token-count table (computed "
+    "anyway for the true_cnt column) by weighted cell sums — one "
+    "corpus tokenize pass total, md5 cell hashes per DISTINCT token x "
+    f"row instead of per occurrence (r13 optimization); the cell "
+    f"groupBy is <= {CMS_D * CMS_W} rows, so the sketch exchange stays "
+    "sketch-sized regardless of corpus size (the turnstile "
     "sibling of the Misra-Gries plan in boilerplate_ngrams: counters "
     "are mergeable by ADDITION, support point queries and deletions). "
     "The sketch is DETERMINISTIC (md5 rows, integer counters), so the "
@@ -438,12 +456,35 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
-    # sketch build: one bounded groupBy over (row, bucket) cells; the
-    # map-side combine means each input split contributes <= D*W rows
-    cms = cms_cells_frame(toks).groupBy("d", "b").agg(
-        F.count("*").alias("cnt")
+    # ONE corpus tokenize pass: the exact count table is built first
+    # and the sketch derives from IT — the CMS is a linear map of the
+    # count vector, so cnt(d, b) = sum of true_cnt over tokens hashing
+    # to the cell, bitwise equal to counting occurrences (optimization
+    # guide §1.2/§2.3: the md5 cell hash runs per DISTINCT token x D,
+    # not per occurrence x D, and the corpus is tokenized once instead
+    # of twice — r13 A/B: 3.2 s -> ~0.6 s at sf0.1). The exchange story
+    # is unchanged at 100 TB: the count groupBy map-side-combines each
+    # split to its local vocabulary (the shuffle the true_cnt branch
+    # always paid), and the cell groupBy above it is <= D*W rows.
+    _CMS_GENERATION.evict()
+    counts = _CMS_GENERATION.adopt(
+        toks.groupBy("tok").agg(F.count("*").alias("true_cnt")).persist()
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    cells = counts.select(
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(d, F.col("tok")).alias("b"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("c.d", "c.b", "true_cnt")
+    cms = cells.groupBy("d", "b").agg(F.sum("true_cnt").alias("cnt"))
     return cms_estimate_frame(cms, counts)
 
 
@@ -539,13 +580,18 @@ def hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_long32
 
     ev = table(spark, sf_dir, "events")
-    du = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .select(
-            "event_type",
-            md5_long32(F.col("user_id").cast("string")).alias("h"),
-        )
+    # ONE events scan + ONE distinct exchange feed BOTH the register
+    # build and the exact counts (r13, guide §2.4: the old shape paid a
+    # second full scan + count_distinct's own two-phase distinct
+    # aggregation for exact_users; a distinct (type, user) row set
+    # yields it as a plain count). Persisted: two consumers.
+    _HLL_GENERATION.evict()
+    dup = _HLL_GENERATION.adopt(
+        ev.select("event_type", "user_id").distinct().persist()
+    )
+    du = dup.select(
+        "event_type",
+        md5_long32(F.col("user_id").cast("string")).alias("h"),
     )
     rem = F.col("h") % (1 << HLL_REM_BITS)
     br = du.select(
@@ -577,8 +623,9 @@ def hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("register_digest"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    # exact distinct count = row count of the shared distinct frame
+    exact = dup.groupBy("event_type").agg(
+        F.count("*").alias("exact_users")
     )
     alpha_m2 = (
         F.lit(0.7213)
