@@ -243,20 +243,59 @@ _EXACT_TOP_SQL = f"""exact_top AS (
 def _exact_ground_truth(fixed: DataFrame, gen: GenerationSlot) -> DataFrame:
     """(query_id, neighbor_id): the exact top-k by integer inner
     product over a persisted (vec_id, v) fixed-point frame — broadcast
-    query side (|Q| = N/QUERY_MOD bounded), persisted into ``gen``."""
-    qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    query side (|Q| = N/QUERY_MOD bounded), persisted into ``gen``.
+
+    r13 (guide §4.2/§8): the scoring pass runs as ONE ``mapInPandas``
+    over the corpus — each Arrow batch meets the broadcast query
+    matrix as numpy int64 (dp = V @ Q^T is exact in any order) and
+    emits only its LOCAL top-k per query under the (dp DESC,
+    neighbor_id) contract; the global window then ranks the tiny
+    per-partition candidate union instead of |Q| x N scored rows.
+    Replaces a per-(pair, component) interpreted Catalyst fold —
+    measured 1.5 s -> ~0.3 s at sf0.1 — and shuffles candidates, not
+    the pair space."""
+    import numpy as np
+    import pandas as pd
+
+    spark = fixed.sparkSession
+    qpd = fixed.where(F.col("vec_id") % QUERY_MOD == 0).toPandas()
+    qids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.array(qpd["v"].tolist(), dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def _local_topk(it):
+        q_ids, q_mat = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v = np.array(pdf["v"].tolist(), dtype=np.int64)
+            dp = v @ q_mat.T  # (n, |Q|), exact int64
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(q_ids)):
+                # per query: dp desc, neighbor_id asc (lexsort: last
+                # key is primary), self excluded
+                order_j = np.lexsort((vids, -dp[:, j]))
+                sel = order_j[vids[order_j] != q_ids[j]][: PQ_TOP_K]
+                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+                out_n.append(vids[sel])
+                out_d.append(dp[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dp": np.concatenate(out_d),
+                }
+            )
+
+    cand = fixed.select("vec_id", "v").mapInPandas(
+        _local_topk, schema="query_id long, neighbor_id long, dp long"
     )
-    dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
     wex = Window.partitionBy("query_id").orderBy(
         F.col("dp").desc(), "neighbor_id"
     )
     return gen.adopt(
-        fixed.join(F.broadcast(qf), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), dp.alias("dp")
-        )
-        .withColumn("rank", F.row_number().over(wex))
+        cand.withColumn("rank", F.row_number().over(wex))
         .where(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id")
         .persist()

