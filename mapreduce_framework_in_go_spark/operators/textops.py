@@ -609,7 +609,14 @@ def _winnow_pair_frames(
     from .dedup import _shingle_rows
 
     docs = table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs)
+    _evict_winnow_generation()
+    # the fingerprint chain (per-window slice/min over the hash array,
+    # O(n*w) per doc) feeds BOTH sides of the candidate self-join —
+    # persist it once instead of running the selection twice (r13,
+    # guide §2.4; the frame is the ~2/(w+1)-density fingerprint index,
+    # far smaller than the corpus)
+    fps = winnow_fingerprints(docs).persist()
+    _WINNOW_GENERATION.append(fps)
     cand = (
         fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
         .join(fps.select(F.col("doc_id").alias("doc_b"), "fp_hash"), "fp_hash")
@@ -618,7 +625,6 @@ def _winnow_pair_frames(
         .agg(F.count_distinct("fp_hash").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= MIN_SHARED_FP)
     )
-    _evict_winnow_generation()
     sh = _shingle_rows(spark, sf_dir).persist()
     _WINNOW_GENERATION.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
