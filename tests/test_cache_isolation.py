@@ -159,3 +159,23 @@ def test_emb_ivf_assignment_survives_similarity_eviction(spark, sf_dir):
     )
     # and the frame still executes correctly after the foreign eviction
     assert df.where(F.col("cosine").isNotNull()).count() >= 0
+
+
+def test_sketch_slots_survive_each_other_and_dedup(spark, sf_dir):
+    """r13: cms_heavy_hitters and hll_exact_registers persist their
+    shared-consumer frames in PER-QUERY slots — building one must not
+    evict the other's in-flight frame, and neither touches dedup's
+    generation."""
+    from mapreduce_framework_in_go_spark.operators import sketches
+
+    sketches.cms_heavy_hitters(spark, sf_dir)
+    cms_frames = list(sketches._CMS_GENERATION)
+    assert cms_frames and all(f.storageLevel.useMemory for f in cms_frames)
+    sketches.hll_exact_registers(spark, sf_dir)
+    assert all(f.storageLevel.useMemory for f in cms_frames), (
+        "HLL build evicted the CMS count table — per-slot rule violated"
+    )
+    hll_frames = list(sketches._HLL_GENERATION)
+    assert hll_frames and all(f.storageLevel.useMemory for f in hll_frames)
+    dedup._evict_previous_generation()
+    assert all(f.storageLevel.useMemory for f in cms_frames + hll_frames)

@@ -304,11 +304,15 @@ def test_skew_topkeys_takeordered(spark, sf_dir):
 
 
 def test_pq_encode_broadcasts_seeds(spark, sf_dir):
-    """PQ encoding must join the corpus against BROADCAST seed
-    subvectors (map-side assignment) — a shuffled seed join would move
-    the corpus per subspace."""
+    """PQ encoding must meet the codebook map-side — since r13 as ONE
+    MapInPandas stage over the corpus scan (the codebook travels as a
+    Python broadcast; numpy int64 argmin is bitwise equal to the old
+    fold) — and the ADC lookup table must still reach scoring via a
+    BROADCAST join. A shuffled seed join would move the corpus per
+    subspace."""
     plan = formatted_plan(SPECS["ann_pq"].fn(spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan  # the r13 vectorized encode stage
+    assert "BroadcastExchange" in plan  # the LUT join
     assert "CartesianProduct" not in plan
 
 

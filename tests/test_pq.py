@@ -44,3 +44,91 @@ def test_pq_topk_shape(spark, sf_dir):
         assert per_q.where(f"n != {PQ_TOP_K} OR mx != {PQ_TOP_K}").count() == 0
     finally:
         out.unpersist()
+
+
+def test_pq_codes_numpy_matches_catalyst_fold(spark, sf_dir):
+    """The r13 vectorized encode (numpy int64 inside mapInPandas) must
+    be BITWISE equal to the reference per-element Catalyst fold it
+    replaced — squared-L2 sums and the (dist, seed_id) tie-break are
+    exact integers in any evaluation order, so any divergence is a
+    bug, not noise."""
+    emb, seeds_sub = _pq_frames(spark, sf_dir)
+    fast = _codes(emb, seeds_sub)
+
+    # the pre-r13 fold, inlined as the reference implementation
+    from mapreduce_framework_in_go_spark.operators.pq import (
+        _explode_subs,
+        _isum,
+    )
+
+    vec_sub = _explode_subs(emb, "vec_id", "v")
+    dist = _isum(
+        F.zip_with(
+            F.col("sub"), F.col("ssub"), lambda a, b: (a - b) * (a - b)
+        )
+    )
+    ref = (
+        vec_sub.join(F.broadcast(seeds_sub), "m")
+        .select(
+            "vec_id", "m", F.struct(dist.alias("d"), "seed_id").alias("ds")
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("ds").alias("best"))
+        .select("vec_id", "m", F.col("best.seed_id").alias("code"))
+    )
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+
+def test_exact_ground_truth_numpy_matches_catalyst(spark, sf_dir):
+    """The r13 local-top-k matmul ground truth must equal the
+    reference |Q| x N Catalyst scoring under the identical
+    (dp DESC, neighbor_id) contract."""
+    from pyspark.sql import Window
+
+    from mapreduce_framework_in_go_spark.cache import GenerationSlot
+    from mapreduce_framework_in_go_spark.operators.ivfpq import (
+        _exact_ground_truth,
+    )
+    from mapreduce_framework_in_go_spark.operators.pq import (
+        _fixed,
+        _isum,
+    )
+    from mapreduce_framework_in_go_spark.operators.similarity import (
+        QUERY_MOD,
+    )
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    gen = GenerationSlot()
+    fixed = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _fixed(F.col("embedding")).alias("v"))
+        .persist()
+    )
+    gen.append(fixed)
+    try:
+        fast = _exact_ground_truth(fixed, gen)
+        qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        dp = _isum(F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b))
+        wex = Window.partitionBy("query_id").orderBy(
+            F.col("dp").desc(), "neighbor_id"
+        )
+        ref = (
+            fixed.join(
+                F.broadcast(qf), F.col("vec_id") != F.col("query_id")
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dp.alias("dp"),
+            )
+            .withColumn("rank", F.row_number().over(wex))
+            .where(F.col("rank") <= PQ_TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        assert fast.exceptAll(ref).count() == 0
+        assert ref.exceptAll(fast).count() == 0
+    finally:
+        gen.evict()
