@@ -1535,6 +1535,7 @@ def clusters_delta_frame(
     *,
     base_index: dict[str, DataFrame] | None = None,
     gen_slot: GenerationSlot | None = None,
+    labels_materialized: bool = False,
 ) -> DataFrame:
     """Merge a crawl delta into a FROZEN base cluster assignment without
     recomputing the base: the incremental-maintenance counterpart of
@@ -1647,11 +1648,15 @@ def clusters_delta_frame(
     dnew = gen.adopt(dg.join(bg, "dig", "left_anti").persist())
     # the frozen assignment is referenced by three membership branches;
     # materialize BEFORE caching — its lineage may root in the dedup
-    # family's evictable generation slot (CLAUDE.md rule)
-    base_labels = gen.adopt(
-        base_labels.select("doc_id", "cluster_rep").persist()
-    )
-    base_labels.count()
+    # family's evictable generation slot (CLAUDE.md rule). Callers
+    # whose labels are ALREADY materialized (the streaming fold
+    # localCheckpoints them every batch, so the lineage roots at an
+    # RDD scan no eviction can unroot) pass labels_materialized=True
+    # and skip the per-batch persist + count action (r13).
+    base_labels = base_labels.select("doc_id", "cluster_rep")
+    if not labels_materialized:
+        base_labels = gen.adopt(base_labels.persist())
+        base_labels.count()
 
     if base_index is not None:
         # deployment shape: ONLY new-digest delta reps are sketched;

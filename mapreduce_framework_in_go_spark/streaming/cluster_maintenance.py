@@ -256,6 +256,7 @@ def run_cluster_maintenance(
                 state["docs"], batch, state["labels"],
                 base_index=state["index"],
                 gen_slot=_CLUSTERS_STREAM_GENERATION,
+                labels_materialized=True,  # localCheckpointed per batch
             )
             t1 = time.monotonic()
             state["labels"] = merged.select(
@@ -348,6 +349,7 @@ def run_cluster_maintenance(
             state["docs"], batch, state["labels"],
             base_index=state["index"],
             gen_slot=_CLUSTERS_STREAM_GENERATION,
+            labels_materialized=True,  # seed/upserts are checkpointed
         )
         t1 = time.monotonic()
         new_labels = merged.select("doc_id", "cluster_rep").localCheckpoint()
