@@ -625,7 +625,20 @@ def _winnow_pair_frames(
         .agg(F.count_distinct("fp_hash").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= MIN_SHARED_FP)
     )
-    sh = _shingle_rows(spark, sf_dir).persist()
+    # Plan-distinguishing tag (r13): dedup-family queries
+    # (dedup_containment, dedup_ngram_jaccard, dedup_simhash_tuning)
+    # persist the IDENTICAL plain-shingle plan in dedup's generation
+    # slot, and Spark's CacheManager dedupes same-plan entries — so a
+    # later dedup eviction would silently drop THIS slot's frame (the
+    # CLAUDE.md shared-entry trap; exposed by running a dedup build
+    # before the winnow build in one session). The no-op extra column
+    # keeps the analyzed plans distinct, so each slot owns its entry.
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .withColumn("_winnow_slot", F.lit(1))
+        .drop("_winnow_slot")
+        .persist()
+    )
     _WINNOW_GENERATION.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
