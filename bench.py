@@ -213,7 +213,14 @@ def main() -> None:
         load_avg_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_avg_start = None
-    spark = get_spark(app_name="bench")
+    # No console progress bars for the bench session (r14): the driver
+    # captures only the combined-output TAIL, and [Stage ...] spam
+    # competes with the one JSON line for that budget. Cosmetic only —
+    # progress rendering never touches query execution.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # Environment calibration (VERDICT r12 ask #2, the driver_sim r12
     # mechanism): a FIXED whole-stage-codegen workload timed at run
@@ -360,15 +367,20 @@ def main() -> None:
             pass  # read-only checkout: stdout line still carries the result
     TAIL_BUDGET = 1600
     if len(line) > TAIL_BUDGET:
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-        )
+        # r14 (VERDICT r13 ask #2): the compact line must still carry a
+        # per-query map — r13's slowest-10-only form cost the driver its
+        # whole per_query/geomean/scaling comparison. Emit as many
+        # (name, sec) entries as fit the tail budget, slowest first (the
+        # rows that dominate the total and that regression analysis
+        # cares about), values at 2 decimals; the full 3-decimal record
+        # is in BENCH_LOCAL.json as before.
         compact = {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
             "n_queries": len(timings),
-            "slowest_queries": slowest,
+            "queries": {},
+            "queries_omitted": len(timings),
             "queries_file": "BENCH_LOCAL.json",
             "runs_per_query": RUNS,
             # session-tier self-certification survives tail truncation
@@ -378,9 +390,23 @@ def main() -> None:
             ],
             "sf": record["sf"],
         }
+        for name, sec in sorted(
+            timings.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            compact["queries"][name] = round(sec, 2)
+            compact["queries_omitted"] -= 1
+            if len(json.dumps(compact)) > TAIL_BUDGET:
+                compact["queries"].pop(name)
+                compact["queries_omitted"] += 1
+                break
         line = json.dumps(compact)
+    # stop BEFORE the final print so no late executor/py4j stderr can
+    # land after the JSON line in the driver's combined-output tail
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

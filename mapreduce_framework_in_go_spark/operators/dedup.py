@@ -925,6 +925,13 @@ def connected_components(
             .distinct()
         )
         mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        # LAZY localCheckpoint (r14, VERDICT r13 ask #4): the plan still
+        # roots at an RDD scan (lineage stays O(1) deep), but the
+        # checkpoint blocks materialize inside the convergence probe's
+        # job below instead of paying their own eager action — ONE
+        # action per round instead of two. The probe is small's only
+        # same-round consumer; the next round (and the final
+        # roots/labels assembly) read the blocks the probe stored.
         small = (
             large.join(mins_s, "u")
             .select(
@@ -938,7 +945,7 @@ def connected_components(
             .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # set equality in ONE action per round: tag-union both (distinct)
         # edge sets, group by pair, and fold the three counts the check

@@ -240,10 +240,22 @@ _EXACT_TOP_SQL = f"""exact_top AS (
     )"""
 
 
-def _exact_ground_truth(fixed: DataFrame, gen: GenerationSlot) -> DataFrame:
+# The exact ground truth is a deterministic per-corpus artifact shared
+# by ann_ivfpq_recall and ann_ivfpq_nprobe_tuning (VERDICT r13 ask #1)
+# — the trained-centroids / _delta_base_artifact precedent: memoized
+# per (applicationId, cache_key) OUTSIDE every generation slot,
+# localCheckpoint-ed (eager, so it is materialized before the memo and
+# every consumer's plan roots at an RDD scan — no slot eviction can
+# unroot it, and the recall row's formatted plan stops re-printing the
+# whole scoring chain per reference). Dead-application keys evicted on
+# access; other cache_keys of the live session never.
+_GT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_ground_truth(emb: DataFrame, cache_key: str) -> DataFrame:
     """(query_id, neighbor_id): the exact top-k by integer inner
-    product over a persisted (vec_id, v) fixed-point frame — broadcast
-    query side (|Q| = N/QUERY_MOD bounded), persisted into ``gen``.
+    product over a (vec_id, embedding) corpus — memoized per
+    (applicationId, cache_key), localCheckpoint-ed.
 
     r13 (guide §4.2/§8): the scoring pass runs as ONE ``mapInPandas``
     over the corpus — each Arrow batch meets the broadcast query
@@ -251,55 +263,98 @@ def _exact_ground_truth(fixed: DataFrame, gen: GenerationSlot) -> DataFrame:
     emits only its LOCAL top-k per query under the (dp DESC,
     neighbor_id) contract; the global window then ranks the tiny
     per-partition candidate union instead of |Q| x N scored rows.
-    Replaces a per-(pair, component) interpreted Catalyst fold —
-    measured 1.5 s -> ~0.3 s at sf0.1 — and shuffles candidates, not
-    the pair space."""
+
+    r14 (VERDICT r13 #5): the query slice is packed executor-side into
+    ONE row (array_sort(collect_list) — vec_id-ascending, so the
+    numpy matrix order is deterministic) and the driver only relays
+    that single packed row into the broadcast; no toPandas() of an
+    N-proportional row set. The broadcast itself is |Q| x dim x 8 B =
+    N/{QUERY_MOD} x dim x 8 — the guide §3.1 broadcast-side budget
+    (~0.3 GB per billion 64-dim vectors); past that the deployment
+    shape is query-chunked slices of a STORED ground-truth table, at
+    which point the |Q| x N score volume, not this broadcast, is the
+    binding cost."""
     import numpy as np
     import pandas as pd
 
-    spark = fixed.sparkSession
-    qpd = fixed.where(F.col("vec_id") % QUERY_MOD == 0).toPandas()
-    qids = qpd["vec_id"].to_numpy(dtype=np.int64)
-    qm = np.array(qpd["v"].tolist(), dtype=np.int64)
-    bc = spark.sparkContext.broadcast((qids, qm))
+    spark = emb.sparkSession
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, cache_key)
+    hit = _GT_CACHE.get(key)
+    if hit is not None:
+        return hit
 
-    def _local_topk(it):
-        q_ids, q_mat = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            v = np.array(pdf["v"].tolist(), dtype=np.int64)
-            dp = v @ q_mat.T  # (n, |Q|), exact int64
-            out_q, out_n, out_d = [], [], []
-            for j in range(len(q_ids)):
-                # per query: dp desc, neighbor_id asc (lexsort: last
-                # key is primary), self excluded
-                order_j = np.lexsort((vids, -dp[:, j]))
-                sel = order_j[vids[order_j] != q_ids[j]][: PQ_TOP_K]
-                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
-                out_n.append(vids[sel])
-                out_d.append(dp[sel, j])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "dp": np.concatenate(out_d),
-                }
-            )
+    fixed = emb.select("vec_id", _fixed(F.col("embedding")).alias("v"))
+    packed = (
+        fixed.where(F.col("vec_id") % QUERY_MOD == 0)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("q")
+        )
+        .first()["q"]
+    )
+    if not packed:
+        # empty query slice (ADVICE r13): no ground-truth rows — the
+        # old join-based plan returned an empty frame gracefully too
+        gt = spark.createDataFrame([], "query_id long, neighbor_id long")
+    else:
+        qids = np.array([r["vec_id"] for r in packed], dtype=np.int64)
+        qm = np.array([r["v"] for r in packed], dtype=np.int64)
+        bc = spark.sparkContext.broadcast((qids, qm))
 
-    cand = fixed.select("vec_id", "v").mapInPandas(
-        _local_topk, schema="query_id long, neighbor_id long, dp long"
-    )
-    wex = Window.partitionBy("query_id").orderBy(
-        F.col("dp").desc(), "neighbor_id"
-    )
-    return gen.adopt(
-        cand.withColumn("rank", F.row_number().over(wex))
-        .where(F.col("rank") <= PQ_TOP_K)
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
+        def _local_topk(it):
+            q_ids, q_mat = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                v = np.array(pdf["v"].tolist(), dtype=np.int64)
+                dp = v @ q_mat.T  # (n, |Q|), exact int64
+                out_q, out_n, out_d = [], [], []
+                for j in range(len(q_ids)):
+                    # per query: dp desc, neighbor_id asc (lexsort:
+                    # last key is primary), self excluded
+                    order_j = np.lexsort((vids, -dp[:, j]))
+                    sel = order_j[vids[order_j] != q_ids[j]][: PQ_TOP_K]
+                    out_q.append(
+                        np.full(len(sel), q_ids[j], dtype=np.int64)
+                    )
+                    out_n.append(vids[sel])
+                    out_d.append(dp[sel, j])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "dp": np.concatenate(out_d),
+                    }
+                )
+
+        src = fixed
+        # map-only local top-k parallelizes by input splits (CLAUDE.md
+        # trap d / ADVICE r13): rescue the one-row-group local parquet;
+        # never fires on a cluster-scale scan
+        par = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() * 2 < par:
+            src = src.repartition(par)
+        cand = src.mapInPandas(
+            _local_topk, schema="query_id long, neighbor_id long, dp long"
+        )
+        wex = Window.partitionBy("query_id").orderBy(
+            F.col("dp").desc(), "neighbor_id"
+        )
+        gt = (
+            cand.withColumn("rank", F.row_number().over(wex))
+            .where(F.col("rank") <= PQ_TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+    gt = gt.localCheckpoint()  # eager: materialized before the memo
+    for old_key in [k for k in _GT_CACHE if k[0] != app_id]:
+        df = _GT_CACHE.pop(old_key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _GT_CACHE[key] = gt
+    return gt
 
 
 def _rank_topk(scored: DataFrame) -> DataFrame:
@@ -587,12 +642,13 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    exact_top = _exact_ground_truth(fixed, gen)
-    # fill the shared persisted caches before the multi-branch recall
+    # memoized artifact (checkpointed, shared with the nprobe sweep) —
+    # consumers read RDD-scan-rooted blocks, nothing to pre-fill there
+    exact_top = _exact_ground_truth(emb, f"structured:{sf_dir}")
+    # fill the shared persisted cache before the multi-branch recall
     # action (same concurrent-cold-cache recompute as the nprobe sweep:
-    # `fixed` has four consumers, exact_top three)
+    # `fixed` has three consumers)
     fixed.count()
-    exact_top.count()
 
     nq = exact_top.agg(F.count("*").alias("total"))
 
@@ -661,12 +717,12 @@ def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen = _slot("ann_ivfpq_nprobe_tuning")
     gen.evict()
     emb = _structured_emb(spark, sf_dir)  # memoized; not ours to evict
-    fixed = gen.adopt(
-        emb.select("vec_id", _fixed(F.col("embedding")).alias("v")).persist()
-    )
     ck = f"structured:{sf_dir}"
 
-    exact_top = _exact_ground_truth(fixed, gen)
+    # memoized artifact (checkpointed, shared with ann_ivfpq_recall) —
+    # the per-invocation fixed-point slice + persist + count this row
+    # used to pay are gone with it (r14, VERDICT r13 ask #1)
+    exact_top = _exact_ground_truth(emb, ck)
     nq = exact_top.agg(F.count("*").alias("total"))
 
     # score ONCE at the widest setting; every narrower budget is a
@@ -676,12 +732,11 @@ def ann_ivfpq_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivfpq_scored(emb, cache_key=ck, nprobe=max(NPROBE_SWEEP), gen=gen)
         .persist()
     )
-    # materialize BOTH shared frames BEFORE the multi-branch sweep
-    # action: the three nprobe branches run as concurrent stages of ONE
-    # job, and a persisted-but-cold frame gets recomputed per branch
-    # (r12 split measurement: 14.5 s/run exec -> ~5 s once the caches
-    # are filled first — the sweep really is probe-only after this)
-    exact_top.count()
+    # materialize the shared persisted frame BEFORE the multi-branch
+    # sweep action: the three nprobe branches run as concurrent stages
+    # of ONE job, and a persisted-but-cold frame gets recomputed per
+    # branch (r12 split measurement: 14.5 s/run exec -> ~5 s once the
+    # caches are filled first — the sweep really is probe-only after)
     scored.count()
 
     out = None

@@ -90,15 +90,26 @@ def _codes(emb_fixed: DataFrame, seeds_sub: DataFrame) -> DataFrame:
     import pandas as pd
 
     spark = emb_fixed.sparkSession
-    # driver-side collect of the bounded codebook (the C-row-prior /
-    # broadcast-table pattern): ~sqrt(N) rows x PQ_M subvectors
-    spd = seeds_sub.toPandas().sort_values(["m", "seed_id"])
-    by_m = {
-        int(m): (
-            grp["seed_id"].to_numpy(dtype=np.int64),
-            np.array(grp["ssub"].tolist(), dtype=np.int64),
+    # the bounded codebook (~sqrt(N) rows x PQ_M subvectors) packed
+    # executor-side into PQ_M rows (array_sort(collect_list) —
+    # seed_id-ascending per subspace, preserving the first-minimum
+    # argmin tie-break), so the driver only relays PQ_M packed rows
+    # into the broadcast — no row-set toPandas (VERDICT r13 #5 caveat)
+    rows = (
+        seeds_sub.groupBy("m")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seed_id", "ssub"))).alias(
+                "t"
+            )
         )
-        for m, grp in spd.groupby("m")
+        .collect()
+    )
+    by_m = {
+        int(r["m"]): (
+            np.array([e["seed_id"] for e in r["t"]], dtype=np.int64),
+            np.array([e["ssub"] for e in r["t"]], dtype=np.int64),
+        )
+        for r in rows
     }
     bc = spark.sparkContext.broadcast(by_m)
 
@@ -127,7 +138,14 @@ def _codes(emb_fixed: DataFrame, seeds_sub: DataFrame) -> DataFrame:
                 )
             yield pd.concat(frames)
 
-    return emb_fixed.select("vec_id", "v").mapInPandas(
+    src = emb_fixed.select("vec_id", "v")
+    # map-only encode parallelizes by input splits (CLAUDE.md trap d /
+    # ADVICE r13): rescue the one-row-group local parquet; never fires
+    # on a cluster-scale scan
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() * 2 < par:
+        src = src.repartition(par)
+    return src.mapInPandas(
         _encode, schema="vec_id long, m int, code long"
     )
 

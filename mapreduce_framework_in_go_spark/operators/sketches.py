@@ -501,7 +501,7 @@ HLL_EXACT_BOUND = 0.25  # asserted |est - exact| / exact ceiling
       SELECT DISTINCT event_type,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
                AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     br AS (
       SELECT event_type,
@@ -528,7 +528,7 @@ HLL_EXACT_BOUND = 0.25  # asserted |est - exact| / exact ceiling
     ),
     exact AS (
       SELECT event_type, count(DISTINCT user_id) AS exact_users
-      FROM events GROUP BY 1
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
     ),
     est AS (
       SELECT p.event_type, p.register_digest, e.exact_users,
@@ -586,8 +586,16 @@ def hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation for exact_users; a distinct (type, user) row set
     # yields it as a plain count). Persisted: two consumers.
     _HLL_GENERATION.evict()
+    # NULL pin (VERDICT r13 #7): the shared distinct frame would keep a
+    # NULL-user row that count(*) counts but the oracle's
+    # count(DISTINCT user_id) would not; filter NULLs on BOTH sides
+    # (no-op on current data) so engine and oracle agree under any
+    # future data shape.
     dup = _HLL_GENERATION.adopt(
-        ev.select("event_type", "user_id").distinct().persist()
+        ev.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .persist()
     )
     du = dup.select(
         "event_type",

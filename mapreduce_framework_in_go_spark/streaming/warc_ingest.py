@@ -129,9 +129,13 @@ def read_ingested(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, content_length long, payload_md5 string"
         )
+    # pathGlobFilter instead of a glob IN the path (r14): a wildcard
+    # base path makes FileStreamSink's metadata-dir probe log a full
+    # FileNotFoundException stack at WARN — same file set, quiet scan.
     files = (
         spark.read.format("binaryFile")
-        .load([os.path.join(d, "shard-*.warc.gz") for d in sealed])
+        .option("pathGlobFilter", "shard-*.warc.gz")
+        .load(sealed)
         .select("content")
     )
 

@@ -83,10 +83,11 @@ def test_pq_codes_numpy_matches_catalyst_fold(spark, sf_dir):
 def test_exact_ground_truth_numpy_matches_catalyst(spark, sf_dir):
     """The r13 local-top-k matmul ground truth must equal the
     reference |Q| x N Catalyst scoring under the identical
-    (dp DESC, neighbor_id) contract."""
+    (dp DESC, neighbor_id) contract — and (r14) the memoized artifact
+    is shared: a second call with the same key returns the SAME
+    checkpointed frame, no rebuild."""
     from pyspark.sql import Window
 
-    from mapreduce_framework_in_go_spark.cache import GenerationSlot
     from mapreduce_framework_in_go_spark.operators.ivfpq import (
         _exact_ground_truth,
     )
@@ -99,15 +100,14 @@ def test_exact_ground_truth_numpy_matches_catalyst(spark, sf_dir):
     )
     from mapreduce_framework_in_go_spark.sources.tables import table
 
-    gen = GenerationSlot()
-    fixed = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", _fixed(F.col("embedding")).alias("v"))
-        .persist()
-    )
-    gen.append(fixed)
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select(
+        "vec_id", _fixed(F.col("embedding")).alias("v")
+    ).persist()
     try:
-        fast = _exact_ground_truth(fixed, gen)
+        fast = _exact_ground_truth(emb, f"test_gt:{sf_dir}")
+        # memo identity: same (app, key) -> the same artifact object
+        assert _exact_ground_truth(emb, f"test_gt:{sf_dir}") is fast
         qf = fixed.where(F.col("vec_id") % QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
@@ -131,4 +131,4 @@ def test_exact_ground_truth_numpy_matches_catalyst(spark, sf_dir):
         assert fast.exceptAll(ref).count() == 0
         assert ref.exceptAll(fast).count() == 0
     finally:
-        gen.evict()
+        fixed.unpersist()
