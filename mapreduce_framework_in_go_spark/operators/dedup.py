@@ -625,6 +625,21 @@ def _jaccard_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_all(sh: DataFrame) -> DataFrame:
+    """(doc_id, s, rn, n): EVERY shingle row with its rank in the
+    global rarest-first (df ASC, s ASC) order and its doc's size. The
+    rank order is correctness-critical for the lossless prefix and
+    positional filters and must stay identical everywhere."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    return sh.join(dfreq, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
+        F.count("*").over(by_doc).alias("n"),
+    )
+
+
 def _ranked_prefix(sh: DataFrame, t: float) -> DataFrame:
     """(doc_id, s, rn, n) restricted to each doc's lossless prefix in
     the global rarest-first (df ASC, s ASC) order: the first
@@ -633,14 +648,7 @@ def _ranked_prefix(sh: DataFrame, t: float) -> DataFrame:
     candidates (dedup_containment) — the prefix-length formula and the
     tie-break order are correctness-critical for losslessness and must
     stay identical in both."""
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    by_doc = Window.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "s").select(
-        "doc_id",
-        "s",
-        F.row_number().over(by_doc.orderBy("df", "s")).alias("rn"),
-        F.count("*").over(by_doc).alias("n"),
-    )
+    ranked = _ranked_all(sh)
     return ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     )
@@ -730,15 +738,53 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir).persist()
     _CACHE_GENERATION.append(sh)
     t = CONTAINMENT_THRESHOLD - 1e-6  # threshold applies to round(c, 6)
-    prefix = _ranked_prefix(sh, t)
+    # One-sided positional filter (r14, VERDICT r13 #9; Xiao et al.
+    # WWW'08 §3.2 adapted to containment), lossless: both shingle
+    # lists sort by the same global order, so a qualifying pair's
+    # earliest common shingle lies inside A's prefix (rank_A(c) <=
+    # n_sub - |A∩B| + 1 <= prefix length) and every other common
+    # shingle follows it in BOTH lists: |A∩B| <= 1 + min(n_sub - i,
+    # n_sup - j) for the min collision ranks (i, j). Containment >= t
+    # needs |A∩B| >= t*n_sub, so pairs whose bound cannot reach it
+    # are discarded before the (much wider) verify join. The sup side
+    # now exposes its rank too — ranked rows persist once (the window
+    # would otherwise run per consumer) in the dedup family slot.
+    ranked = _ranked_all(sh).persist()
+    _CACHE_GENERATION.append(ranked)
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
     cand = (
         prefix.select(
-            F.col("doc_id").alias("doc_sub"), F.col("n").alias("n_sub"), "s"
+            F.col("doc_id").alias("doc_sub"),
+            F.col("n").alias("n_sub"),
+            "s",
+            F.col("rn").alias("rn_sub"),
         )
-        .join(sh.select(F.col("doc_id").alias("doc_sup"), "s"), "s")
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("doc_sup"),
+                F.col("n").alias("n_sup"),
+                "s",
+                F.col("rn").alias("rn_sup"),
+            ),
+            "s",
+        )
         .where(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup", "n_sub")
+        .agg(
+            F.min("rn_sub").alias("i"),
+            F.min("rn_sup").alias("j"),
+            F.max("n_sup").alias("n_sup"),
+        )
+        .where(
+            1
+            + F.least(
+                F.col("n_sub") - F.col("i"), F.col("n_sup") - F.col("j")
+            )
+            >= F.lit(t) * F.col("n_sub")
+        )
         .select("doc_sub", "doc_sup", "n_sub")
-        .distinct()
     )
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_sub"), "s"), "doc_sub")

@@ -96,6 +96,15 @@ def _frames_from_tok(
     spark: SparkSession, tok: DataFrame, gen: GenerationSlot
 ) -> tuple[DataFrame, DataFrame]:
     gen.evict()
+    # ONE feature-extraction pass (r14, guide §2.4): the bucketed
+    # feature stream feeds BOTH the model counts and the scoring join;
+    # unpersisted, each pass re-ran the regex tokenize (+ bigram
+    # shingles and md5 for the n-gram family) over the whole corpus.
+    # The persisted rows are (doc_id, source, b) — 3 narrow columns,
+    # never the text; at warehouse scale this is the materialized
+    # hashed-feature table the DSIR paper stores between the two
+    # passes anyway (MEMORY_AND_DISK spills gracefully).
+    tok = gen.adopt(tok.persist())
     is_target = F.col("source") == DSIR_TARGET
     counts = (
         tok.groupBy("b")

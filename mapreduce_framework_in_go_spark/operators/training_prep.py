@@ -1006,21 +1006,37 @@ def pack_boundary_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = t.withColumn("local_cum", F.sum("n").over(w_local))
-    g_tot = t.groupBy("g").agg(F.sum("n").alias("g_tokens"))
+    # ONE corpus tokenize (r14, guide §2.4): `t` used to feed three
+    # unpersisted consumers — the local window, g_tot under g_off, and
+    # g_tot again under the group rank joined by heads/tails — so the
+    # regex tokenize + head/tail slices re-executed up to FOUR times
+    # per action. Persist the narrow post-tokenize trunk once; every
+    # group statistic derives from it (g_tokens = the group's last
+    # cumulative sum, exactly sum(n)).
+    _evict_pack_boundary_generation()
+    local = _PACK_BOUNDARY_GENERATION.adopt(
+        t.withColumn("local_cum", F.sum("n").over(w_local)).persist()
+    )
+    g_tot = local.groupBy("g").agg(F.max("local_cum").alias("g_tokens"))
     w_g = Window.orderBy("g").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    g_off = g_tot.select(
-        "g", (F.sum("g_tokens").over(w_g) - F.col("g_tokens")).alias("g_offset")
+    w_rank = Window.orderBy("g")  # groups-sized frame: tiny by design
+    # one groups-sized window pass carries BOTH the exclusive offset
+    # and the dense group rank (same partition/order -> one Window node)
+    g_meta = g_tot.select(
+        "g",
+        (
+            F.sum("g_tokens").over(w_g) - F.col("g_tokens")
+        ).alias("g_offset"),
+        F.row_number().over(w_rank).alias("r"),
     )
     # persisted: four consumers (within-group lead, group heads/tails,
     # and both candidate aggregates through them) would otherwise each
-    # re-plan the corpus scan + offset windows. Tiny rows — doc_id,
-    # group, count, first/last 4 tokens — never the document text.
-    _evict_pack_boundary_generation()
+    # re-plan the offset join. Tiny rows — doc_id, group, count,
+    # first/last 4 tokens — never the document text.
     frame = _PACK_BOUNDARY_GENERATION.adopt(
-        local.join(F.broadcast(g_off), "g")
+        local.join(F.broadcast(g_meta.select("g", "g_offset")), "g")
         .select(
             "doc_id",
             "g",
@@ -1043,8 +1059,7 @@ def pack_boundary_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("n").over(w_adj).alias("nn"),
         F.lead("off").over(w_adj).alias("junction"),
     ).where(F.col("next_id").isNotNull())
-    w_rank = Window.orderBy("g")  # groups-sized frame: tiny by design
-    ranked = g_tot.select("g", F.row_number().over(w_rank).alias("r"))
+    ranked = g_meta.select("g", "r")
     lasts = (
         frame.join(
             frame.groupBy("g").agg(F.max("doc_id").alias("doc_id")),

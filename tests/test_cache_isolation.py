@@ -131,6 +131,32 @@ def test_assignment_artifact_survives_slot_evictions(spark, sf_dir):
     )
 
 
+def test_exact_gt_artifact_survives_slot_evictions(spark, sf_dir):
+    """r14: the exact ANN ground truth is a memoized per-(app, dataset)
+    artifact shared by ann_ivfpq_recall and ann_ivfpq_nprobe_tuning —
+    localCheckpoint-ed OUTSIDE every generation slot, so no per-query
+    slot eviction can force a silent rebuild of the |Q| x N scoring
+    pass (same lineage-truncation contract as the frozen-base
+    artifact)."""
+    from mapreduce_framework_in_go_spark.operators import ivfpq
+    from mapreduce_framework_in_go_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    gt = ivfpq._exact_ground_truth(emb, f"isolation:{sf_dir}")
+    ivfpq._slot("ann_ivfpq_recall").evict()
+    ivfpq._slot("ann_ivfpq_nprobe_tuning").evict()
+    dedup._evict_previous_generation()
+    plan = gt._jdf.queryExecution().optimizedPlan().toString()
+    assert (
+        "LogicalRDD" in plan or "ExistingRDD" in plan
+    ) and "parquet" not in plan, (
+        "exact ground-truth artifact still carries lineage — a slot "
+        "eviction could force a silent rebuild of the scoring pass"
+    )
+    # and the memo is shared: the same key returns the same frame
+    assert ivfpq._exact_ground_truth(emb, f"isolation:{sf_dir}") is gt
+
+
 def test_pack_boundary_slot_survives_neighbor_evictions(spark, sf_dir):
     """pack_boundary_contamination's junction frame has its own slot
     (r10 advice): pipeline and training-prep neighbors must not evict

@@ -353,6 +353,41 @@ def test_positional_filter_lossless_and_pruning(spark):
     assert truth <= kept
 
 
+def test_containment_positional_filter_lossless(spark):
+    """r14: the one-sided positional filter inside dedup_containment
+    must change NOTHING about which (sub, sup) pairs pass the
+    containment threshold — the full unfiltered posting join is the
+    ground truth here, so losslessness is checked against it end to
+    end (the registered query's oracle does the same at parity time)."""
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.doc_sub, r.doc_sup)
+        for r in SPECS["dedup_containment"].fn(spark, SF_DIR_T2).collect()
+    }
+    sh = dedup._shingle_rows(spark, SF_DIR_T2)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_sub"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_sup"), "s"), "s")
+        .where(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = {
+        (r.doc_sub, r.doc_sup)
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("doc_sub"), "n"), "doc_sub"
+        )
+        .where(
+            F.round(F.col("n_common") / F.col("n"), 6)
+            >= dedup.CONTAINMENT_THRESHOLD
+        )
+        .collect()
+    }
+    assert out == truth
+
+
 def test_split_leakage_audit_conserves_pairs(spark, sf_dir):
     """The audit is a partition of the verified near-dup pair set:
     group counts sum to the pair count, labels are valid and
