@@ -941,6 +941,11 @@ def connected_components(
     import time as _time
 
     _t0 = _time.monotonic()
+    # the INITIAL edge set stays an eager checkpoint (r14 A/B: lazy
+    # measured no win — 4.89 vs 4.71 s min for dedup_clusters_lsh —
+    # and round 1 reads it from three subtrees of one job, which would
+    # race block materialization); the per-ROUND checkpoints below are
+    # lazy because the probe is their only same-round consumer
     e = (
         edges.select(
             F.greatest("src", "dst").alias("u"),
