@@ -33,11 +33,15 @@ MAX_SCANS = 8
 
 
 def _count_scan_nodes(plan: str) -> int:
-    """Count Scan NODES the way scripts/plan_report.py does — the
-    formatted text repeats each node in the detail section, so a raw
-    substring count double-counts."""
-    nodes = re.findall(r"\(\d+\) ([A-Za-z0-9]+)", plan)
-    return sum(1 for n in nodes if n == "Scan")
+    """Count PARQUET scan nodes (the detail section numbers each node
+    once, so matching the id-before-name form avoids the tree-section
+    double count). r14: `Scan ExistingRDD` nodes no longer count —
+    they are lineage-truncated checkpointed artifacts, exactly the
+    shape this lint pushes toward (a re-planned SOURCE subtree is what
+    the cap guards against); the generic name match used to count them
+    and flagged ann_ivfpq_nprobe_tuning the moment its ground truth
+    became an RDD-scan-rooted artifact."""
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
 
 
 # name -> (allowed scans, why the extra passes are inherent)
